@@ -1,0 +1,47 @@
+"""Engine configuration.
+
+Hyperparameters mirror the reference's semantics knobs
+(/root/reference/objects/KGs.py:15-24 — theta, delta, epsilon, const,
+iteration, workers) plus Ray-Data execution knobs the reference has no
+equivalent for (batch size, actor-pool concurrency, block size).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+
+@dataclass
+class PrasConfig:
+    # --- PARIS semantics (reference defaults, objects/KGs.py:15-24) ---
+    theta: float = 0.1        # min subsumption / equivalence prob
+    delta: float = 0.01       # min evidence contribution (1 - factor)
+    epsilon: float = 1.01     # damping divisor on probs/functionalities
+    const: float = 10.0       # additive smoothing in rel-align normalization
+    iterations: int = 10      # PARIS iterations (test.py:127 uses 10)
+
+    # ``init`` semantics: during iterations 0-1 (and only when no
+    # checkpoint was loaded), missing rel-subsumption probs are floored at
+    # theta and embedding fusion is disabled (objects/KGs.py:136,
+    # model/PARIS.py:45,62-66).
+    has_load: bool = False
+
+    # --- fusion hook (test.py:74-76) ---
+    # fusion_func(val: np.ndarray, emb_l: np.ndarray, emb_r: np.ndarray)
+    # -> np.ndarray, VECTORIZED over candidate rows.
+    fusion_func: Optional[Callable] = None
+
+    # --- Ray Data execution knobs ---
+    batch_size: int = 65536          # rows per Arrow batch in hot stages
+    concurrency: int = 8             # actor-pool size for stateful stages
+    num_cpus_per_actor: float = 1.0
+    evidence_num_partitions: int = 32  # hash partitions for wide groupbys
+
+    # --- determinism ---
+    seed: int = 42
+
+    # --- checkpointing ---
+    checkpoint_dir: Optional[str] = None  # per-iteration parquet + manifest
+
+    extra: dict = field(default_factory=dict)

@@ -1,0 +1,506 @@
+"""KG construction stages: inverse edges (M4), interning with dense ids
+(M3/D1), fact encoding (J2-style lookups) and functionality stats (A1).
+
+Re-expresses the reference's in-memory interning/indexing
+(/root/reference/objects/KG.py:95-235) as Ray Data transforms:
+
+- nodes   : distinct (name, is_literal) → dense ids, entities first then
+            literals (matches id layout of objects/KG.py:202-210; the
+            reference's set-iteration order is arbitrary, ours is a
+            deterministic sort by name).
+- preds   : distinct (name, is_attribute) → dense ids, relations first.
+- facts   : (rel_id, head_id, tail_id) rows over node ids, with the
+            inverse edge of every triple materialized exactly as
+            objects/KG.py:145-157 ("-(INV)" suffix).
+- stats   : per-pred functionality = |distinct heads| / n_triples and
+            functionality_inv = |distinct tails| / n_triples
+            (objects/Relation.py:45-49), via pre-aggregated two-stage
+            distinct groupbys (no per-group Python).
+
+Because ids are dense and class-ordered, ``id >= n_entities`` tests
+literal-ness and ``rel_id >= n_relations`` tests attribute-ness with no
+lookup table — the hot PARIS kernel relies on this.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from prase_ray.functions.normalize import (
+    normalize_literal_series,
+    normalize_uri_series,
+)
+
+
+# --------------------------------------------------------------------------
+# M4 — inverse edges
+# --------------------------------------------------------------------------
+
+def _double_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Emit (h, r, t) and (t, r-(INV), h) rows (objects/KG.py:145-157)."""
+    fwd = pd.DataFrame(
+        {
+            "subj": batch["subj"],
+            "pred": batch["pred"],
+            "obj": batch["obj"],
+            "subj_is_lit": False,
+            "obj_is_lit": batch["obj_is_literal"],
+            "pred_is_attr": batch["obj_is_literal"],
+        }
+    )
+    inv = pd.DataFrame(
+        {
+            "subj": batch["obj"],
+            "pred": batch["pred"].str.strip() + "-(INV)",
+            "obj": batch["subj"],
+            "subj_is_lit": batch["obj_is_literal"],
+            "obj_is_lit": False,
+            "pred_is_attr": batch["obj_is_literal"],
+        }
+    )
+    return pd.concat([fwd, inv], ignore_index=True)
+
+
+def add_inverse_edges(triples: ray.data.Dataset) -> ray.data.Dataset:
+    return triples.map_batches(_double_batch, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# M3 — interning: distinct names → dense ids via sort + prefix-sum offsets
+# --------------------------------------------------------------------------
+
+@ray.remote
+def _nrows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@ray.remote
+def _assign_node_ids(tbl: pa.Table, offset: int) -> pa.Table:
+    df = tbl.to_pandas()
+    ids = np.arange(offset, offset + len(df), dtype=np.int64)
+    is_lit = df["is_literal"].to_numpy(dtype=bool)
+    names = df["name"].astype(str)
+    value = pd.Series(index=names.index, dtype=object)
+    if (~is_lit).any():
+        value[~is_lit] = normalize_uri_series(names[~is_lit])
+    if is_lit.any():
+        value[is_lit] = normalize_literal_series(names[is_lit])
+    out = pd.DataFrame(
+        {
+            "ent_id": ids,
+            "name": names,
+            "value": value.astype(str),
+            "is_literal": is_lit,
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+@ray.remote
+def _assign_pred_ids(tbl: pa.Table, offset: int) -> pa.Table:
+    df = tbl.to_pandas()
+    ids = np.arange(offset, offset + len(df), dtype=np.int64)
+    names = df["name"].astype(str)
+    out = pd.DataFrame(
+        {
+            "rel_id": ids,
+            "name": names,
+            "value": normalize_uri_series(names).astype(str),
+            "is_attribute": df["is_attribute"].to_numpy(dtype=bool),
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _dense_rank(sorted_ds: ray.data.Dataset, assign_remote) -> ray.data.Dataset:
+    """Assign global dense ids to a sorted Dataset: per-block row counts
+    → exclusive prefix sum → per-block id ranges (SURVEY.md §2.3 M3)."""
+    mat = sorted_ds.materialize()
+    refs = mat.to_arrow_refs()
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    out_refs = [
+        assign_remote.remote(r, int(o)) for r, o in zip(refs, offsets) if True
+    ]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def _node_names_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    sub = pd.DataFrame(
+        {"name": batch["subj"], "is_literal": batch["subj_is_lit"]}
+    )
+    obj = pd.DataFrame({"name": batch["obj"], "is_literal": batch["obj_is_lit"]})
+    out = pd.concat([sub, obj], ignore_index=True)
+    return out.drop_duplicates()  # batch-local distinct → smaller shuffle
+
+
+def intern_nodes(triples_inv: ray.data.Dataset) -> ray.data.Dataset:
+    names = triples_inv.map_batches(_node_names_batch, batch_format="pandas")
+    distinct = (
+        names.groupby(["is_literal", "name"])
+        .count()
+        .drop_columns(["count()"])
+        .sort(["is_literal", "name"])  # entities (False) first → dense ids
+    )
+    return _dense_rank(distinct, _assign_node_ids)
+
+
+def _pred_names_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    out = pd.DataFrame(
+        {"name": batch["pred"], "is_attribute": batch["pred_is_attr"]}
+    )
+    return out.drop_duplicates()
+
+
+def intern_preds(triples_inv: ray.data.Dataset) -> ray.data.Dataset:
+    names = triples_inv.map_batches(_pred_names_batch, batch_format="pandas")
+    distinct = (
+        names.groupby(["is_attribute", "name"])
+        .count()
+        .drop_columns(["count()"])
+        .sort(["is_attribute", "name"])  # relations first
+    )
+    return _dense_rank(distinct, _assign_pred_ids)
+
+
+# --------------------------------------------------------------------------
+# fact encoding — broadcast lookup (small node table) or hash join (scale)
+# --------------------------------------------------------------------------
+
+class _EncodeFacts:
+    """Actor-pool stage: holds the broadcast name→id indexes (built once
+    per actor in __init__ from ray.put refs — NOT re-shipped per batch)
+    and encodes (subj, pred, obj) strings to dense ids per batch."""
+
+    def __init__(self, node_map_ref, pred_map_ref):
+        ent_names, ent_ids, lit_names, lit_ids = ray.get(node_map_ref)
+        rel_names, rel_ids = ray.get(pred_map_ref)
+        self.ent_idx = pd.Index(ent_names)
+        self.ent_ids = ent_ids
+        self.lit_idx = pd.Index(lit_names)
+        self.lit_ids = lit_ids
+        self.rel_idx = pd.Index(rel_names)
+        self.rel_ids = rel_ids
+
+    def _lookup_nodes(self, names: pd.Series, is_lit: np.ndarray) -> np.ndarray:
+        out = np.empty(len(names), dtype=np.int64)
+        ent_m = ~is_lit
+        if ent_m.any():
+            out[ent_m] = self.ent_ids[self.ent_idx.get_indexer(names[ent_m])]
+        if is_lit.any():
+            out[is_lit] = self.lit_ids[self.lit_idx.get_indexer(names[is_lit])]
+        return out
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        subj_lit = batch["subj_is_lit"].to_numpy(dtype=bool)
+        obj_lit = batch["obj_is_lit"].to_numpy(dtype=bool)
+        head = self._lookup_nodes(batch["subj"], subj_lit)
+        tail = self._lookup_nodes(batch["obj"], obj_lit)
+        rel = self.rel_ids[self.rel_idx.get_indexer(batch["pred"])]
+        return pd.DataFrame(
+            {"rel_id": rel, "head_id": head, "tail_id": tail.astype(np.int64)}
+        )
+
+
+def encode_facts_broadcast(
+    triples_inv: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    preds: ray.data.Dataset,
+    *,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    ndf = nodes.to_pandas()
+    pdf = preds.to_pandas()
+    ent = ndf[~ndf["is_literal"]]
+    lit = ndf[ndf["is_literal"]]
+    node_map_ref = ray.put(
+        (
+            ent["name"].to_numpy(dtype=object),
+            ent["ent_id"].to_numpy(dtype=np.int64),
+            lit["name"].to_numpy(dtype=object),
+            lit["ent_id"].to_numpy(dtype=np.int64),
+        )
+    )
+    pred_map_ref = ray.put(
+        (pdf["name"].to_numpy(dtype=object), pdf["rel_id"].to_numpy(dtype=np.int64))
+    )
+    return triples_inv.map_batches(
+        _EncodeFacts,
+        batch_format="pandas",
+        concurrency=concurrency,
+        fn_constructor_kwargs={
+            "node_map_ref": node_map_ref,
+            "pred_map_ref": pred_map_ref,
+        },
+    )
+
+
+def encode_facts_join(
+    triples_inv: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    preds: ray.data.Dataset,
+    *,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Web-scale path: three hash joins instead of a broadcast (the node
+    table may not fit on one node at 10^12-doc scale)."""
+    n = nodes.select_columns(["ent_id", "name", "is_literal"])
+    p = preds.select_columns(["rel_id", "name"])
+    t = triples_inv.join(
+        n,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("subj", "subj_is_lit"),
+        right_on=("name", "is_literal"),
+    ).rename_columns({"ent_id": "head_id"})
+    t = t.join(
+        n,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("obj", "obj_is_lit"),
+        right_on=("name", "is_literal"),
+    ).rename_columns({"ent_id": "tail_id"})
+    t = t.join(
+        p,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("pred",),
+        right_on=("name",),
+    )
+    return t.select_columns(["rel_id", "head_id", "tail_id"])
+
+
+# --------------------------------------------------------------------------
+# A1 — functionality stats
+# --------------------------------------------------------------------------
+
+def _local_pairs(col: str):
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["rel_id", col]].drop_duplicates()
+
+    return fn
+
+
+def _local_counts(batch: pd.DataFrame) -> pd.DataFrame:
+    vc = batch["rel_id"].value_counts()
+    return pd.DataFrame({"rel_id": vc.index.to_numpy(), "n": vc.to_numpy()})
+
+
+def pred_stats(facts: ray.data.Dataset, preds_df: pd.DataFrame) -> pd.DataFrame:
+    """Per-pred n_triples / n_distinct(head) / n_distinct(tail) → func,
+    func_inv (objects/Relation.py:45-49).  All three aggregations are
+    pre-reduced inside map_batches before the (small) groupby, so the
+    shuffle moves per-batch partials, not raw facts."""
+    from ray.data.aggregate import Sum
+
+    n_triples = (
+        facts.map_batches(_local_counts, batch_format="pandas")
+        .groupby("rel_id")
+        .aggregate(Sum("n", alias_name="n_triples"))
+        .to_pandas()
+    )
+
+    def distinct_count(col: str, alias: str) -> pd.DataFrame:
+        pairs = facts.map_batches(_local_pairs(col), batch_format="pandas")
+        uniq = pairs.groupby(["rel_id", col]).count()
+        per_rel = (
+            uniq.map_batches(_local_counts, batch_format="pandas")
+            .groupby("rel_id")
+            .aggregate(Sum("n", alias_name=alias))
+            .to_pandas()
+        )
+        return per_rel
+
+    n_heads = distinct_count("head_id", "n_heads")
+    n_tails = distinct_count("tail_id", "n_tails")
+
+    out = preds_df.merge(n_triples, on="rel_id", how="left")
+    out = out.merge(n_heads, on="rel_id", how="left")
+    out = out.merge(n_tails, on="rel_id", how="left")
+    for c in ("n_triples", "n_heads", "n_tails"):
+        out[c] = out[c].fillna(0).astype(np.int64)
+    freq = out["n_triples"].to_numpy(dtype=np.float64)
+    nz = freq > 0
+    func = np.zeros(len(out))
+    func_inv = np.zeros(len(out))
+    func[nz] = out["n_heads"].to_numpy(dtype=np.float64)[nz] / freq[nz]
+    func_inv[nz] = out["n_tails"].to_numpy(dtype=np.float64)[nz] / freq[nz]
+    out["func"] = func
+    out["func_inv"] = func_inv
+    return out.sort_values("rel_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# KG bundle
+# --------------------------------------------------------------------------
+
+@dataclass
+class KGDataset:
+    """One knowledge graph as Ray Datasets + small driver-side artifacts.
+
+    Dataset tables stream; the driver holds only O(n_preds) stats and
+    (for the broadcast PARIS path) O(n_facts) CSR arrays placed in the
+    object store via ray.put — documented per-node memory assumption of
+    the broadcast kernel (SURVEY.md §4)."""
+
+    name: str
+    nodes: ray.data.Dataset
+    preds_df: pd.DataFrame          # small: rel stats incl. func
+    facts: ray.data.Dataset         # rel_id, head_id, tail_id (INV included)
+    n_entities: int
+    n_literals: int
+    n_relations: int                # incl. -(INV) twins
+    n_attributes: int
+
+    _csr_ref: Optional[ray.ObjectRef] = field(default=None, repr=False)
+    _func_ref: Optional[ray.ObjectRef] = field(default=None, repr=False)
+    _facts_by_tail_cache: Optional[ray.data.Dataset] = field(
+        default=None, repr=False
+    )
+
+    @property
+    def n_nodes(self) -> int:
+        return self.n_entities + self.n_literals
+
+    @property
+    def n_preds(self) -> int:
+        return self.n_relations + self.n_attributes
+
+    def func_array(self) -> np.ndarray:
+        """functionality by rel_id (functionality_dict, objects/KG.py:194-200)."""
+        arr = np.zeros(self.n_preds, dtype=np.float64)
+        arr[self.preds_df["rel_id"].to_numpy()] = self.preds_df[
+            "func"
+        ].to_numpy(dtype=np.float64)
+        return arr
+
+    def func_ref(self) -> ray.ObjectRef:
+        if self._func_ref is None:
+            self._func_ref = ray.put(self.func_array())
+        return self._func_ref
+
+    def csr_by_head_ref(self) -> ray.ObjectRef:
+        """CSR adjacency (offsets, rel_ids, tail_ids) over head_id —
+        the broadcast right-side index of the PARIS two-hop join
+        (fact_dict_by_head, objects/KG.py:212-219)."""
+        if self._csr_ref is None:
+            heads, rels, tails = [], [], []
+            for b in self.facts.iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            ):
+                heads.append(b["head_id"].to_numpy())
+                rels.append(b["rel_id"].to_numpy())
+                tails.append(b["tail_id"].to_numpy())
+            if heads:
+                h = np.concatenate(heads)
+                r = np.concatenate(rels)
+                t = np.concatenate(tails)
+            else:
+                h = r = t = np.empty(0, dtype=np.int64)
+            order = np.argsort(h, kind="stable")
+            h, r, t = h[order], r[order], t[order]
+            offsets = np.zeros(self.n_nodes + 1, dtype=np.int64)
+            np.add.at(offsets, h + 1, 1)
+            offsets = np.cumsum(offsets)
+            self._csr_ref = ray.put((offsets, r, t))
+        return self._csr_ref
+
+    def facts_by_tail(self) -> ray.data.Dataset:
+        """The streamed left side of the PARIS pass (fact_dict_by_tail,
+        objects/KG.py:212-219) — just the facts table; the kernel groups
+        per batch, no global sort needed."""
+        return self.facts
+
+    def literal_value_map(self) -> pd.DataFrame:
+        """One literal node per normalized value (J1 input).  The
+        reference keeps the LAST entity per value in arbitrary set order
+        (objects/KG.py:140); we keep the min ent_id deterministically."""
+        lits = self.nodes.map_batches(
+            lambda t: t.filter(t["is_literal"]), batch_format="pyarrow"
+        ).select_columns(["ent_id", "value"])
+        df = lits.to_pandas()
+        return df.groupby("value", as_index=False)["ent_id"].min()
+
+    def info(self, top_k: int = 10) -> dict:
+        """K4 print_kg_info equivalent (objects/KG.py:256-288): halved
+        counts (INV twins) + top-k by functionality."""
+        pdf = self.preds_df
+        rels = pdf[~pdf["is_attribute"]]
+        attrs = pdf[pdf["is_attribute"]]
+        return {
+            "name": self.name,
+            "relation_tuples": int(rels["n_triples"].sum() // 2),
+            "attribute_tuples": int(attrs["n_triples"].sum() // 2),
+            "entities": self.n_entities,
+            "relations": self.n_relations // 2,
+            "attributes": self.n_attributes // 2,
+            "literals": self.n_literals,
+            "top_rel_func": rels.sort_values(
+                ["func", "name"], ascending=[False, True]
+            ).head(top_k)[["name", "func"]],
+            "top_rel_func_inv": rels.sort_values(
+                ["func_inv", "name"], ascending=[False, True]
+            ).head(top_k)[["name", "func_inv"]],
+            "top_attr_func": attrs.sort_values(
+                ["func", "name"], ascending=[False, True]
+            ).head(top_k)[["name", "func"]],
+            "top_attr_func_inv": attrs.sort_values(
+                ["func_inv", "name"], ascending=[False, True]
+            ).head(top_k)[["name", "func_inv"]],
+        }
+
+
+def build_kg(
+    triples: ray.data.Dataset,
+    name: str = "KG",
+    *,
+    encode: str = "broadcast",
+    concurrency: int = 4,
+    num_partitions: int = 32,
+) -> KGDataset:
+    """Full KG build: triples → +INV → intern → encode → stats.
+
+    ``encode='broadcast'`` ships the name→id index once via ray.put
+    (right choice while the node table fits a node); ``'join'`` uses
+    hash joins (web-scale path)."""
+    tinv = add_inverse_edges(triples)
+    nodes = intern_nodes(tinv).materialize()
+    preds = intern_preds(tinv).materialize()
+    preds_df = preds.to_pandas().sort_values("rel_id").reset_index(drop=True)
+
+    if encode == "broadcast":
+        facts = encode_facts_broadcast(
+            tinv, nodes, preds, concurrency=concurrency
+        )
+    else:
+        facts = encode_facts_join(
+            tinv, nodes, preds, num_partitions=num_partitions
+        )
+    facts = facts.materialize()
+
+    ndf_counts = (
+        nodes.groupby("is_literal").count().to_pandas().set_index("is_literal")
+    )
+    n_entities = int(ndf_counts["count()"].get(False, 0))
+    n_literals = int(ndf_counts["count()"].get(True, 0))
+    n_relations = int((~preds_df["is_attribute"]).sum())
+    n_attributes = int(preds_df["is_attribute"].sum())
+
+    preds_df = pred_stats(facts, preds_df)
+    return KGDataset(
+        name=name,
+        nodes=nodes,
+        preds_df=preds_df,
+        facts=facts,
+        n_entities=n_entities,
+        n_literals=n_literals,
+        n_relations=n_relations,
+        n_attributes=n_attributes,
+    )

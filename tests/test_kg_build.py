@@ -1,0 +1,115 @@
+"""KG build stage tests (M3/M4/A1, SURVEY.md §2.3/§2.6) against
+hand-computed expectations mirroring /root/reference/objects/KG.py."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from prase_ray.sources.triples import from_pandas_triples
+from prase_ray.stages.kg_build import build_kg
+
+REL = [
+    ("http://a/E1", "http://a/likes", "http://a/E2"),
+    ("http://a/E1", "http://a/likes", "http://a/E3"),
+    ("http://a/E2", "http://a/capital_of", "http://a/E3"),
+    # duplicate triple: frequency counts raw inserts (Relation.py:43)
+    ("http://a/E2", "http://a/capital_of", "http://a/E3"),
+]
+ATTR = [
+    ("http://a/E1", "http://a/name", '"Alice"'),
+    ("http://a/E2", "http://a/name", '"Bob"^^<xsd:string>'),
+]
+
+
+@pytest.fixture(scope="module")
+def kg(ray_session):
+    tdf = pd.DataFrame(
+        [dict(subj=s, pred=p, obj=o, obj_is_literal=False) for s, p, o in REL]
+        + [dict(subj=s, pred=p, obj=o, obj_is_literal=True) for s, p, o in ATTR]
+    )
+    return build_kg(from_pandas_triples(tdf), name="T")
+
+
+def test_counts(kg):
+    assert kg.n_entities == 3
+    assert kg.n_literals == 2
+    # likes, likes-(INV), capital_of, capital_of-(INV)
+    assert kg.n_relations == 4
+    assert kg.n_attributes == 2  # name, name-(INV)
+    assert kg.facts.count() == 2 * (len(REL) + len(ATTR))
+
+
+def test_dense_id_layout(kg):
+    ndf = kg.nodes.to_pandas().sort_values("ent_id")
+    # entities first (ids 0..2), literals after (3..4); sorted by name
+    assert list(ndf["is_literal"]) == [False] * 3 + [True] * 2
+    assert list(ndf["ent_id"]) == [0, 1, 2, 3, 4]
+    ents = ndf[~ndf["is_literal"]]["name"].tolist()
+    assert ents == sorted(ents)
+    pdf = kg.preds_df.sort_values("rel_id")
+    assert list(pdf["is_attribute"]) == [False] * 4 + [True] * 2
+
+
+def test_values_normalized(kg):
+    ndf = kg.nodes.to_pandas()
+    byname = ndf.set_index("name")["value"]
+    assert byname["http://a/E1"] == "E1"
+    assert byname['"Alice"'] == "Alice"
+    assert byname['"Bob"^^<xsd:string>'] == "Bob"
+
+
+def test_functionality(kg):
+    pdf = kg.preds_df.set_index("name")
+    # likes: 3 raw facts? no — 2 raw facts (E1->E2, E1->E3), 1 distinct head
+    likes = pdf.loc["http://a/likes"]
+    assert likes["n_triples"] == 2
+    assert likes["func"] == pytest.approx(1 / 2)      # heads {E1}
+    assert likes["func_inv"] == pytest.approx(1.0)    # tails {E2,E3}
+    likes_inv = pdf.loc["http://a/likes-(INV)"]
+    assert likes_inv["func"] == pytest.approx(1.0)
+    assert likes_inv["func_inv"] == pytest.approx(1 / 2)
+    # capital_of inserted twice (duplicate): frequency=2, 1 head, 1 tail
+    cap = pdf.loc["http://a/capital_of"]
+    assert cap["n_triples"] == 2
+    assert cap["func"] == pytest.approx(1 / 2)
+    assert cap["func_inv"] == pytest.approx(1 / 2)
+    name_attr = pdf.loc["http://a/name"]
+    assert name_attr["n_triples"] == 2
+    assert name_attr["func"] == pytest.approx(1.0)
+
+
+def test_facts_encode_roundtrip(kg):
+    ndf = kg.nodes.to_pandas().set_index("ent_id")
+    pdf = kg.preds_df.set_index("rel_id")
+    facts = kg.facts.to_pandas()
+    # every (E2, capital_of, E3) fact decodes back to the right names
+    cap_id = kg.preds_df.set_index("name").loc["http://a/capital_of", "rel_id"]
+    rows = facts[facts["rel_id"] == cap_id]
+    assert len(rows) == 2
+    assert set(ndf.loc[rows["head_id"], "name"]) == {"http://a/E2"}
+    assert set(ndf.loc[rows["tail_id"], "name"]) == {"http://a/E3"}
+    # literal-ness via dense-id threshold
+    assert all(
+        (facts["tail_id"] >= kg.n_entities)
+        == ndf.loc[facts["tail_id"], "is_literal"].to_numpy()
+    )
+
+
+def test_csr(kg):
+    import ray
+
+    offsets, rels, tails = ray.get(kg.csr_by_head_ref())
+    assert offsets[-1] == kg.facts.count()
+    # E1 (head) has 2 likes facts + 1 name attr + 0 inv... find E1 id
+    ndf = kg.nodes.to_pandas().set_index("name")
+    e1 = int(ndf.loc["http://a/E1", "ent_id"])
+    deg = offsets[e1 + 1] - offsets[e1]
+    assert deg == 3  # likes x2 + name x1 (E1 not a tail of anything fwd)
+
+
+def test_info(kg):
+    info = kg.info()
+    assert info["relation_tuples"] == 4  # halved (INV twins)
+    assert info["attribute_tuples"] == 2
+    assert info["entities"] == 3
+    assert len(info["top_rel_func"]) <= 10
