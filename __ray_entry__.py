@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship web→KG pipeline at sf0.001;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline extensions);
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for every
+SQL-expressible query (same column names; float outputs rounded the
+same way on both sides).  Ray is initialised by the caller — nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +14,693 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SVO_PATTERN = r"([a-z]+) (join|merge|sort) ([a-z]+)"
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --------------------------------------------------------------------------
+# query implementations
+# --------------------------------------------------------------------------
+
+def q_extract_triples_docs(sf_dir: str):
+    """S1-analog + extraction stage (SURVEY.md §7.1 stage 2) over
+    documents.text: non-overlapping SVO regex matches."""
+    docs = _read(sf_dir, "documents")
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        found = batch["text"].str.findall(SVO_PATTERN)
+        counts = found.str.len().fillna(0).astype(np.int64)
+        flat = [t for lst in found for t in lst]
+        if not flat:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "subj": [], "pred": [], "obj": []}
+            )
+        arr = np.array(flat, dtype=object)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(np.int64), counts),
+                "subj": arr[:, 0],
+                "pred": arr[:, 1],
+                "obj": arr[:, 2],
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def q_normalize_uri(sf_dir: str):
+    """M1 URI normalizer (objects/KG.py:59-69) over synthesized URIs."""
+    from prase_ray.functions.normalize import normalize_uri_series
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        name = (
+            "<http://ex.org/"
+            + batch["source"].astype(str)
+            + "/doc_"
+            + batch["doc_id"].astype(str)
+            + ">"
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "name": name,
+                "value": normalize_uri_series(name),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def q_normalize_literal(sf_dir: str):
+    """M2 literal normalizer (objects/KG.py:71-87) over quoted+typed
+    literals built from customer names."""
+    from prase_ray.functions.normalize import normalize_literal_series
+
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        name = '"' + batch["c_name"].astype(str) + '"^^<xsd:string>'
+        return pd.DataFrame(
+            {
+                "c_custkey": batch["c_custkey"],
+                "name": name,
+                "value": normalize_literal_series(name),
+            }
+        )
+
+    return cust.map_batches(fn, batch_format="pandas")
+
+
+def _orders_triples(sf_dir: str):
+    orders = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": "c" + batch["o_custkey"].astype(str),
+                "pred": "placed",
+                "obj": "o" + batch["o_orderkey"].astype(str),
+                "obj_is_literal": False,
+            }
+        )
+
+    return orders.map_batches(fn, batch_format="pandas")
+
+
+def q_inverse_edges(sf_dir: str):
+    """M4 inverse-edge materialization (objects/KG.py:145-157)."""
+    from prase_ray.stages.kg_build import add_inverse_edges
+
+    return add_inverse_edges(_orders_triples(sf_dir)).select_columns(
+        ["subj", "pred", "obj"]
+    )
+
+
+def q_intern_nodes(sf_dir: str):
+    """M3/D1 interning with dense class-ordered ids (objects/KG.py:95-143,
+    202-210) over part→brand triples."""
+    from prase_ray.stages.kg_build import add_inverse_edges, intern_nodes
+
+    part = _read(sf_dir, "part").select_columns(["p_name", "p_brand"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": batch["p_name"].astype(str),
+                "pred": "has_brand",
+                "obj": batch["p_brand"].astype(str),
+                "obj_is_literal": True,
+            }
+        )
+
+    tinv = add_inverse_edges(part.map_batches(fn, batch_format="pandas"))
+    return intern_nodes(tinv)
+
+
+def _lineitem_triples(sf_dir: str):
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_returnflag", "l_partkey"]
+    )
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": "o" + batch["l_orderkey"].astype(str),
+                "pred": batch["l_returnflag"].astype(str),
+                "obj": "p" + batch["l_partkey"].astype(str),
+                "obj_is_literal": False,
+            }
+        )
+
+    return li.map_batches(fn, batch_format="pandas")
+
+
+def q_functionality(sf_dir: str):
+    """A1 functionality/inverse functionality per pred
+    (objects/Relation.py:45-49), INV edges included."""
+    from prase_ray.stages.kg_build import add_inverse_edges, functionality_by_pred
+
+    tinv = add_inverse_edges(_lineitem_triples(sf_dir))
+    return functionality_by_pred(tinv)
+
+
+def q_topk_functionality(sf_dir: str):
+    """O1 top-k by functionality (objects/KG.py:266-288), deterministic
+    tie-break by pred name."""
+    import ray.data
+
+    df = q_functionality(sf_dir)
+    ds = ray.data.from_pandas(df)
+    return ds.sort(["func", "pred"], descending=[True, False]).limit(10)
+
+
+def q_literal_seed_join(sf_dir: str):
+    """J1 literal-value equijoin across two KGs (objects/KGs.py:53-58):
+    one node per value per side (min id), inner join on value."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    part = _read(sf_dir, "part").select_columns(["p_partkey", "p_brand"])
+
+    def side(par):
+        def fn(t):
+            m = pc.equal(pc.bit_wise_and(t["p_partkey"], 1), par)
+            return t.filter(m)
+
+        return fn
+
+    l = (
+        part.map_batches(side(0), batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Min("p_partkey", alias_name="id_l"))
+    )
+    r = (
+        part.map_batches(side(1), batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Min("p_partkey", alias_name="id_r"))
+    )
+    out = l.join(r, join_type="inner", num_partitions=4, on=("p_brand",))
+    return out.rename_columns({"p_brand": "value"})
+
+
+def q_dedup_exact(sf_dir: str):
+    """D1 exact dedup: min doc_id per distinct text."""
+    from prase_ray.stages.dedup import exact_dedup_keep_ids
+
+    return exact_dedup_keep_ids(_read(sf_dir, "documents"))
+
+
+def q_token_stats(sf_dir: str):
+    """Text analysis: token/char counts + ratios (SQL-parity subset)."""
+    from prase_ray.stages.text import token_stats
+
+    out = token_stats(_read(sf_dir, "documents"))
+    return out.select_columns(
+        ["doc_id", "n_chars_text", "n_tokens", "digit_ratio", "punct_ratio"]
+    )
+
+
+def q_knn_bruteforce(sf_dir: str):
+    """T2/O4 top-k cosine (objects/KGs.py:265-279 generalized): exact
+    brute-force top-3 neighbors of the first 5 vectors."""
+    from prase_ray.stages.ann import knn_cosine_bruteforce
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qdf = tbl.to_pandas()
+    qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
+    Q = np.vstack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = knn_cosine_bruteforce(
+        _read(sf_dir, "embeddings"),
+        Q,
+        qdf["vec_id"].to_numpy(np.int64),
+        k=3,
+        concurrency=2,
+    )
+    return out[["query_id", "rank", "neighbor_id"]]
+
+
+def q_window_tumbling(sf_dir: str):
+    """Tumbling 1h windows per event_type (stream-shaped aggregate)."""
+    from prase_ray.stages.windows import tumbling_aggregate
+
+    agg = tumbling_aggregate(_read(sf_dir, "events"), 3600).to_pandas()
+    agg["sum_value"] = agg["sum_value"].round(6)
+    return agg[
+        ["event_type", "window_start", "n_events", "sum_value", "min_value", "max_value"]
+    ]
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows (600s gap) per user → per-session event counts."""
+    from prase_ray.stages.windows import session_stats
+
+    out = session_stats(_read(sf_dir, "events"), gap_s=600).to_pandas()
+    return out[["user_id", "session_idx", "n_events"]]
+
+
+def q_pricing_summary(sf_dir: str):
+    """Grouped aggregate breadth check (TPC-H Q1 shape)."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+    def rev(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["revenue"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        return batch
+
+    out = (
+        li.map_batches(rev, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("revenue", alias_name="revenue"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].round(4)
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+def q_top_customers(sf_dir: str):
+    """Hash join + grouped aggregate + global top-k."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+    j = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=4,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    agg = (
+        j.groupby("c_name")
+        .aggregate(
+            Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
+        )
+        .to_pandas()
+    )
+    agg["total"] = agg["total"].round(2)
+    return (
+        agg.sort_values(["total", "c_name"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
+# ---- non-SQL-expressible (rows-only checks) ----
+
+def q_lang_id(sf_dir: str):
+    from prase_ray.stages.text import lang_id
+
+    return lang_id(_read(sf_dir, "documents"), concurrency=2)
+
+
+def q_quality_score(sf_dir: str):
+    from prase_ray.stages.text import quality_score
+
+    return quality_score(_read(sf_dir, "documents"))
+
+
+def q_fingerprint(sf_dir: str):
+    from prase_ray.stages.text import fingerprint
+
+    out = fingerprint(_read(sf_dir, "documents")).to_pandas()
+    out["fingerprint"] = out["fingerprint"].astype(np.uint64).astype(str)
+    return out
+
+
+def q_minhash_dedup(sf_dir: str):
+    from prase_ray.stages.dedup import minhash_dedup_keep_ids
+
+    return minhash_dedup_keep_ids(
+        _read(sf_dir, "documents"), threshold=0.6, concurrency=2
+    )
+
+
+def q_simhash_candidates(sf_dir: str):
+    from prase_ray.stages.dedup import simhash_candidates
+
+    return simhash_candidates(_read(sf_dir, "documents"), max_hamming=8)
+
+
+def q_ngram_jaccard(sf_dir: str):
+    from prase_ray.stages.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _read(sf_dir, "documents"), k=3, threshold=0.4, block_col="source"
+    )
+    out["jaccard"] = out["jaccard"].round(6)
+    return out
+
+
+def q_embedding_neardup(sf_dir: str):
+    from prase_ray.stages.dedup import embedding_neardup_pairs
+
+    out = embedding_neardup_pairs(_read(sf_dir, "embeddings"), threshold=0.9)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
+def q_knn_lsh(sf_dir: str):
+    from prase_ray.stages.ann import knn_cosine_lsh
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    qdf = tbl[tbl["vec_id"] < 5].sort_values("vec_id")
+    Q = np.vstack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = knn_cosine_lsh(
+        _read(sf_dir, "embeddings"), Q, qdf["vec_id"].to_numpy(np.int64), k=3
+    )
+    return out[["query_id", "rank", "neighbor_id"]]
+
+
+def q_connected_components(sf_dir: str):
+    """Distributed min-label-propagation components over a derived edge
+    list (consecutive events of the same user)."""
+    from prase_ray.stages.components import connected_components
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    a = ev["event_id"].to_numpy(np.int64)[:-1]
+    b = ev["event_id"].to_numpy(np.int64)[1:]
+    same = ev["user_id"].to_numpy()[:-1] == ev["user_id"].to_numpy()[1:]
+    import ray.data
+
+    edges = ray.data.from_pandas(pd.DataFrame({"a": a[same], "b": b[same]}))
+    return connected_components(edges, num_partitions=4)
+
+
+def q_prase_align(sf_dir: str):
+    """Full PRASE loop on the deterministic two-KG fixture (the
+    conformance pipeline; non-SQL — iterative/stateful)."""
+    from prase_ray.config import PrasConfig
+    from prase_ray.pipelines.prase import KGPair
+    from prase_ray.sources.fixtures import make_two_kg_fixture
+    from prase_ray.sources.triples import from_pandas_triples
+    from prase_ray.stages.kg_build import build_kg
+
+    t1, t2, gold = make_two_kg_fixture(n_entities=120, seed=42)
+    kg1 = build_kg(from_pandas_triples(t1), name="KG1")
+    kg2 = build_kg(from_pandas_triples(t2), name="KG2")
+    pair = KGPair(kg1, kg2, PrasConfig(concurrency=2))
+    pair.run(iterations=3, verbose=False)
+    pred = pair.predicted_pairs(0.1)
+    names_l = kg1.nodes_df().set_index("ent_id")["name"]
+    names_r = kg2.nodes_df().set_index("ent_id")["name"]
+    return pd.DataFrame(
+        {
+            "name_l": names_l[pred["l_id"]].to_numpy(),
+            "name_r": names_r[pred["r_id"]].to_numpy(),
+            "prob": pred["prob"].round(6).to_numpy(),
+        }
+    ).sort_values("name_l").reset_index(drop=True)
+
+
+def q_web_extract(sf_dir: str):
+    """Byte-identical html→text extraction + SVO triples on the synthetic
+    web_pages table (input_hint schema; non-SQL — binary html input)."""
+    from prase_ray.sources.webpages import synth_web_pages
+    from prase_ray.stages.extract import extract_text, extract_triples
+
+    pages = synth_web_pages(n_pages=200, n_entities=60, seed=42)
+    tri = extract_triples(extract_text(pages), concurrency=2)
+    return tri
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthetic web pages → extraction → two KGs → PRASE
+    alignment → canonical node table (Dataset)."""
+    import ray.data
+
+    from prase_ray.config import PrasConfig
+    from prase_ray.pipelines.web_kg import web_to_kg
+
+    from prase_ray.sources.webpages import synth_web_pages
+
+    pages = synth_web_pages(n_pages=120, n_entities=40, seed=42)
+    summary = web_to_kg(
+        pages, iterations=2, cfg=PrasConfig(concurrency=2), out_dir=None
+    )
+    pair = summary.pop("pair")
+    pred = pair.predicted_pairs(pair.cfg.theta)
+    names_l = pair.kg_l.nodes_df().set_index("ent_id")["name"]
+    names_r = pair.kg_r.nodes_df().set_index("ent_id")["name"]
+    out = pd.DataFrame(
+        {
+            "name_l": names_l[pred["l_id"]].to_numpy(),
+            "name_r": names_r[pred["r_id"]].to_numpy(),
+            "prob": pred["prob"].to_numpy(),
+        }
+    )
+    return ray.data.from_pandas(out)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_triples_docs": q_extract_triples_docs,
+        "normalize_uri": q_normalize_uri,
+        "normalize_literal": q_normalize_literal,
+        "inverse_edges": q_inverse_edges,
+        "intern_nodes": q_intern_nodes,
+        "functionality": q_functionality,
+        "topk_functionality": q_topk_functionality,
+        "literal_seed_join": q_literal_seed_join,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "knn_bruteforce": q_knn_bruteforce,
+        "window_tumbling": q_window_tumbling,
+        "sessionize": q_sessionize,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_candidates": q_simhash_candidates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "knn_lsh": q_knn_lsh,
+        "connected_components": q_connected_components,
+        "prase_align": q_prase_align,
+        "web_extract": q_web_extract,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    svo = SVO_PATTERN
+    return {
+        "extract_triples_docs": f"""
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '{svo}', 1)) AS subj,
+                   unnest(regexp_extract_all(text, '{svo}', 2)) AS pred,
+                   unnest(regexp_extract_all(text, '{svo}', 3)) AS obj
+            FROM documents
+        """,
+        "normalize_uri": """
+            WITH t AS (
+                SELECT doc_id,
+                       '<http://ex.org/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '>' AS name
+                FROM documents
+            ), g AS (
+                SELECT doc_id, name,
+                       trim(regexp_extract(name, '"?<?([^">]*)', 1)) AS v
+                FROM t
+            )
+            SELECT doc_id, name,
+                   CASE WHEN contains(v, '/')
+                        THEN trim(list_extract(string_split(v, '/'), -1))
+                        ELSE v END AS value
+            FROM g
+        """,
+        "normalize_literal": """
+            WITH t AS (
+                SELECT c_custkey, '"' || c_name || '"^^<xsd:string>' AS name
+                FROM customer
+            ), s AS (
+                SELECT c_custkey, name,
+                       trim(string_split(name, '^')[1]) AS v1
+                FROM t
+            )
+            SELECT c_custkey, name,
+                   trim(regexp_replace(regexp_replace(v1, '^"', ''), '"$', '')) AS value
+            FROM s
+        """,
+        "inverse_edges": """
+            SELECT 'c' || CAST(o_custkey AS VARCHAR) AS subj,
+                   'placed' AS pred,
+                   'o' || CAST(o_orderkey AS VARCHAR) AS obj
+            FROM orders
+            UNION ALL
+            SELECT 'o' || CAST(o_orderkey AS VARCHAR),
+                   'placed-(INV)',
+                   'c' || CAST(o_custkey AS VARCHAR)
+            FROM orders
+        """,
+        "intern_nodes": """
+            WITH ents AS (SELECT DISTINCT p_name AS name FROM part),
+                 lits AS (SELECT DISTINCT p_brand AS name FROM part),
+                 ne AS (SELECT COUNT(*) AS n FROM ents)
+            SELECT ROW_NUMBER() OVER (ORDER BY name) - 1 AS ent_id,
+                   name, name AS value, FALSE AS is_literal
+            FROM ents
+            UNION ALL
+            SELECT (SELECT n FROM ne) + ROW_NUMBER() OVER (ORDER BY name) - 1,
+                   name, name, TRUE
+            FROM lits
+        """,
+        "functionality": """
+            WITH tri AS (
+                SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS subj,
+                       l_returnflag AS pred,
+                       'p' || CAST(l_partkey AS VARCHAR) AS obj
+                FROM lineitem
+                UNION ALL
+                SELECT 'p' || CAST(l_partkey AS VARCHAR),
+                       l_returnflag || '-(INV)',
+                       'o' || CAST(l_orderkey AS VARCHAR)
+                FROM lineitem
+            )
+            SELECT pred,
+                   COUNT(*) AS n_triples,
+                   COUNT(DISTINCT subj) AS n_heads,
+                   COUNT(DISTINCT obj) AS n_tails,
+                   CAST(COUNT(DISTINCT subj) AS DOUBLE) / COUNT(*) AS func,
+                   CAST(COUNT(DISTINCT obj) AS DOUBLE) / COUNT(*) AS func_inv
+            FROM tri GROUP BY pred
+        """,
+        "topk_functionality": """
+            WITH tri AS (
+                SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS subj,
+                       l_returnflag AS pred,
+                       'p' || CAST(l_partkey AS VARCHAR) AS obj
+                FROM lineitem
+                UNION ALL
+                SELECT 'p' || CAST(l_partkey AS VARCHAR),
+                       l_returnflag || '-(INV)',
+                       'o' || CAST(l_orderkey AS VARCHAR)
+                FROM lineitem
+            ), f AS (
+                SELECT pred,
+                       COUNT(*) AS n_triples,
+                       COUNT(DISTINCT subj) AS n_heads,
+                       COUNT(DISTINCT obj) AS n_tails,
+                       CAST(COUNT(DISTINCT subj) AS DOUBLE) / COUNT(*) AS func,
+                       CAST(COUNT(DISTINCT obj) AS DOUBLE) / COUNT(*) AS func_inv
+                FROM tri GROUP BY pred
+            )
+            SELECT * FROM f ORDER BY func DESC, pred LIMIT 10
+        """,
+        "literal_seed_join": """
+            WITH l AS (
+                SELECT p_brand AS value, MIN(p_partkey) AS id_l
+                FROM part WHERE p_partkey % 2 = 0 GROUP BY 1
+            ), r AS (
+                SELECT p_brand AS value, MIN(p_partkey) AS id_r
+                FROM part WHERE p_partkey % 2 = 1 GROUP BY 1
+            )
+            SELECT value, id_l, id_r FROM l JOIN r USING (value)
+        """,
+        "dedup_exact": """
+            SELECT text, MIN(doc_id) AS keep_id FROM documents GROUP BY text
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   length(text) AS n_chars_text,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                       / (CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END) AS digit_ratio,
+                   CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                       / (CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END) AS punct_ratio
+            FROM documents
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5
+            ), s AS (
+                SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS c
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.qid
+            ), r AS (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id ORDER BY c DESC, neighbor_id
+                       ) AS rank
+                FROM s
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+            FROM r WHERE rank <= 3
+        """,
+        "window_tumbling": """
+            SELECT event_type,
+                   (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, ts,
+                       epoch_us(ts) // 1000000 AS es
+                FROM events
+            ), d AS (
+                SELECT user_id, event_id, es,
+                       CASE WHEN lag(es) OVER w IS NULL
+                                 OR es - lag(es) OVER w > 600
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, event_id,
+                       SUM(new_s) OVER (
+                           PARTITION BY user_id ORDER BY es, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_idx
+                FROM d
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY 1, 2
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "top_customers": """
+            SELECT c.c_name, COUNT(*) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 2) AS total
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_name
+            ORDER BY ROUND(SUM(o.o_totalprice), 2) DESC, c.c_name
+            LIMIT 10
+        """,
+    }

@@ -1,0 +1,154 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at $RAY_GRAFT_CPUS (default 32).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "triples_per_sec": ...}
+
+``--scaling`` runs the same bench in two fresh processes at 8 and 32
+CPUs and reports both throughputs + scaling efficiency (the sandbox
+proxy for the N-vs-4N-node criterion, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import __ray_entry__ as em
+    from prase_ray.config import PrasConfig
+    from prase_ray.pipelines.web_kg import web_to_kg
+    from prase_ray.sources.webpages import synth_web_pages
+
+    sf = 0.1
+    for tok in sf_dir.rstrip("/").split("/"):
+        if tok.startswith("sf"):
+            try:
+                sf = float(tok[2:])
+            except ValueError:
+                pass
+
+    # warm the page cache so we measure compute + shuffle, not cold reads
+    for t in ("documents", "lineitem", "events", "embeddings"):
+        with open(f"{sf_dir}/{t}.parquet", "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- flagship: web pages → extract → two KGs → PRASE → canonical ---
+    n_pages = max(200, int(20000 * sf * 10))  # sf0.1 → 20k pages
+    n_entities = max(50, n_pages // 8)
+    conc = max(2, num_cpus // 2)
+
+    def flagship():
+        pages = synth_web_pages(
+            n_pages=n_pages, n_entities=n_entities, seed=42,
+            parallelism=num_cpus,
+        )
+        cfg = PrasConfig(concurrency=conc, batch_size=131072)
+        return web_to_kg(pages, iterations=2, cfg=cfg, out_dir=None,
+                         verify_extraction=False)
+
+    summary = timed("web_kg_flagship", flagship)
+    n_triples = summary["n_triples"]
+    extras["triples_per_sec"] = round(n_triples / timings["web_kg_flagship"], 1)
+    extras["n_triples"] = n_triples
+
+    # --- operator benchmarks over the sf tables ---
+    def consume(ds):
+        if hasattr(ds, "count"):
+            return ds.count()
+        return len(ds)
+
+    timed("extract_triples_docs", lambda: consume(em.q_extract_triples_docs(sf_dir)))
+    timed("functionality", lambda: consume(em.q_functionality(sf_dir)))
+    timed("dedup_exact", lambda: consume(em.q_dedup_exact(sf_dir)))
+    timed("minhash_dedup", lambda: consume(em.q_minhash_dedup(sf_dir)))
+    timed("token_stats", lambda: consume(em.q_token_stats(sf_dir)))
+    timed("knn_bruteforce", lambda: consume(em.q_knn_bruteforce(sf_dir)))
+    timed("window_tumbling", lambda: consume(em.q_window_tumbling(sf_dir)))
+    timed("sessionize", lambda: consume(em.q_sessionize(sf_dir)))
+    timed("pricing_summary", lambda: consume(em.q_pricing_summary(sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "end-to-end triples extracted+linked per second (web_kg_flagship) + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        **extras,
+    }
+    ray.shutdown()
+    return result
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        def sub(ncpu: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        lo, hi = 8, 32
+        r_lo = sub(lo)
+        r_hi = sub(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "sec_8": r_lo["value"],
+                    "sec_32": r_hi["value"],
+                    "triples_per_sec_8": r_lo.get("triples_per_sec"),
+                    "triples_per_sec_32": r_hi.get("triples_per_sec"),
+                    "scaling_efficiency": round(eff, 3),
+                    "queries_8": r_lo["queries"],
+                    "queries_32": r_hi["queries"],
+                }
+            )
+        )
+        return
+
+    print(json.dumps(run_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

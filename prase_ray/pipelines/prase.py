@@ -51,7 +51,7 @@ class KGPair:
     def _maps(self, kg: KGDataset):
         key = id(kg)
         if key not in self._name_maps:
-            ndf = kg.nodes.to_pandas()
+            ndf = kg.nodes_df()
             ent = ndf[~ndf["is_literal"]].set_index("name")["ent_id"]
             lit = ndf[ndf["is_literal"]].set_index("name")["ent_id"]
             pdf = kg.preds_df

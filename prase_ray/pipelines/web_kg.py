@@ -1,0 +1,177 @@
+"""Flagship end-to-end pipeline (SURVEY.md §7.1): Common-Crawl-style
+web pages → byte-identical text extraction → OpenIE-style triple
+extraction (actor pool) → two KGs by source domain → PRASE alignment →
+canonical graph materialization, partitioned by entity hash with
+per-partition lineage manifests (resumable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from prase_ray.config import PrasConfig
+from prase_ray.pipelines.prase import KGPair
+from prase_ray.stages.extract import extract_text, extract_triples
+from prase_ray.stages.kg_build import KGDataset, build_kg
+
+
+def split_triples_by_domain(
+    triples: ray.data.Dataset, domain_l: str = "kg1", domain_r: str = "kg2"
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    def side(domain):
+        def fn(t):
+            m = pc.match_substring(t["url"], f"https://{domain}.")
+            return t.filter(m).drop_columns(["url"])
+
+        return fn
+
+    l = triples.map_batches(side(domain_l), batch_format="pyarrow")
+    r = triples.map_batches(side(domain_r), batch_format="pyarrow")
+    return l, r
+
+
+def materialize_canonical_graph(
+    pair: KGPair,
+    out_dir: str,
+    *,
+    threshold: float | None = None,
+    num_partitions: int = 8,
+) -> dict:
+    """Canonical graph: kg2 entities matched above threshold collapse
+    onto their kg1 counterpart; everything else keeps a namespaced id.
+    canonical_id = l_id for kg1 nodes and matched kg2 nodes,
+    n_nodes_l + r_id otherwise.  Output parquet is hash-partitioned on
+    canonical_id (``part`` column) so a rerun can skip finished
+    partitions via the lineage manifest."""
+    threshold = pair.cfg.theta if threshold is None else threshold
+    st = pair.state
+    n_l = pair.kg_l.n_nodes
+    r_to_canon = np.arange(pair.kg_r.n_nodes, dtype=np.int64) + n_l
+    matched = (st.sup_match >= 0) & (st.sup_prob >= threshold)
+    r_to_canon[matched] = st.sup_match[matched]
+    map_ref = ray.put(r_to_canon)
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def nodes_l_fn(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.rename(columns={"ent_id": "canonical_id"}).copy()
+        out["kg"] = np.int8(1)
+        out["part"] = (out["canonical_id"] % num_partitions).astype(np.int32)
+        return out
+
+    class NodesR:
+        def __init__(self):
+            self.map = ray.get(map_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            out = b.copy()
+            out["canonical_id"] = self.map[b["ent_id"].to_numpy(np.int64)]
+            out["kg"] = np.int8(2)
+            out = out.drop(columns=["ent_id"])
+            out["part"] = (out["canonical_id"] % num_partitions).astype(np.int32)
+            return out
+
+    class FactsR:
+        def __init__(self):
+            self.map = ray.get(map_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "rel_id": b["rel_id"],
+                    "head_id": self.map[b["head_id"].to_numpy(np.int64)],
+                    "tail_id": self.map[b["tail_id"].to_numpy(np.int64)],
+                    "kg": np.int8(2),
+                }
+            )
+            out["part"] = (out["head_id"] % num_partitions).astype(np.int32)
+            return out
+
+    def facts_l_fn(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["kg"] = np.int8(1)
+        out["part"] = (out["head_id"] % num_partitions).astype(np.int32)
+        return out
+
+    nodes = pair.kg_l.nodes.map_batches(nodes_l_fn, batch_format="pandas").union(
+        pair.kg_r.nodes.map_batches(NodesR, batch_format="pandas", concurrency=2)
+    )
+    facts = pair.kg_l.facts.map_batches(facts_l_fn, batch_format="pandas").union(
+        pair.kg_r.facts.map_batches(FactsR, batch_format="pandas", concurrency=2)
+    )
+    nodes.write_parquet(os.path.join(out_dir, "nodes"), partition_cols=["part"])
+    facts.write_parquet(os.path.join(out_dir, "facts"), partition_cols=["part"])
+
+    n_nodes = nodes.count()
+    n_facts = facts.count()
+    n_merged = int(matched.sum())
+    manifest = {
+        "complete": True,
+        "threshold": threshold,
+        "num_partitions": num_partitions,
+        "n_nodes": int(n_nodes),
+        "n_facts": int(n_facts),
+        "n_merged_entities": n_merged,
+        "partitions": list(range(num_partitions)),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def web_to_kg(
+    pages: ray.data.Dataset,
+    *,
+    iterations: int = 3,
+    cfg: PrasConfig | None = None,
+    out_dir: str | None = None,
+    verify_extraction: bool = True,
+) -> dict:
+    """The full DAG.  Returns a summary dict with stage metrics and the
+    alignment result; writes the canonical graph when out_dir is set."""
+    t0 = time.time()
+    cfg = cfg or PrasConfig()
+    texts = extract_text(pages)
+    if verify_extraction:
+        # per-url byte-identical invariant (input_hint): compare against
+        # the reference text column, streamed
+        joined = pages.select_columns(["url", "text"]).zip(
+            texts.select_columns(["extracted_text"])
+        )
+        mism = joined.map_batches(
+            lambda t: t.filter(
+                pc.not_equal(t["text"], t["extracted_text"])
+            ),
+            batch_format="pyarrow",
+        ).count()
+        if mism:
+            raise AssertionError(f"{mism} urls with non-identical extracted text")
+    triples = extract_triples(texts, concurrency=cfg.concurrency)
+    t_l, t_r = split_triples_by_domain(triples)
+    kg_l = build_kg(t_l, name="web-KG1", concurrency=cfg.concurrency)
+    kg_r = build_kg(t_r, name="web-KG2", concurrency=cfg.concurrency)
+    pair = KGPair(kg_l, kg_r, cfg)
+    pair.run(iterations=iterations, verbose=False,
+             checkpoint_dir=os.path.join(out_dir, "chk") if out_dir else None)
+    pred = pair.predicted_pairs(cfg.theta)
+    summary = {
+        "n_pages": pages.count(),
+        "n_triples": triples.count(),
+        "kg_l": {"entities": kg_l.n_entities, "facts": kg_l.facts.count()},
+        "kg_r": {"entities": kg_r.n_entities, "facts": kg_r.facts.count()},
+        "n_seeds": pair.n_seeds,
+        "n_aligned": len(pred),
+        "elapsed_s": time.time() - t0,
+    }
+    if out_dir:
+        summary["canonical"] = materialize_canonical_graph(pair, out_dir)
+    summary["pair"] = pair
+    return summary

@@ -1,0 +1,186 @@
+"""Similarity search over an embedding column (SURVEY.md §2.7 O4 / T2
+generalized): brute-force cosine top-k as the exact baseline, and an
+LSH-bucketed (SRP/IVF-style) variant as the scale path.
+
+Queries are broadcast once (ray.put → actor __init__); each batch of
+the corpus computes a blockwise matmul and emits its local top-k per
+query; a final small groupby keeps the global top-k.  No dense N×M
+matrix is ever materialized (the reference's O(N²) matmul at
+objects/KGs.py:273 is exactly what this avoids).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+
+class _BlockTopK:
+    def __init__(self, query_ref, k: int, id_col: str, vec_col: str):
+        self.Q, self.q_ids = ray.get(query_ref)  # (nq, d) unit-normalized
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        V = np.vstack(batch[self.vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        Vn = V / np.where(norms > 0, norms, 1.0)
+        ids = batch[self.id_col].to_numpy(np.int64)
+        S = self.Q @ Vn.T  # (nq, batch)
+        k = min(self.k, S.shape[1])
+        # local top-k per query (argpartition, then exact sort of k)
+        part = np.argpartition(-S, k - 1, axis=1)[:, :k]
+        rows = np.repeat(np.arange(S.shape[0]), k)
+        cols = part.ravel()
+        return pd.DataFrame(
+            {
+                "query_id": self.q_ids[rows],
+                "neighbor_id": ids[cols],
+                "cosine": S[rows, cols],
+            }
+        )
+
+
+def _final_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    # deterministic: cosine desc, then neighbor_id asc
+    g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+    g = g.copy()
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g
+
+
+def knn_cosine_bruteforce(
+    corpus: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 4,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Exact top-k cosine neighbors for each query row.  Ties broken by
+    min neighbor id (deterministic)."""
+    Qn = queries / np.where(
+        np.linalg.norm(queries, axis=1, keepdims=True) > 0,
+        np.linalg.norm(queries, axis=1, keepdims=True),
+        1.0,
+    )
+    query_ref = ray.put((Qn, np.asarray(query_ids, np.int64)))
+    fetch_k = k + 1 if exclude_self else k
+    parts = corpus.map_batches(
+        _BlockTopK,
+        batch_format="pandas",
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(
+            query_ref=query_ref, k=fetch_k, id_col=id_col, vec_col=vec_col
+        ),
+    )
+    out = (
+        parts.groupby("query_id")
+        .map_groups(
+            lambda g: _final_topk(
+                g[g["neighbor_id"] != g["query_id"].iloc[0]]
+                if exclude_self
+                else g,
+                k,
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def knn_cosine_lsh(
+    corpus: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 10,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Approximate top-k: corpus rows are only scored against queries
+    sharing their SRP bucket (or a 1-bit-flip neighbor bucket).  Recall
+    is approximate by design; the exact variant is the oracle."""
+    rng = np.random.default_rng(seed)
+    d = queries.shape[1]
+    planes = rng.normal(size=(d, n_planes))
+    Qn = queries / np.where(
+        np.linalg.norm(queries, axis=1, keepdims=True) > 0,
+        np.linalg.norm(queries, axis=1, keepdims=True),
+        1.0,
+    )
+    qb = ((Qn @ planes) > 0).astype(np.int64)
+    qbucket = (qb << np.arange(n_planes)).sum(axis=1)
+    # query bucket + all 1-bit probe buckets per query
+    bucket_to_q: dict[int, list[int]] = {}
+    for qi, b in enumerate(qbucket):
+        for cand in [int(b)] + [int(b) ^ (1 << j) for j in range(n_planes)]:
+            bucket_to_q.setdefault(cand, []).append(qi)
+
+    state_ref = ray.put(
+        (planes, Qn, np.asarray(query_ids, np.int64), bucket_to_q)
+    )
+
+    class BucketScore:
+        def __init__(self):
+            self.planes, self.Q, self.q_ids, self.b2q = ray.get(state_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            V = np.vstack(batch[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = V / np.where(norms > 0, norms, 1.0)
+            ids = batch[id_col].to_numpy(np.int64)
+            cb = ((Vn @ self.planes) > 0).astype(np.int64)
+            cbucket = (cb << np.arange(self.planes.shape[1])).sum(axis=1)
+            frames = []
+            for b in np.unique(cbucket):
+                qs = self.b2q.get(int(b))
+                if not qs:
+                    continue
+                m = cbucket == b
+                S = self.Q[qs] @ Vn[m].T
+                kk = min(k, S.shape[1])
+                part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+                rows = np.repeat(np.arange(S.shape[0]), kk)
+                cols = part.ravel()
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": self.q_ids[np.asarray(qs)[rows]],
+                            "neighbor_id": ids[m][cols],
+                            "cosine": S[rows, cols],
+                        }
+                    )
+                )
+            if not frames:
+                return pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "cosine": []}
+                ).astype(
+                    {"query_id": np.int64, "neighbor_id": np.int64, "cosine": float}
+                )
+            return pd.concat(frames, ignore_index=True)
+
+    parts = corpus.map_batches(
+        BucketScore, batch_format="pandas", concurrency=concurrency
+    )
+    out = (
+        parts.groupby("query_id")
+        .map_groups(
+            lambda g: _final_topk(
+                g[g["neighbor_id"] != g["query_id"].iloc[0]], k
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

@@ -28,6 +28,14 @@ from prase_ray.functions.hashing import (
 # exact dedup (hash-partition + per-group first)
 # --------------------------------------------------------------------------
 
+def _ensure_cols(df: pd.DataFrame, schema: dict) -> pd.DataFrame:
+    """An empty Dataset's to_pandas() has no columns — rebuild the
+    expected empty frame so downstream column access is safe."""
+    if df.empty and not set(schema) <= set(df.columns):
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in schema.items()})
+    return df
+
+
 def exact_dedup_keep_ids(
     docs: ray.data.Dataset, key: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
@@ -245,10 +253,11 @@ def simhash_candidates(
         b2 = np.where(sw, a, b)
         return pd.DataFrame({"a": a2, "b": b2, "hamming": hd[m]})
 
-    out = (
+    out = _ensure_cols(
         sigs.groupby(["band", "band_hash"])
         .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
+        .to_pandas(),
+        {"a": np.int64, "b": np.int64, "hamming": np.int64},
     )
     return out.drop_duplicates(["a", "b"]).reset_index(drop=True)
 
@@ -306,13 +315,13 @@ def ngram_jaccard_pairs(
             ["a", "b", "jaccard"]
         ]
 
-    return (
+    out = _ensure_cols(
         rows.groupby("block")
         .map_groups(block_pairs, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["a", "b"])
-        .reset_index(drop=True)
+        .to_pandas(),
+        {"a": np.int64, "b": np.int64, "jaccard": np.float64},
     )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # --------------------------------------------------------------------------
@@ -385,11 +394,12 @@ def embedding_neardup_pairs(
             }
         )
 
-    out = (
+    out = _ensure_cols(
         embeddings.map_batches(bucketize, batch_format="pandas")
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
+        .to_pandas(),
+        {"a": np.int64, "b": np.int64, "cosine": np.float64},
     )
     return (
         out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)

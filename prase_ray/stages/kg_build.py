@@ -77,8 +77,12 @@ def add_inverse_edges(triples: ray.data.Dataset) -> ray.data.Dataset:
 # --------------------------------------------------------------------------
 
 @ray.remote
-def _nrows(tbl: pa.Table) -> int:
-    return tbl.num_rows
+def _nrows(tbl: pa.Table) -> tuple:
+    flags = 0
+    for col in ("is_literal", "is_attribute"):
+        if col in tbl.column_names:
+            flags = int(pa.compute.sum(tbl[col]).as_py() or 0)
+    return tbl.num_rows, flags
 
 
 @ray.remote
@@ -119,17 +123,20 @@ def _assign_pred_ids(tbl: pa.Table, offset: int) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _dense_rank(sorted_ds: ray.data.Dataset, assign_remote) -> ray.data.Dataset:
+def _dense_rank(sorted_ds: ray.data.Dataset, assign_remote):
     """Assign global dense ids to a sorted Dataset: per-block row counts
-    → exclusive prefix sum → per-block id ranges (SURVEY.md §2.3 M3)."""
+    → exclusive prefix sum → per-block id ranges (SURVEY.md §2.3 M3).
+    Returns (ds, total_rows, flagged_rows) where flagged counts the
+    is_literal/is_attribute class (so callers get class sizes without an
+    extra pipeline)."""
     mat = sorted_ds.materialize()
     refs = mat.to_arrow_refs()
-    counts = ray.get([_nrows.remote(r) for r in refs])
+    stats = ray.get([_nrows.remote(r) for r in refs])
+    counts = np.array([s[0] for s in stats], dtype=np.int64)
+    flagged = int(sum(s[1] for s in stats))
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
-    out_refs = [
-        assign_remote.remote(r, int(o)) for r, o in zip(refs, offsets) if True
-    ]
-    return ray.data.from_arrow_refs(out_refs)
+    out_refs = [assign_remote.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs), int(counts.sum()), flagged
 
 
 def _node_names_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -149,7 +156,7 @@ def intern_nodes(triples_inv: ray.data.Dataset) -> ray.data.Dataset:
         .drop_columns(["count()"])
         .sort(["is_literal", "name"])  # entities (False) first → dense ids
     )
-    return _dense_rank(distinct, _assign_node_ids)
+    return _dense_rank(distinct, _assign_node_ids)[0]
 
 
 def _pred_names_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -167,17 +174,29 @@ def intern_preds(triples_inv: ray.data.Dataset) -> ray.data.Dataset:
         .drop_columns(["count()"])
         .sort(["is_attribute", "name"])  # relations first
     )
-    return _dense_rank(distinct, _assign_pred_ids)
+    return _dense_rank(distinct, _assign_pred_ids)[0]
 
 
 # --------------------------------------------------------------------------
 # fact encoding — broadcast lookup (small node table) or hash join (scale)
 # --------------------------------------------------------------------------
 
+_ENCODE_CACHE: dict = {}
+
+
+def _encode_facts_fn(batch, *, node_map_ref, pred_map_ref):
+    key = (node_map_ref.hex(), pred_map_ref.hex())
+    enc = _ENCODE_CACHE.get(key)
+    if enc is None:
+        _ENCODE_CACHE.clear()
+        enc = _ENCODE_CACHE[key] = _EncodeFacts(node_map_ref, pred_map_ref)
+    return enc(batch)
+
+
 class _EncodeFacts:
-    """Actor-pool stage: holds the broadcast name→id indexes (built once
-    per actor in __init__ from ray.put refs — NOT re-shipped per batch)
-    and encodes (subj, pred, obj) strings to dense ids per batch."""
+    """Broadcast-lookup encode: the name→id indexes are built once per
+    worker from ray.put refs (cached across map_batches tasks — NOT
+    re-shipped per batch) and applied vectorized per batch."""
 
     def __init__(self, node_map_ref, pred_map_ref):
         ent_names, ent_ids, lit_names, lit_ids = ray.get(node_map_ref)
@@ -232,10 +251,9 @@ def encode_facts_broadcast(
         (pdf["name"].to_numpy(dtype=object), pdf["rel_id"].to_numpy(dtype=np.int64))
     )
     return triples_inv.map_batches(
-        _EncodeFacts,
+        _encode_facts_fn,
         batch_format="pandas",
-        concurrency=concurrency,
-        fn_constructor_kwargs={
+        fn_kwargs={
             "node_map_ref": node_map_ref,
             "pred_map_ref": pred_map_ref,
         },
@@ -281,49 +299,74 @@ def encode_facts_join(
 # A1 — functionality stats
 # --------------------------------------------------------------------------
 
-def _local_pairs(col: str):
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[["rel_id", col]].drop_duplicates()
-
-    return fn
-
-
-def _local_counts(batch: pd.DataFrame) -> pd.DataFrame:
+def _stats_partials(batch: pd.DataFrame) -> pd.DataFrame:
+    """One tagged partial stream for all three A1 aggregations:
+    kind 0 = distinct (rel, head) pairs, kind 1 = distinct (rel, tail)
+    pairs (cnt=1 each), kind 2 = raw triple counts per rel (id=0,
+    cnt=batch count).  A single two-stage groupby then yields
+    n_heads / n_tails / n_triples — one shuffle pass over pre-reduced
+    partials instead of three."""
+    rel = batch["rel_id"].to_numpy()
+    frames = []
+    for kind, col in ((0, "head_id"), (1, "tail_id")):
+        p = batch[["rel_id", col]].drop_duplicates()
+        frames.append(
+            pd.DataFrame(
+                {
+                    "kind": np.int8(kind),
+                    "rel_id": p["rel_id"].to_numpy(),
+                    "id": p[col].to_numpy(),
+                    "cnt": np.int64(1),
+                }
+            )
+        )
     vc = batch["rel_id"].value_counts()
-    return pd.DataFrame({"rel_id": vc.index.to_numpy(), "n": vc.to_numpy()})
+    frames.append(
+        pd.DataFrame(
+            {
+                "kind": np.int8(2),
+                "rel_id": vc.index.to_numpy(),
+                "id": np.int64(0),
+                "cnt": vc.to_numpy().astype(np.int64),
+            }
+        )
+    )
+    return pd.concat(frames, ignore_index=True)
+
+
+def _stats_reduce(batch: pd.DataFrame) -> pd.DataFrame:
+    """(kind, rel_id, id, cnt-sum) → (kind, rel_id, v): distinct kinds
+    count rows, the raw kind carries its summed count."""
+    v = np.where(batch["kind"].to_numpy() == 2, batch["cnt"].to_numpy(), 1)
+    out = pd.DataFrame(
+        {"kind": batch["kind"], "rel_id": batch["rel_id"], "v": v.astype(np.int64)}
+    )
+    return out.groupby(["kind", "rel_id"], as_index=False)["v"].sum()
 
 
 def pred_stats(facts: ray.data.Dataset, preds_df: pd.DataFrame) -> pd.DataFrame:
     """Per-pred n_triples / n_distinct(head) / n_distinct(tail) → func,
-    func_inv (objects/Relation.py:45-49).  All three aggregations are
-    pre-reduced inside map_batches before the (small) groupby, so the
-    shuffle moves per-batch partials, not raw facts."""
+    func_inv (objects/Relation.py:45-49), via ONE tagged partial stream
+    and two grouped reductions (shuffles move per-batch partials, never
+    raw facts)."""
     from ray.data.aggregate import Sum
 
-    n_triples = (
-        facts.map_batches(_local_counts, batch_format="pandas")
-        .groupby("rel_id")
-        .aggregate(Sum("n", alias_name="n_triples"))
+    tagged = facts.map_batches(_stats_partials, batch_format="pandas")
+    uniq = tagged.groupby(["kind", "rel_id", "id"]).aggregate(
+        Sum("cnt", alias_name="cnt")
+    )
+    per_rel = (
+        uniq.map_batches(_stats_reduce, batch_format="pandas")
+        .groupby(["kind", "rel_id"])
+        .aggregate(Sum("v", alias_name="v"))
         .to_pandas()
     )
-
-    def distinct_count(col: str, alias: str) -> pd.DataFrame:
-        pairs = facts.map_batches(_local_pairs(col), batch_format="pandas")
-        uniq = pairs.groupby(["rel_id", col]).count()
-        per_rel = (
-            uniq.map_batches(_local_counts, batch_format="pandas")
-            .groupby("rel_id")
-            .aggregate(Sum("n", alias_name=alias))
-            .to_pandas()
-        )
-        return per_rel
-
-    n_heads = distinct_count("head_id", "n_heads")
-    n_tails = distinct_count("tail_id", "n_tails")
-
-    out = preds_df.merge(n_triples, on="rel_id", how="left")
-    out = out.merge(n_heads, on="rel_id", how="left")
-    out = out.merge(n_tails, on="rel_id", how="left")
+    piv = per_rel.pivot(index="rel_id", columns="kind", values="v").fillna(0)
+    piv = piv.rename(columns={0: "n_heads", 1: "n_tails", 2: "n_triples"})
+    for c in ("n_heads", "n_tails", "n_triples"):
+        if c not in piv:
+            piv[c] = 0
+    out = preds_df.merge(piv.reset_index(), on="rel_id", how="left")
     for c in ("n_triples", "n_heads", "n_tails"):
         out[c] = out[c].fillna(0).astype(np.int64)
     freq = out["n_triples"].to_numpy(dtype=np.float64)
@@ -335,6 +378,44 @@ def pred_stats(facts: ray.data.Dataset, preds_df: pd.DataFrame) -> pd.DataFrame:
     out["func"] = func
     out["func_inv"] = func_inv
     return out.sort_values("rel_id").reset_index(drop=True)
+
+
+def functionality_by_pred(triples: ray.data.Dataset) -> pd.DataFrame:
+    """A1 over raw string triples (subj, pred, obj) WITHOUT interning —
+    per-pred n_triples / distinct heads / distinct tails → func ratios.
+    Same pre-aggregated two-stage shape as pred_stats; used by the
+    oracle-checked functionality query."""
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["pred"].value_counts()
+        return pd.DataFrame({"pred": vc.index.to_numpy(), "n": vc.to_numpy()})
+
+    n_triples = (
+        triples.map_batches(counts, batch_format="pandas")
+        .groupby("pred")
+        .aggregate(Sum("n", alias_name="n_triples"))
+        .to_pandas()
+    )
+
+    def distinct(col: str, alias: str) -> pd.DataFrame:
+        pairs = triples.map_batches(
+            lambda b: b[["pred", col]].drop_duplicates(), batch_format="pandas"
+        )
+        uniq = pairs.groupby(["pred", col]).count()
+        return (
+            uniq.map_batches(counts, batch_format="pandas")
+            .groupby("pred")
+            .aggregate(Sum("n", alias_name=alias))
+            .to_pandas()
+        )
+
+    out = n_triples.merge(distinct("subj", "n_heads"), on="pred").merge(
+        distinct("obj", "n_tails"), on="pred"
+    )
+    out["func"] = out["n_heads"] / out["n_triples"]
+    out["func_inv"] = out["n_tails"] / out["n_triples"]
+    return out.sort_values("pred").reset_index(drop=True)
 
 
 # --------------------------------------------------------------------------
@@ -364,6 +445,7 @@ class KGDataset:
     _facts_by_tail_cache: Optional[ray.data.Dataset] = field(
         default=None, repr=False
     )
+    _nodes_df_cache: Optional[pd.DataFrame] = field(default=None, repr=False)
 
     @property
     def n_nodes(self) -> int:
@@ -418,14 +500,20 @@ class KGDataset:
         per batch, no global sort needed."""
         return self.facts
 
+    def nodes_df(self) -> pd.DataFrame:
+        """Driver-side cached node table — used by the conformance-path
+        loaders/writers and the broadcast indexes (documented per-node
+        memory assumption; the web-scale path joins instead)."""
+        if self._nodes_df_cache is None:
+            self._nodes_df_cache = self.nodes.to_pandas()
+        return self._nodes_df_cache
+
     def literal_value_map(self) -> pd.DataFrame:
         """One literal node per normalized value (J1 input).  The
         reference keeps the LAST entity per value in arbitrary set order
         (objects/KG.py:140); we keep the min ent_id deterministically."""
-        lits = self.nodes.map_batches(
-            lambda t: t.filter(t["is_literal"]), batch_format="pyarrow"
-        ).select_columns(["ent_id", "value"])
-        df = lits.to_pandas()
+        df = self.nodes_df()
+        df = df[df["is_literal"]][["ent_id", "value"]]
         return df.groupby("value", as_index=False)["ent_id"].min()
 
     def info(self, top_k: int = 10) -> dict:
@@ -470,9 +558,29 @@ def build_kg(
     ``encode='broadcast'`` ships the name→id index once via ray.put
     (right choice while the node table fits a node); ``'join'`` uses
     hash joins (web-scale path)."""
-    tinv = add_inverse_edges(triples)
-    nodes = intern_nodes(tinv).materialize()
-    preds = intern_preds(tinv).materialize()
+    tinv = add_inverse_edges(triples).materialize()
+
+    node_names = tinv.map_batches(_node_names_batch, batch_format="pandas")
+    node_distinct = (
+        node_names.groupby(["is_literal", "name"])
+        .count()
+        .drop_columns(["count()"])
+        .sort(["is_literal", "name"])
+    )
+    nodes, n_nodes, n_literals = _dense_rank(node_distinct, _assign_node_ids)
+    nodes = nodes.materialize()
+    n_entities = n_nodes - n_literals
+
+    pred_names = tinv.map_batches(_pred_names_batch, batch_format="pandas")
+    pred_distinct = (
+        pred_names.groupby(["is_attribute", "name"])
+        .count()
+        .drop_columns(["count()"])
+        .sort(["is_attribute", "name"])
+    )
+    preds, n_preds, n_attributes = _dense_rank(pred_distinct, _assign_pred_ids)
+    preds = preds.materialize()
+    n_relations = n_preds - n_attributes
     preds_df = preds.to_pandas().sort_values("rel_id").reset_index(drop=True)
 
     if encode == "broadcast":
@@ -484,14 +592,6 @@ def build_kg(
             tinv, nodes, preds, num_partitions=num_partitions
         )
     facts = facts.materialize()
-
-    ndf_counts = (
-        nodes.groupby("is_literal").count().to_pandas().set_index("is_literal")
-    )
-    n_entities = int(ndf_counts["count()"].get(False, 0))
-    n_literals = int(ndf_counts["count()"].get(True, 0))
-    n_relations = int((~preds_df["is_attribute"]).sum())
-    n_attributes = int(preds_df["is_attribute"].sum())
 
     preds_df = pred_stats(facts, preds_df)
     return KGDataset(

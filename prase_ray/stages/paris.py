@@ -75,6 +75,27 @@ def _partial_sum(kind: int, a: np.ndarray, b: np.ndarray, w: np.ndarray):
     )
 
 
+# Per-worker cache of deserialized broadcast state, keyed by the object
+# refs: map_batches TASKS reuse warm worker processes, so the state is
+# fetched (zero-copy for numpy) once per worker per half-iteration —
+# the amortization an actor pool gives, without paying pool spin-up on
+# every half-iteration.
+_KERNEL_CACHE: dict = {}
+
+
+def _cached(cls, *refs):
+    key = (cls.__name__,) + tuple(r.hex() if r is not None else None for r in refs)
+    k = _KERNEL_CACHE.get(key)
+    if k is None:
+        _KERNEL_CACHE.clear()
+        k = _KERNEL_CACHE[key] = cls(*refs)
+    return k
+
+
+def evidence_fn(batch, *, state_ref, csr_ref):
+    return _cached(EvidenceActor, state_ref, csr_ref)(batch)
+
+
 class EvidenceActor:
     """T1: the per-batch propagation kernel over incoming facts
     (e ← r ← h) of the streamed KG, mirroring model/PARIS.py:100-120
@@ -198,29 +219,23 @@ class EvidenceActor:
         return pd.concat(frames, ignore_index=True)
 
 
-class FusionActor:
+def fusion_fn(batch: pa.Table, *, emb_l_ref, emb_r_ref, fusion_func, init):
     """T2/T3: candidate products → values, fused with embedding cosine
-    when enabled (model/PARIS.py:41-48).  Embedding matrices are
-    broadcast refs read once per actor."""
-
-    def __init__(self, emb_l_ref, emb_r_ref, fusion_func, init):
-        self.emb_l = ray.get(emb_l_ref) if emb_l_ref is not None else None
-        self.emb_r = ray.get(emb_r_ref) if emb_r_ref is not None else None
-        self.fusion_func = fusion_func
-        self.init = init
-
-    def __call__(self, batch: pa.Table) -> pd.DataFrame:
-        ent = batch["a"].to_numpy()
-        cand = batch["b"].to_numpy()
-        val = 1.0 - np.exp(batch["w"].to_numpy())  # A5 finalize
-        if (
-            not self.init
-            and self.emb_l is not None
-            and self.emb_r is not None
-            and self.fusion_func is not None
-        ):
-            val = self.fusion_func(val, self.emb_l[ent], self.emb_r[cand])
-        return pd.DataFrame({"ent": ent, "cand": cand, "val": val})
+    when enabled (model/PARIS.py:41-48); embeddings fetched zero-copy
+    from broadcast refs.  Ends with a batch-local argmax pre-reduce so
+    the final grouped argmax shuffles ≤1 row per (entity, batch)."""
+    ent = batch["a"].to_numpy()
+    cand = batch["b"].to_numpy()
+    val = 1.0 - np.exp(batch["w"].to_numpy())  # A5 finalize
+    if not init and emb_l_ref is not None and emb_r_ref is not None and fusion_func is not None:
+        emb_l, emb_r = ray.get(emb_l_ref), ray.get(emb_r_ref)
+        val = fusion_func(val, emb_l[ent], emb_r[cand])
+    # local argmax per ent: max val, tie → min cand (matches ArgMaxPair)
+    order = np.lexsort((cand, -val, ent))
+    e_s, c_s, v_s = ent[order], cand[order], val[order]
+    first = np.ones(len(e_s), bool)
+    first[1:] = e_s[1:] != e_s[:-1]
+    return pd.DataFrame({"ent": e_s[first], "cand": c_s[first], "val": v_s[first]})
 
 
 def weighted_cosine_fusion(alpha: float = 0.8, beta: float = 0.2):
@@ -318,12 +333,11 @@ def run_half_iteration(
     csr_ref = kg_r.csr_by_head_ref()
 
     tagged = kg_l.facts_by_tail().map_batches(
-        EvidenceActor,
+        evidence_fn,
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=cfg.concurrency,
         num_cpus=cfg.num_cpus_per_actor,
-        fn_constructor_kwargs={"state_ref": state_ref, "csr_ref": csr_ref},
+        fn_kwargs={"state_ref": state_ref, "csr_ref": csr_ref},
     )
     sums = (
         tagged.groupby(["kind", "a", "b"])
@@ -359,11 +373,10 @@ def run_half_iteration(
         lambda tb: tb.filter(pa.compute.equal(tb["kind"], KIND_CAND)),
         batch_format="pyarrow",
     ).map_batches(
-        FusionActor,
+        fusion_fn,
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=cfg.concurrency,
-        fn_constructor_kwargs={
+        fn_kwargs={
             "emb_l_ref": emb_l_ref,
             "emb_r_ref": emb_r_ref,
             "fusion_func": cfg.fusion_func,

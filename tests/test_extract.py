@@ -1,0 +1,64 @@
+"""Extraction pipeline tests: byte-identical text invariant, triple
+extraction closed-form check, flagship web→KG end-to-end."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from prase_ray.sources.webpages import synth_web_pages
+from prase_ray.stages.extract import extract_text, extract_triples
+
+
+@pytest.fixture(scope="module")
+def pages(ray_session):
+    return synth_web_pages(n_pages=60, n_entities=40, seed=42).materialize()
+
+
+def test_extraction_byte_identical(pages):
+    """input_hint invariant: extracted text == text column per url."""
+    got = extract_text(pages).to_pandas().set_index("url")["extracted_text"]
+    want = pages.to_pandas().set_index("url")["text"]
+    assert got.sort_index().equals(want.sort_index())
+
+
+def test_triple_extraction_closed_form(pages):
+    tri = extract_triples(extract_text(pages), concurrency=2).to_pandas()
+    texts = pages.to_pandas()
+    # every sentence "A verb B." in the generated text appears as a triple
+    import re
+
+    n_sents = texts["text"].str.count(r"\.").sum()
+    assert len(tri) == n_sents  # every sentence is SVO by construction
+    assert (tri[tri["pred"].isin(["has_name", "has_code"])]["obj_is_literal"]).all()
+    assert (~tri[tri["pred"] == "links_to"]["obj_is_literal"]).all()
+    # spot-check one page
+    row = texts.iloc[0]
+    expect = re.findall(r"(\w+) (\w+) (\w+)\.", row["text"])
+    got = tri[tri["url"] == row["url"]][["subj", "pred", "obj"]]
+    assert [tuple(x) for x in got.to_numpy()] == expect
+
+
+def test_web_to_kg_end_to_end(ray_session, tmp_path):
+    from prase_ray.pipelines.web_kg import web_to_kg
+
+    pages = synth_web_pages(n_pages=80, n_entities=30, seed=7)
+    out = str(tmp_path / "graph")
+    summary = web_to_kg(pages, iterations=2, out_dir=out)
+    assert summary["n_triples"] > 0
+    assert summary["kg_l"]["entities"] > 0
+    assert summary["n_seeds"] > 0  # shared name_N literals seed the join
+    assert summary["n_aligned"] > 0
+    man = summary["canonical"]
+    assert man["complete"] and man["n_nodes"] > 0 and man["n_facts"] > 0
+    # alignment quality on the synthetic ground truth: K1_Ei ≡ K2_Ei
+    pair = summary["pair"]
+    ndf_l = pair.kg_l.nodes.to_pandas()
+    ndf_r = pair.kg_r.nodes.to_pandas()
+    names_l = ndf_l.set_index("ent_id")["name"]
+    names_r = ndf_r.set_index("ent_id")["name"]
+    pred = pair.predicted_pairs(0.1)
+    if len(pred):
+        l_names = names_l[pred["l_id"]].str.replace("K1_", "").to_numpy()
+        r_names = names_r[pred["r_id"]].str.replace("K2_", "").to_numpy()
+        acc = float(np.mean(l_names == r_names))
+        assert acc >= 0.9, acc

@@ -1,0 +1,131 @@
+"""Writer/loader round-trip tests (K1-K3, S4-S6, SURVEY.md §2.1/§2.2)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from prase_ray.config import PrasConfig
+from prase_ray.io.writers import (
+    generate_input_for_embed_align,
+    load_params,
+    save_params,
+    save_results,
+)
+from prase_ray.pipelines.prase import KGPair
+from prase_ray.sources.fixtures import make_two_kg_fixture
+from prase_ray.sources.triples import from_pandas_triples
+from prase_ray.stages.kg_build import build_kg
+
+
+@pytest.fixture(scope="module")
+def pair(ray_session):
+    t1, t2, gold = make_two_kg_fixture(n_entities=40, seed=5)
+    kg1 = build_kg(from_pandas_triples(t1), name="KG1")
+    kg2 = build_kg(from_pandas_triples(t2), name="KG2")
+    p = KGPair(kg1, kg2, PrasConfig(concurrency=2))
+    p.run(iterations=2)
+    p._gold = gold
+    return p
+
+
+def test_save_load_params_roundtrip(pair, tmp_path):
+    path = str(tmp_path / "EA_Params")
+    save_params(pair, path)
+    st0 = pair.state
+    sub_match, sub_prob = st0.sub_match.copy(), st0.sub_prob.copy()
+    rel_l = st0.rel_align_l.to_frame()
+
+    # fresh pair from same KGs, load checkpoint
+    p2 = KGPair(pair.kg_l, pair.kg_r, PrasConfig(concurrency=2))
+    load_params(p2, path)
+    assert p2.state.has_load
+    m = sub_match >= 0
+    np.testing.assert_array_equal(p2.state.sub_match[m], sub_match[m])
+    np.testing.assert_allclose(p2.state.sub_prob[m], sub_prob[m], rtol=1e-12)
+    rel_l2 = p2.state.rel_align_l.to_frame()
+    merged = rel_l.merge(
+        rel_l2, on=["rel_id", "counterpart_id"], suffixes=("", "_2")
+    )
+    assert len(merged) == len(rel_l)
+    np.testing.assert_allclose(merged["prob"], merged["prob_2"], rtol=1e-12)
+
+
+def test_save_results_sections(pair, tmp_path):
+    path = str(tmp_path / "result.txt")
+    save_results(pair, path)
+    content = open(path).read()
+    for section in (
+        "Attribute Alignment",
+        "Relation Alignment",
+        "Literal Alignment",
+        "Entity Alignment",
+    ):
+        assert f"--- {section} ---" in content
+    assert len(content.splitlines()) > 8
+
+
+def test_generate_embed_align_split(pair, tmp_path):
+    gold = pair.load_gold_links_from_frame(pair._gold)
+    out = generate_input_for_embed_align(
+        pair, gold, str(tmp_path / "embed"), threshold=0.1
+    )
+    assert out["train"] > 0
+    train = open(tmp_path / "embed" / "train_links").read().splitlines()
+    test = open(tmp_path / "embed" / "test_links").read().splitlines()
+    valid = open(tmp_path / "embed" / "valid_links").read().splitlines()
+    assert test == valid
+    assert len(train) == out["train"]
+    # train ∩ test on left entity is empty (anti-join semantics)
+    train_l = {l.split("\t")[0] for l in train}
+    test_l = {l.split("\t")[0] for l in test}
+    assert not (train_l & test_l)
+
+
+def test_load_ent_links_and_reset(pair):
+    st = pair.state
+    ndf_l = pair.kg_l.nodes.to_pandas()
+    ndf_r = pair.kg_r.nodes.to_pandas()
+    ent_l = ndf_l[~ndf_l["is_literal"]].iloc[0]["name"]
+    ent_r = ndf_r[~ndf_r["is_literal"]].iloc[0]["name"]
+    links = pd.DataFrame({"name_l": [ent_l], "name_r": [ent_r], "prob": [0.9]})
+    n = pair.load_ent_links(links, force=True)
+    assert n == 1
+    lid = int(pair._maps(pair.kg_l)["ent"][ent_l])
+    rid = int(pair._maps(pair.kg_r)["ent"][ent_r])
+    assert st.sub_match[lid] == rid
+    assert st.sub_prob[lid] == pytest.approx(0.9)
+    # prob transform with scaling func (M5 + S4 func hook)
+    n2 = pair.load_ent_links(
+        links, func=lambda p: 0.5 * p, force=True
+    )
+    assert st.sub_prob[lid] == pytest.approx(0.45)
+    pair.reset_ent_align_prob(lambda p: 0.5 * p)
+    assert st.sub_prob[lid] == pytest.approx(0.225)
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    t1, t2, _ = make_two_kg_fixture(n_entities=30, seed=9)
+    kg1 = build_kg(from_pandas_triples(t1), name="KG1")
+    kg2 = build_kg(from_pandas_triples(t2), name="KG2")
+    chk = str(tmp_path / "chk")
+
+    p1 = KGPair(kg1, kg2, PrasConfig(concurrency=2))
+    p1.run(iterations=3, checkpoint_dir=chk)
+    final_match = p1.state.sub_match.copy()
+    final_prob = p1.state.sub_prob.copy()
+
+    # resume: all 3 iterations complete → run() skips straight to done
+    p2 = KGPair(kg1, kg2, PrasConfig(concurrency=2))
+    p2.run(iterations=3, checkpoint_dir=chk)
+    np.testing.assert_array_equal(p2.state.sub_match, final_match)
+    np.testing.assert_allclose(p2.state.sub_prob, final_prob, rtol=1e-12)
+
+    # partial resume: delete last checkpoint → exactly one iteration runs
+    import shutil
+
+    shutil.rmtree(os.path.join(chk, "iter_002"))
+    p3 = KGPair(kg1, kg2, PrasConfig(concurrency=2))
+    p3.run(iterations=3, checkpoint_dir=chk)
+    np.testing.assert_array_equal(p3.state.sub_match, final_match)

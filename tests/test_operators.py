@@ -1,0 +1,237 @@
+"""Tests for document/stream operators: text stats, dedup family, ANN,
+windows, components, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_token_stats(docs):
+    from prase_ray.stages.text import token_stats
+
+    out = token_stats(docs).to_pandas().set_index("doc_id")
+    ddf = docs.to_pandas().set_index("doc_id")
+    for did in list(ddf.index[:5]):
+        text = ddf.loc[did, "text"]
+        assert out.loc[did, "n_tokens"] == len(text.split(" "))
+        assert out.loc[did, "n_ws_tokens"] == len(text.split())
+        assert out.loc[did, "n_chars_text"] == len(text)
+
+
+def test_quality_and_langid(docs):
+    from prase_ray.stages.text import lang_id, quality_score
+
+    q = quality_score(docs).to_pandas()
+    assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+    l = lang_id(docs, concurrency=2).to_pandas()
+    assert set(l.columns) == {"doc_id", "lang_pred", "lang_conf"}
+    assert len(l) == docs.count()
+
+
+def test_fingerprint_deterministic(docs):
+    from prase_ray.stages.text import fingerprint
+
+    f1 = fingerprint(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    f2 = fingerprint(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(f1, f2)
+    # identical text → identical fingerprint; different text → different
+    d = docs.to_pandas()
+    fp = f1.set_index("doc_id")["fingerprint"]
+    same = d[d["text"] == d["text"].iloc[0]]["doc_id"]
+    assert fp[same].nunique() == 1
+
+
+def test_exact_dedup(ray_session):
+    from prase_ray.stages.dedup import exact_dedup_keep_ids
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["aaa", "bbb", "aaa", "ccc", "bbb"],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    kept = exact_dedup_keep_ids(ds).to_pandas()
+    assert sorted(kept["keep_id"]) == [1, 2, 4]
+
+
+def test_minhash_dedup_finds_planted_dups(ray_session):
+    from prase_ray.stages.dedup import minhash_dedup_keep_ids
+
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(50)]
+    base = [
+        " ".join(rng.choice(vocab, size=40).tolist()) for _ in range(20)
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append({"doc_id": i, "text": t})
+    # planted near-dups: copy docs 0..4 with one word changed
+    for j in range(5):
+        words = base[j].split()
+        words[3] = "CHANGED"
+        rows.append({"doc_id": 100 + j, "text": " ".join(words)})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    comp = minhash_dedup_keep_ids(ds, threshold=0.6, concurrency=2)
+    comp = comp.set_index("doc_id")["keep_id"]
+    for j in range(5):
+        assert comp.get(100 + j) == j, comp
+    # unrelated docs must not merge with each other
+    merged_bases = [b for b in range(5, 20) if b in comp.index]
+    assert not merged_bases
+
+
+def test_simhash_and_ngram_jaccard(ray_session):
+    from prase_ray.stages.dedup import ngram_jaccard_pairs, simhash_candidates
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = " ".join(("CHANGED" if i == 7 else f"tok{i}") for i in range(30))
+    other = " ".join(f"zz{i}" for i in range(30))
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": near},
+        {"doc_id": 2, "text": other},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    sh = simhash_candidates(ds, max_hamming=16, concurrency=1)
+    assert (0, 1) in set(zip(sh["a"], sh["b"]))
+    nj = ngram_jaccard_pairs(ds, k=2, threshold=0.3, concurrency=1)
+    pairs = set(zip(nj["a"], nj["b"]))
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_embedding_neardup(ray_session):
+    from prase_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(1)
+    V = rng.normal(size=(30, 16))
+    V[10] = V[0] + 0.01 * rng.normal(size=16)  # planted near-dup
+    df = pd.DataFrame(
+        {"vec_id": np.arange(30), "embedding": [v.astype(np.float32) for v in V]}
+    )
+    pairs = embedding_neardup_pairs(
+        ray.data.from_pandas(df), threshold=0.98, n_planes=4
+    )
+    assert (0, 10) in set(zip(pairs["a"], pairs["b"]))
+
+
+def test_knn_bruteforce_matches_numpy(ray_session):
+    from prase_ray.stages.ann import knn_cosine_bruteforce
+
+    rng = np.random.default_rng(2)
+    V = rng.normal(size=(100, 8))
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(100),
+                "embedding": [v.astype(np.float32) for v in V],
+            }
+        )
+    )
+    Q = V[:3].astype(np.float32)
+    out = knn_cosine_bruteforce(ds, Q, np.arange(3), k=5, concurrency=2)
+    # numpy oracle
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = (Q / np.linalg.norm(Q, axis=1, keepdims=True)) @ Vn.T
+    for q in range(3):
+        s = S[q].copy()
+        s[q] = -np.inf  # exclude self
+        expect = np.argsort(-s, kind="stable")[:5]
+        got = out[out["query_id"] == q].sort_values("rank")["neighbor_id"].to_numpy()
+        assert set(got) == set(expect), (q, got, expect)
+
+
+def test_knn_lsh_recall(ray_session):
+    from prase_ray.stages.ann import knn_cosine_bruteforce, knn_cosine_lsh
+
+    rng = np.random.default_rng(3)
+    V = rng.normal(size=(300, 16))
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(300),
+                "embedding": [v.astype(np.float32) for v in V],
+            }
+        )
+    )
+    Q = V[:5]
+    exact = knn_cosine_bruteforce(ds, Q, np.arange(5), k=3)
+    approx = knn_cosine_lsh(ds, Q, np.arange(5), k=3, n_planes=4)
+    # top-1 must be found (it is the vector itself's nearest; LSH probes
+    # 1-bit neighborhoods so high-cosine pairs collide w.h.p.)
+    hits = 0
+    for q in range(5):
+        e1 = exact[(exact["query_id"] == q) & (exact["rank"] == 1)][
+            "neighbor_id"
+        ].iloc[0]
+        a = approx[approx["query_id"] == q]["neighbor_id"].tolist()
+        hits += e1 in a
+    assert hits >= 3
+
+
+def test_tumbling_and_sessions(ray_session):
+    from prase_ray.stages.windows import session_stats, tumbling_aggregate
+
+    events = ray.data.read_parquet(f"{SF}/events.parquet")
+    agg = tumbling_aggregate(events, 3600).to_pandas()
+    edf = events.to_pandas()
+    # oracle in pandas
+    epoch = edf["ts"].astype("int64") // 1_000_000
+    edf["window_start"] = (epoch // 3600) * 3600
+    oracle = (
+        edf.groupby(["event_type", "window_start"])
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        .reset_index()
+    )
+    m = agg.merge(oracle, on=["event_type", "window_start"], suffixes=("", "_o"))
+    assert len(m) == len(oracle) == len(agg)
+    assert (m["n_events"] == m["n_events_o"]).all()
+    np.testing.assert_allclose(m["sum_value"], m["sum_value_o"])
+
+    sess = session_stats(events, gap_s=600).to_pandas()
+    # sessions partition the events per user
+    assert sess["n_events"].sum() == len(edf)
+
+
+def test_connected_components_distributed(ray_session):
+    from prase_ray.stages.components import connected_components
+
+    edges = pd.DataFrame(
+        {"a": [1, 2, 5, 8, 9], "b": [2, 3, 6, 9, 10]}
+    )
+    labels = (
+        connected_components(ray.data.from_pandas(edges), num_partitions=2)
+        .to_pandas()
+        .set_index("node")["label"]
+    )
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[5] == labels[6] == 5
+    assert labels[8] == labels[9] == labels[10] == 8
+
+
+def test_multimodal_plumbing(ray_session):
+    from prase_ray.stages.multimodal import (
+        decode_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(16)
+    out = decode_images(media, mode="fake", concurrency=1).to_pandas()
+    assert len(out) == 16
+    assert {"media_id", "height", "width", "channels", "feature"} <= set(
+        out.columns
+    )
+    frames = sample_frames(media, mode="fake", k=3, concurrency=1).to_pandas()
+    assert len(frames) == 16 * 3
+    with pytest.raises(Exception):
+        decode_images(media, mode="strict", concurrency=1).materialize()
