@@ -96,6 +96,51 @@ def knn_cosine_bruteforce(
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+_LSH_STATE: dict = {}
+
+
+def _bucket_score_fn(batch: pd.DataFrame, *, state_ref, k, id_col, vec_col):
+    """SRP-bucketed scoring: corpus rows score only against queries in
+    their bucket (or a 1-bit probe).  Broadcast state cached per worker."""
+    key = state_ref.hex()
+    st = _LSH_STATE.get(key)
+    if st is None:
+        _LSH_STATE.clear()
+        st = _LSH_STATE[key] = ray.get(state_ref)
+    planes, Q, q_ids, b2q = st
+    V = np.vstack(batch[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    Vn = V / np.where(norms > 0, norms, 1.0)
+    ids = batch[id_col].to_numpy(np.int64)
+    cb = ((Vn @ planes) > 0).astype(np.int64)
+    cbucket = (cb << np.arange(planes.shape[1])).sum(axis=1)
+    frames = []
+    for b in np.unique(cbucket):
+        qs = b2q.get(int(b))
+        if not qs:
+            continue
+        m = cbucket == b
+        S = Q[qs] @ Vn[m].T
+        kk = min(k, S.shape[1])
+        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(S.shape[0]), kk)
+        cols = part.ravel()
+        frames.append(
+            pd.DataFrame(
+                {
+                    "query_id": q_ids[np.asarray(qs)[rows]],
+                    "neighbor_id": ids[m][cols],
+                    "cosine": S[rows, cols],
+                }
+            )
+        )
+    if not frames:
+        return pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cosine": []}
+        ).astype({"query_id": np.int64, "neighbor_id": np.int64, "cosine": float})
+    return pd.concat(frames, ignore_index=True)
+
+
 def knn_cosine_lsh(
     corpus: ray.data.Dataset,
     queries: np.ndarray,
@@ -130,48 +175,11 @@ def knn_cosine_lsh(
     state_ref = ray.put(
         (planes, Qn, np.asarray(query_ids, np.int64), bucket_to_q)
     )
-
-    class BucketScore:
-        def __init__(self):
-            self.planes, self.Q, self.q_ids, self.b2q = ray.get(state_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            V = np.vstack(batch[vec_col].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(V, axis=1, keepdims=True)
-            Vn = V / np.where(norms > 0, norms, 1.0)
-            ids = batch[id_col].to_numpy(np.int64)
-            cb = ((Vn @ self.planes) > 0).astype(np.int64)
-            cbucket = (cb << np.arange(self.planes.shape[1])).sum(axis=1)
-            frames = []
-            for b in np.unique(cbucket):
-                qs = self.b2q.get(int(b))
-                if not qs:
-                    continue
-                m = cbucket == b
-                S = self.Q[qs] @ Vn[m].T
-                kk = min(k, S.shape[1])
-                part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-                rows = np.repeat(np.arange(S.shape[0]), kk)
-                cols = part.ravel()
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": self.q_ids[np.asarray(qs)[rows]],
-                            "neighbor_id": ids[m][cols],
-                            "cosine": S[rows, cols],
-                        }
-                    )
-                )
-            if not frames:
-                return pd.DataFrame(
-                    {"query_id": [], "neighbor_id": [], "cosine": []}
-                ).astype(
-                    {"query_id": np.int64, "neighbor_id": np.int64, "cosine": float}
-                )
-            return pd.concat(frames, ignore_index=True)
-
     parts = corpus.map_batches(
-        BucketScore, batch_format="pandas", concurrency=concurrency
+        _bucket_score_fn,
+        batch_format="pandas",
+        fn_kwargs={"state_ref": state_ref, "k": k, "id_col": id_col,
+                   "vec_col": vec_col},
     )
     out = (
         parts.groupby("query_id")

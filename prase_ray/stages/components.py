@@ -1,33 +1,52 @@
-"""Distributed connected components via iterated min-label propagation
-(SURVEY.md §7.1 stage 8) — the scale path for cross-document ER where
-the candidate-pair graph does NOT fit the driver (the driver union-find
-in stages/dedup.py covers the verified-small case).
+"""Connected components (SURVEY.md §7.1 stage 8).
 
-Each round: labels ⋈ edges (hash join on node) → neighbor labels →
-groupby(node).min → converged when no label changed.  Rounds are
-O(graph diameter); duplicate-cluster graphs have tiny diameters.
+Two paths, auto-selected by edge count:
+
+- **driver union-find** for small edge sets (verified near-dup pairs are
+  small by construction) — exact and O(E α(E));
+- **distributed min-label propagation with pointer jumping** for graphs
+  that don't fit the driver: each round propagates neighbor minima
+  (join + groupby-min) and then shortcuts ``label ← label[label]``
+  (self-join), so chains converge in O(log diameter) rounds instead of
+  O(diameter).  Convergence is detected by the (monotonically
+  decreasing) sum of labels going stationary — one tiny aggregate per
+  round instead of a change-count join.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow.compute as pc
+import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Min
+from ray.data.aggregate import Min, Sum
+
+from prase_ray.stages.dedup import connected_components_df
+
+
+def _as_arrow(ds):
+    return ds.map_batches(lambda t: t, batch_format="pyarrow")
 
 
 def connected_components(
     edges: ray.data.Dataset,
     *,
-    max_rounds: int = 20,
+    max_rounds: int = 25,
     num_partitions: int = 16,
+    min_distributed_edges: int = 1_000_000,
+    force_distributed: bool = False,
 ) -> ray.data.Dataset:
     """edges: Dataset(a, b) undirected pairs → Dataset(node, label),
-    label = min node id in the component.  Nodes = those appearing in
-    edges."""
-
-    import pyarrow as pa
+    label = min node id of the component.  Nodes = those in edges."""
+    n_edges = edges.count()
+    if not force_distributed and n_edges <= min_distributed_edges:
+        pdf = edges.to_pandas()
+        if pdf.empty:
+            return ray.data.from_pandas(
+                pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                              "label": pd.Series([], dtype=np.int64)})
+            )
+        return ray.data.from_pandas(connected_components_df(pdf))
 
     def undirect(batch: pd.DataFrame):
         return pa.table(
@@ -48,16 +67,12 @@ def connected_components(
             {
                 "node": batch["src"].to_numpy(np.int64),
                 "label": np.minimum(
-                    batch["src"].to_numpy(np.int64), batch["dst"].to_numpy(np.int64)
+                    batch["src"].to_numpy(np.int64),
+                    batch["dst"].to_numpy(np.int64),
                 ),
             }
         ).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
-
-    def _as_arrow(ds):
-        # normalize block type: aggregate outputs are pandas blocks, and
-        # downstream Project/union/groupby steps require a uniform type
-        return ds.map_batches(lambda t: t, batch_format="pyarrow")
 
     labels = _as_arrow(
         und.map_batches(init_labels, batch_format="pandas")
@@ -65,8 +80,14 @@ def connected_components(
         .aggregate(Min("label", alias_name="label"))
     ).materialize()
 
+    def label_sum(ds) -> int:
+        out = ds.aggregate(Sum("label", alias_name="s"))
+        return int(out["s"])
+
+    prev_sum = label_sum(labels)
     for _ in range(max_rounds):
-        # neighbor labels: join labels onto edge sources
+        # 1-hop propagation: each node takes the min label among itself
+        # and its neighbors
         msgs = und.join(
             labels,
             join_type="inner",
@@ -74,24 +95,31 @@ def connected_components(
             on=("src",),
             right_on=("node",),
         ).select_columns(["dst", "label"])
-        new_labels = _as_arrow(
+        prop = _as_arrow(
             _as_arrow(msgs.rename_columns({"dst": "node"}))
             .union(labels)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
         ).materialize()
-        # convergence: any node whose label shrank?
-        merged = new_labels.join(
-            labels.rename_columns({"label": "old_label"}),
+
+        # pointer jumping: label ← min(label, label[label])
+        as_target = prop.rename_columns({"node": "lnode", "label": "llabel"})
+        jumped = prop.join(
+            as_target,
             join_type="inner",
             num_partitions=num_partitions,
-            on=("node",),
-        )
-        changed = merged.map_batches(
-            lambda t: t.filter(pc.not_equal(t["label"], t["old_label"])),
-            batch_format="pyarrow",
-        ).count()
-        labels = new_labels
-        if changed == 0:
+            on=("label",),
+            right_on=("lnode",),
+        ).select_columns(["node", "llabel"])
+        labels = _as_arrow(
+            _as_arrow(jumped.rename_columns({"llabel": "label"}))
+            .union(prop)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        ).materialize()
+
+        s = label_sum(labels)
+        if s == prev_sum:
             break
+        prev_sum = s
     return labels

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 from prase_ray.functions.hashing import (
@@ -60,50 +61,97 @@ def exact_dedup_keep_ids(
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------------
 
-class MinHashSigner:
-    """Actor-pool stage: seeds/permutation params fixed in __init__,
-    signatures + band keys per batch.  Emits (band, band_hash, doc_id)
-    rows — the LSH bucketing relation."""
-
-    def __init__(self, k: int, num_hashes: int, bands: int, seed: int):
-        assert num_hashes % bands == 0
-        self.k = k
-        self.num_hashes = num_hashes
-        self.bands = bands
-        self.rows_per_band = num_hashes // bands
-        self.seed = seed
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        tok, off = tokenize_offsets(batch["text"])
-        sh, sh_off = shingle_hashes(tok, off, self.k)
-        sig = minhash_signatures(sh, sh_off, self.num_hashes, self.seed)
-        n = len(batch)
-        out_band = np.repeat(np.arange(self.bands, dtype=np.int32), n)
-        out_doc = np.tile(batch["doc_id"].to_numpy(np.int64), self.bands)
-        bh = np.empty(self.bands * n, np.uint64)
-        for b in range(self.bands):
-            seg = sig[:, b * self.rows_per_band : (b + 1) * self.rows_per_band]
-            acc = np.zeros(n, np.uint64)
-            for j in range(self.rows_per_band):
-                acc = splitmix64(acc ^ seg[:, j])
-            bh[b * n : (b + 1) * n] = acc
-        return pd.DataFrame(
-            {"band": out_band, "band_hash": bh.astype(np.int64), "doc_id": out_doc}
-        )
-
-
-def _bucket_pairs(
-    group: pd.DataFrame, max_bucket: int = 200
+def minhash_sign_batch(
+    batch: pd.DataFrame, *, k: int, num_hashes: int, bands: int, seed: int
 ) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket; degenerate buckets capped
-    (logged via the dropped counter column)."""
-    ids = np.sort(group["doc_id"].to_numpy(np.int64))
-    if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-    if len(ids) > max_bucket:
-        ids = ids[:max_bucket]
-    i, j = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[i], "b": ids[j]})
+    """Stateless signer task: signatures + band keys per batch → emits
+    (band, band_hash, doc_id) rows, the LSH bucketing relation.
+    Deliberately NOT an actor pool: the permutation params are cheap to
+    derive per task, and a pool holding every CPU can deadlock the
+    downstream join's shuffle aggregators on small clusters."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    tok, off = tokenize_offsets(batch["text"])
+    sh, sh_off = shingle_hashes(tok, off, k)
+    sig = minhash_signatures(sh, sh_off, num_hashes, seed)
+    n = len(batch)
+    out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
+    out_doc = np.tile(batch["doc_id"].to_numpy(np.int64), bands)
+    bh = np.empty(bands * n, np.uint64)
+    for b in range(bands):
+        seg = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+        acc = np.zeros(n, np.uint64)
+        for j in range(rows_per_band):
+            acc = splitmix64(acc ^ seg[:, j])
+        bh[b * n : (b + 1) * n] = acc
+    return pd.DataFrame(
+        {"band": out_band, "band_hash": bh.astype(np.int64), "doc_id": out_doc}
+    )
+
+
+def drop_degenerate_buckets(
+    sigs: ray.data.Dataset, key_cols: list[str], max_bucket: int
+) -> ray.data.Dataset:
+    """Skew guard for LSH bucketing: buckets with more than
+    ``max_bucket`` members (degenerate content — boilerplate, empty
+    docs) would explode the pairwise self-join quadratically, so their
+    rows are removed.  Only the OVERFULL bucket keys reach the driver
+    (tiny by definition); membership is filtered via a broadcast set."""
+    import ray
+
+    counts = sigs.groupby(key_cols).count()
+    big = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["count()"], max_bucket)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if big.empty:
+        return sigs
+    ban = set(map(tuple, big[key_cols].to_numpy()))
+    ban_ref = ray.put(ban)
+
+    def flt(batch: pd.DataFrame) -> pd.DataFrame:
+        banned = ray.get(ban_ref)
+        keys = list(map(tuple, batch[key_cols].to_numpy()))
+        mask = np.array([k not in banned for k in keys])
+        return batch[mask]
+
+    return sigs.map_batches(flt, batch_format="pandas")
+
+
+def _bucket_self_join(
+    sigs: ray.data.Dataset,
+    key_cols: list[str],
+    payload_cols: list[str],
+    *,
+    max_bucket: int,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """All ordered pairs (doc_id < doc_id_r) within equal bucket keys,
+    via a hash-partitioned self-join — vectorized bulk work instead of
+    per-group Python (map_groups over ~#docs×bands tiny buckets is the
+    classic LSH scalability trap)."""
+    sigs = drop_degenerate_buckets(sigs, key_cols, max_bucket)
+    # normalize to Arrow blocks (join/rename operators require them) and
+    # materialize before the self-join so the shared upstream plan does
+    # not execute twice concurrently
+    left = (
+        sigs.select_columns(key_cols + ["doc_id"] + payload_cols)
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+    right = left.rename_columns(
+        {c: c + "_r" for c in ["doc_id"] + payload_cols}
+    )
+    j = left.join(
+        right,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=tuple(key_cols),
+    )
+    return j.map_batches(
+        lambda t: t.filter(pa.compute.less(t["doc_id"], t["doc_id_r"])),
+        batch_format="pyarrow",
+    )
 
 
 def minhash_lsh_candidates(
@@ -115,18 +163,23 @@ def minhash_lsh_candidates(
     seed: int = 17,
     concurrency: int = 4,
     max_bucket: int = 200,
+    num_partitions: int = 8,
 ) -> ray.data.Dataset:
     """Candidate near-dup pairs (a < b), deduplicated across bands."""
     sigs = docs.map_batches(
-        MinHashSigner,
+        minhash_sign_batch,
         batch_format="pandas",
-        concurrency=concurrency,
-        fn_constructor_kwargs=dict(
-            k=k, num_hashes=num_hashes, bands=bands, seed=seed
-        ),
+        fn_kwargs=dict(k=k, num_hashes=num_hashes, bands=bands, seed=seed),
     )
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas"
+    pairs = _bucket_self_join(
+        sigs,
+        ["band", "band_hash"],
+        [],
+        max_bucket=max_bucket,
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: t.select(["doc_id", "doc_id_r"]).rename_columns(["a", "b"]),
+        batch_format="pyarrow",
     )
     # dedup pairs surfaced by multiple bands
     from ray.data.aggregate import Count
@@ -203,63 +256,71 @@ def minhash_dedup_keep_ids(
 # SimHash near-dup
 # --------------------------------------------------------------------------
 
-class SimHashSigner:
-    def __init__(self):
-        pass
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        tok, off = tokenize_offsets(batch["text"])
-        sig = simhash64(tok, off)
-        n = len(batch)
-        doc = batch["doc_id"].to_numpy(np.int64)
-        # 4 bands of 16 bits: near-dups (hamming ≤ 3) share ≥1 band
-        out = {
-            "doc_id": np.tile(doc, 4),
-            "band": np.repeat(np.arange(4, dtype=np.int32), n),
-            "sig": np.tile(sig.astype(np.int64), 4),
-        }
-        bh = np.empty(4 * n, np.uint64)
-        for b in range(4):
-            bh[b * n : (b + 1) * n] = (sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-        out["band_hash"] = bh.astype(np.int64)
-        return pd.DataFrame(out)
+def simhash_sign_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Stateless signer task (see minhash_sign_batch note on pools)."""
+    tok, off = tokenize_offsets(batch["text"])
+    sig = simhash64(tok, off)
+    n = len(batch)
+    doc = batch["doc_id"].to_numpy(np.int64)
+    # 4 bands of 16 bits: near-dups (hamming ≤ 3) share ≥1 band
+    out = {
+        "doc_id": np.tile(doc, 4),
+        "band": np.repeat(np.arange(4, dtype=np.int32), n),
+        "sig": np.tile(sig.astype(np.int64), 4),
+    }
+    bh = np.empty(4 * n, np.uint64)
+    for b in range(4):
+        bh[b * n : (b + 1) * n] = (sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+    out["band_hash"] = bh.astype(np.int64)
+    return pd.DataFrame(out)
 
 
 def simhash_candidates(
-    docs: ray.data.Dataset, *, max_hamming: int = 3, concurrency: int = 4
+    docs: ray.data.Dataset,
+    *,
+    max_hamming: int = 3,
+    concurrency: int = 4,
+    max_bucket: int = 500,
+    num_partitions: int = 8,
 ) -> pd.DataFrame:
     """SimHash near-dup pairs with hamming ≤ max_hamming, via 16-bit
-    band bucketing + exact hamming verification per bucket."""
+    band bucketing (self-join) + vectorized exact hamming check."""
     from prase_ray.functions.hashing import hamming64
 
-    sigs = docs.map_batches(
-        SimHashSigner, batch_format="pandas", concurrency=concurrency
+    sigs = docs.map_batches(simhash_sign_batch, batch_format="pandas")
+    joined = _bucket_self_join(
+        sigs,
+        ["band", "band_hash"],
+        ["sig"],
+        max_bucket=max_bucket,
+        num_partitions=num_partitions,
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates("doc_id")
-        ids = d["doc_id"].to_numpy(np.int64)
-        ss = d["sig"].to_numpy(np.int64).astype(np.uint64)
-        if len(ids) < 2 or len(ids) > 500:
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
             return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
                 {"a": np.int64, "b": np.int64, "hamming": np.int64}
             )
-        i, j = np.triu_indices(len(ids), k=1)
-        hd = hamming64(ss[i], ss[j])
+        hd = hamming64(
+            batch["sig"].to_numpy(np.int64).astype(np.uint64),
+            batch["sig_r"].to_numpy(np.int64).astype(np.uint64),
+        )
         m = hd <= max_hamming
-        a, b = ids[i][m], ids[j][m]
-        sw = a > b
-        a2 = np.where(sw, b, a)
-        b2 = np.where(sw, a, b)
-        return pd.DataFrame({"a": a2, "b": b2, "hamming": hd[m]})
+        return pd.DataFrame(
+            {
+                "a": batch["doc_id"].to_numpy(np.int64)[m],
+                "b": batch["doc_id_r"].to_numpy(np.int64)[m],
+                "hamming": hd[m],
+            }
+        ).drop_duplicates(["a", "b"])
 
     out = _ensure_cols(
-        sigs.groupby(["band", "band_hash"])
-        .map_groups(pairs, batch_format="pandas")
-        .to_pandas(),
+        joined.map_batches(verify, batch_format="pandas").to_pandas(),
         {"a": np.int64, "b": np.int64, "hamming": np.int64},
     )
-    return out.drop_duplicates(["a", "b"]).reset_index(drop=True)
+    return (
+        out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -342,63 +403,55 @@ def embedding_neardup_pairs(
     different buckets with cosine ≥ threshold can be missed (documented
     approximation, mitigated by also checking 1-bit-flip neighbor
     buckets)."""
-    rng = np.random.default_rng(seed)
-    planes = None
-
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        nonlocal planes
-        V = np.vstack(batch[vec_col].to_numpy())
-        if planes is None:
-            planes = np.random.default_rng(seed).normal(size=(V.shape[1], n_planes))
-        proj = V @ planes
-        bits = (proj > 0).astype(np.uint64)
-        bucket = (bits << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+    def bucketize(batch: pd.DataFrame):
+        V = np.vstack(batch[vec_col].to_numpy()).astype(np.float64)
+        planes = np.random.default_rng(seed).normal(size=(V.shape[1], n_planes))
+        bits = ((V @ planes) > 0).astype(np.int64)
+        bucket = (bits << np.arange(n_planes)).sum(axis=1)
         norms = np.linalg.norm(V, axis=1, keepdims=True)
         Vn = V / np.where(norms > 0, norms, 1.0)
-        rows = []
-        base = pd.DataFrame(
+        n, d = Vn.shape
+        ids = batch[id_col].to_numpy(np.int64)
+        # bucket + all 1-bit probe buckets, as one flat table; the vec
+        # payload is a PLAIN Arrow list<float64> (tensor extension types
+        # are not joinable as non-key fields)
+        all_buckets = [bucket] + [bucket ^ (1 << b) for b in range(n_planes)]
+        reps = len(all_buckets)
+        # vectors ride through the join as fixed-width binary (the only
+        # flat payload type hash-join supports); frombuffer on verify
+        vec_bytes = [v.tobytes() for v in Vn]
+        return pa.table(
             {
-                "bucket": bucket.astype(np.int64),
-                id_col: batch[id_col].to_numpy(np.int64),
-                "vec": list(Vn),
+                "bucket": np.concatenate(all_buckets),
+                "doc_id": np.tile(ids, reps),
+                "vec": pa.array(vec_bytes * reps, type=pa.binary()),
             }
         )
-        rows.append(base)
-        # probe 1-bit-flip buckets to reduce misses near hyperplanes
-        for b in range(n_planes):
-            alt = base.copy()
-            alt["bucket"] = (bucket ^ (np.uint64(1) << np.uint64(b))).astype(
-                np.int64
-            )
-            rows.append(alt)
-        return pd.concat(rows, ignore_index=True)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates(id_col)
-        if len(d) < 2 or len(d) > 1000:
+    sigs = embeddings.map_batches(bucketize, batch_format="pandas")
+    joined = _bucket_self_join(
+        sigs, ["bucket"], ["vec"], max_bucket=1000, num_partitions=8
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
             return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
                 {"a": np.int64, "b": np.int64, "cosine": np.float64}
             )
-        ids = d[id_col].to_numpy(np.int64)
-        V = np.vstack(d["vec"].to_numpy())
-        S = V @ V.T
-        i, j = np.triu_indices(len(ids), k=1)
-        m = S[i, j] >= threshold
-        a, b = ids[i][m], ids[j][m]
-        sw = a > b
+        X = np.vstack([np.frombuffer(v, np.float64) for v in batch["vec"]])
+        Y = np.vstack([np.frombuffer(v, np.float64) for v in batch["vec_r"]])
+        cos = np.einsum("ij,ij->i", X, Y)
+        m = cos >= threshold
         return pd.DataFrame(
             {
-                "a": np.where(sw, b, a),
-                "b": np.where(sw, a, b),
-                "cosine": S[i, j][m],
+                "a": batch["doc_id"].to_numpy(np.int64)[m],
+                "b": batch["doc_id_r"].to_numpy(np.int64)[m],
+                "cosine": cos[m],
             }
-        )
+        ).drop_duplicates(["a", "b"])
 
     out = _ensure_cols(
-        embeddings.map_batches(bucketize, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
-        .to_pandas(),
+        joined.map_batches(verify, batch_format="pandas").to_pandas(),
         {"a": np.int64, "b": np.int64, "cosine": np.float64},
     )
     return (

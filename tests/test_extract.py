@@ -35,7 +35,9 @@ def test_triple_extraction_closed_form(pages):
     row = texts.iloc[0]
     expect = re.findall(r"(\w+) (\w+) (\w+)\.", row["text"])
     got = tri[tri["url"] == row["url"]][["subj", "pred", "obj"]]
-    assert [tuple(x) for x in got.to_numpy()] == expect
+    # rel and attr triples are emitted as separate streams → compare
+    # order-insensitively
+    assert sorted(tuple(x) for x in got.to_numpy()) == sorted(expect)
 
 
 def test_web_to_kg_end_to_end(ray_session, tmp_path):

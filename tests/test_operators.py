@@ -209,13 +209,35 @@ def test_connected_components_distributed(ray_session):
         {"a": [1, 2, 5, 8, 9], "b": [2, 3, 6, 9, 10]}
     )
     labels = (
-        connected_components(ray.data.from_pandas(edges), num_partitions=2)
+        connected_components(
+            ray.data.from_pandas(edges), num_partitions=2, force_distributed=True
+        )
         .to_pandas()
         .set_index("node")["label"]
     )
     assert labels[1] == labels[2] == labels[3] == 1
     assert labels[5] == labels[6] == 5
     assert labels[8] == labels[9] == labels[10] == 8
+
+
+def test_connected_components_chain(ray_session):
+    """Pointer jumping must collapse a 40-node chain in O(log n) rounds."""
+    from prase_ray.stages.components import connected_components
+
+    n = 40
+    edges = pd.DataFrame({"a": np.arange(n - 1), "b": np.arange(1, n)})
+    labels = (
+        connected_components(
+            ray.data.from_pandas(edges),
+            num_partitions=2,
+            force_distributed=True,
+            max_rounds=10,
+        )
+        .to_pandas()
+        .set_index("node")["label"]
+    )
+    assert (labels == 0).all()
+    assert len(labels) == n
 
 
 def test_multimodal_plumbing(ray_session):
