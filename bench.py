@@ -61,6 +61,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
         return out
 
     # --- flagship: web pages → extract → two KGs → PRASE → canonical ---

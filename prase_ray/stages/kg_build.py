@@ -382,40 +382,65 @@ def pred_stats(facts: ray.data.Dataset, preds_df: pd.DataFrame) -> pd.DataFrame:
 
 def functionality_by_pred(triples: ray.data.Dataset) -> pd.DataFrame:
     """A1 over raw string triples (subj, pred, obj) WITHOUT interning —
-    per-pred n_triples / distinct heads / distinct tails → func ratios.
-    Same pre-aggregated two-stage shape as pred_stats; used by the
-    oracle-checked functionality query."""
+    per-pred n_triples / distinct heads / distinct tails → func ratios,
+    via the same single tagged partial stream + two grouped reductions
+    as pred_stats (exact distinct, strings as keys)."""
     from ray.data.aggregate import Sum
 
-    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for kind, col in ((0, "subj"), (1, "obj")):
+            p = batch[["pred", col]].drop_duplicates()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "kind": np.int8(kind),
+                        "pred": p["pred"].to_numpy(),
+                        "id": p[col].to_numpy(),
+                        "cnt": np.int64(1),
+                    }
+                )
+            )
         vc = batch["pred"].value_counts()
-        return pd.DataFrame({"pred": vc.index.to_numpy(), "n": vc.to_numpy()})
+        frames.append(
+            pd.DataFrame(
+                {
+                    "kind": np.int8(2),
+                    "pred": vc.index.to_numpy(),
+                    "id": "",
+                    "cnt": vc.to_numpy().astype(np.int64),
+                }
+            )
+        )
+        return pd.concat(frames, ignore_index=True)
 
-    n_triples = (
-        triples.map_batches(counts, batch_format="pandas")
-        .groupby("pred")
-        .aggregate(Sum("n", alias_name="n_triples"))
+    def reduce_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.where(batch["kind"].to_numpy() == 2, batch["cnt"].to_numpy(), 1)
+        out = pd.DataFrame(
+            {"kind": batch["kind"], "pred": batch["pred"], "v": v.astype(np.int64)}
+        )
+        return out.groupby(["kind", "pred"], as_index=False)["v"].sum()
+
+    tagged = triples.map_batches(partials, batch_format="pandas")
+    uniq = tagged.groupby(["kind", "pred", "id"]).aggregate(
+        Sum("cnt", alias_name="cnt")
+    )
+    per_pred = (
+        uniq.map_batches(reduce_rows, batch_format="pandas")
+        .groupby(["kind", "pred"])
+        .aggregate(Sum("v", alias_name="v"))
         .to_pandas()
     )
-
-    def distinct(col: str, alias: str) -> pd.DataFrame:
-        pairs = triples.map_batches(
-            lambda b: b[["pred", col]].drop_duplicates(), batch_format="pandas"
-        )
-        uniq = pairs.groupby(["pred", col]).count()
-        return (
-            uniq.map_batches(counts, batch_format="pandas")
-            .groupby("pred")
-            .aggregate(Sum("n", alias_name=alias))
-            .to_pandas()
-        )
-
-    out = n_triples.merge(distinct("subj", "n_heads"), on="pred").merge(
-        distinct("obj", "n_tails"), on="pred"
-    )
+    piv = per_pred.pivot(index="pred", columns="kind", values="v").fillna(0)
+    piv = piv.rename(columns={0: "n_heads", 1: "n_tails", 2: "n_triples"})
+    out = piv.reset_index()
+    for c in ("n_heads", "n_tails", "n_triples"):
+        out[c] = out[c].astype(np.int64)
     out["func"] = out["n_heads"] / out["n_triples"]
     out["func_inv"] = out["n_tails"] / out["n_triples"]
-    return out.sort_values("pred").reset_index(drop=True)
+    return out.sort_values("pred").reset_index(drop=True)[
+        ["pred", "n_triples", "n_heads", "n_tails", "func", "func_inv"]
+    ]
 
 
 # --------------------------------------------------------------------------

@@ -4,16 +4,19 @@ T1, §2.5 J2-J5, §2.6 A2-A7, §2.8 D4).
 One half-iteration of the reference kernel
 (/root/reference/model/PARIS.py:81-125) becomes:
 
-    facts_l ──map_batches(EvidenceActor pool)──▶ tagged partial sums
-            ──groupby(kind,a,b).Sum──▶ small rel aggregates (A2/A3)
-                                     + candidate products (A5, log-space)
-            candidates ──map_batches(FusionActor)──▶ fused scores (T2/T3)
-            ──groupby(ent).ArgMax──▶ per-entity best match (A6)
+    facts_l ──map_batches(evidence_fn)──▶ tagged partial sums, hash-
+             partitioned by (kind, key) into P parts
+            ──groupby(part).map_groups(_combine_partition)──▶
+               rel aggregates (A2/A3) + per-entity fused argmax (A5/A6)
 
-The actor pool holds the BROADCAST side — the other KG's fact CSR, the
+i.e. exactly ONE P-way shuffle per half-iteration, with every reduction
+fully vectorized (per-key aggregates would pay a Python call per key —
+millions of keys at web scale).
+
+Worker tasks hold the BROADCAST side — the other KG's fact CSR, the
 current match/prob arrays, packed rel-align maps, functionality arrays —
-fetched zero-copy from the object store once per actor (ray.put on the
-driver, ray.get in __init__), never re-shipped per batch.  Iterations
+fetched zero-copy from the object store once per worker (ray.put on the
+driver, cached ray.get in the task), never re-shipped per batch.  Iterations
 are synchronous (Jacobi): every batch reads the previous iteration's
 state, so runs are deterministic (the reference's in-iteration async
 updates are nondeterministic, SURVEY.md §2.10).
@@ -27,6 +30,7 @@ documented assumption of this path; the alternative join formulation
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
@@ -34,7 +38,6 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import AggregateFnV2, Sum
 
 from prase_ray.config import PrasConfig
 from prase_ray.state.alignment import AlignState, PackedProbMap
@@ -43,6 +46,7 @@ from prase_ray.stages.kg_build import KGDataset
 KIND_NORM = 0      # (rel)            → Σ P(h≡h')·P(e≡e')     [A3]
 KIND_ONGOING = 1   # (rel, rel_cp)    → Σ P(h≡h')·P(e≡e')     [A2]
 KIND_CAND = 2      # (ent, cand)      → Σ log(factor)          [A5]
+KIND_BEST = 3      # (ent, best_cand) → fused argmax value      [A6]
 
 
 def _segment_expand(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
@@ -58,17 +62,30 @@ def _segment_expand(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     return out
 
 
-def _partial_sum(kind: int, a: np.ndarray, b: np.ndarray, w: np.ndarray):
-    """Batch-local grouped sum on packed (a, b) keys."""
+def _partial_sum(
+    kind: int, a: np.ndarray, b: np.ndarray, w: np.ndarray, n_parts: int
+):
+    """Batch-local grouped sum on packed (a, b) keys.  Emits a ``part``
+    column — hash of (kind, a) — so the downstream combine is a
+    P-way grouped shuffle with VECTORIZED per-partition reduction, not a
+    per-key aggregate (millions of keys → millions of per-group Python
+    calls otherwise).  Partitioning by ``a`` alone guarantees all rows
+    of one entity (all its candidates) land in the same partition, which
+    the per-entity argmax needs."""
     if len(a) == 0:
         return None
     key = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
     uniq, inv = np.unique(key, return_inverse=True)
     sums = np.bincount(inv, weights=w, minlength=len(uniq))
+    ua = (uniq >> np.uint64(32)).astype(np.int64)
+    part = (
+        ((ua * 0x9E3779B97F4A7C15 + kind) % (1 << 61)) % n_parts
+    ).astype(np.int32)
     return pd.DataFrame(
         {
+            "part": part,
             "kind": np.full(len(uniq), kind, np.int8),
-            "a": (uniq >> np.uint64(32)).astype(np.int64),
+            "a": ua,
             "b": (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
             "w": sums,
         }
@@ -118,6 +135,7 @@ class EvidenceActor:
             self.delta,
             self.init,
             self.ent_align,
+            self.n_parts,
         ) = ray.get(state_ref)
         self.rel_align_l = PackedProbMap(ral_l_keys, ral_l_vals)
         self.rel_align_r = PackedProbMap(ral_r_keys, ral_r_vals)
@@ -147,7 +165,11 @@ class EvidenceActor:
         nm = ec >= 0
         out.append(
             _partial_sum(
-                KIND_NORM, r[nm], np.zeros(nm.sum(), np.int64), hp[nm] * ep[nm]
+                KIND_NORM,
+                r[nm],
+                np.zeros(nm.sum(), np.int64),
+                hp[nm] * ep[nm],
+                self.n_parts,
             )
         )
 
@@ -175,7 +197,9 @@ class EvidenceActor:
         # (PARIS.py:112-115, eqv_prob > 0)
         om = (tc == E_ec) & (E_ep > 0.0)
         out.append(
-            _partial_sum(KIND_ONGOING, E_r[om], rc[om], E_hp[om] * E_ep[om])
+            _partial_sum(
+                KIND_ONGOING, E_r[om], rc[om], E_hp[om] * E_ep[om], self.n_parts
+            )
         )
 
         if self.ent_align:
@@ -203,6 +227,7 @@ class EvidenceActor:
                     E_t[cm][keep_f],
                     tc[cm][keep_f],
                     np.log(factor[keep_f]),
+                    self.n_parts,
                 )
             )
 
@@ -210,6 +235,7 @@ class EvidenceActor:
         if not frames:
             return pd.DataFrame(
                 {
+                    "part": np.empty(0, np.int32),
                     "kind": np.empty(0, np.int8),
                     "a": np.empty(0, np.int64),
                     "b": np.empty(0, np.int64),
@@ -219,23 +245,81 @@ class EvidenceActor:
         return pd.concat(frames, ignore_index=True)
 
 
-def fusion_fn(batch: pa.Table, *, emb_l_ref, emb_r_ref, fusion_func, init):
-    """T2/T3: candidate products → values, fused with embedding cosine
-    when enabled (model/PARIS.py:41-48); embeddings fetched zero-copy
-    from broadcast refs.  Ends with a batch-local argmax pre-reduce so
-    the final grouped argmax shuffles ≤1 row per (entity, batch)."""
-    ent = batch["a"].to_numpy()
-    cand = batch["b"].to_numpy()
-    val = 1.0 - np.exp(batch["w"].to_numpy())  # A5 finalize
-    if not init and emb_l_ref is not None and emb_r_ref is not None and fusion_func is not None:
-        emb_l, emb_r = ray.get(emb_l_ref), ray.get(emb_r_ref)
-        val = fusion_func(val, emb_l[ent], emb_r[cand])
-    # local argmax per ent: max val, tie → min cand (matches ArgMaxPair)
-    order = np.lexsort((cand, -val, ent))
-    e_s, c_s, v_s = ent[order], cand[order], val[order]
-    first = np.ones(len(e_s), bool)
-    first[1:] = e_s[1:] != e_s[:-1]
-    return pd.DataFrame({"ent": e_s[first], "cand": c_s[first], "val": v_s[first]})
+def _grouped_sum(a, b, w):
+    key = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+    uniq, inv = np.unique(key, return_inverse=True)
+    sums = np.bincount(inv, weights=w, minlength=len(uniq))
+    return (
+        (uniq >> np.uint64(32)).astype(np.int64),
+        (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
+        sums,
+    )
+
+
+_EMB_CACHE: dict = {}
+
+
+def _combine_partition(part: pd.DataFrame, *, emb_l_ref, emb_r_ref, fusion_func, init):
+    """Vectorized per-partition combine of tagged evidence partials:
+
+    - kinds 0/1 (rel norm/ongoing): grouped sums (A2/A3) — final, since
+      partitioning is by (kind, a).
+    - kind 2 (candidates): grouped log-sums per (ent, cand) → value
+      1-exp (A5), embedding fusion (T2/T3, model/PARIS.py:41-48), then
+      per-entity argmax with min-cand tie-break (A6; the reference's tie
+      is dict-order-dependent) → emitted as kind 3 rows (a=ent, b=cand,
+      w=raw fused val — clipped AFTER argmax by the caller, matching
+      PARIS.py:49-52).
+    """
+    kinds = part["kind"].to_numpy()
+    a = part["a"].to_numpy(np.int64)
+    b = part["b"].to_numpy(np.int64)
+    w = part["w"].to_numpy(np.float64)
+    frames = []
+    for kind in (KIND_NORM, KIND_ONGOING):
+        m = kinds == kind
+        if m.any():
+            ga, gb, gw = _grouped_sum(a[m], b[m], w[m])
+            frames.append(
+                pd.DataFrame(
+                    {"kind": np.int8(kind), "a": ga, "b": gb, "w": gw}
+                )
+            )
+    m = kinds == KIND_CAND
+    if m.any():
+        ent, cand, logw = _grouped_sum(a[m], b[m], w[m])
+        val = 1.0 - np.exp(logw)
+        if (
+            not init
+            and emb_l_ref is not None
+            and emb_r_ref is not None
+            and fusion_func is not None
+        ):
+            key = (emb_l_ref.hex(), emb_r_ref.hex())
+            embs = _EMB_CACHE.get(key)
+            if embs is None:
+                _EMB_CACHE.clear()
+                embs = _EMB_CACHE[key] = (ray.get(emb_l_ref), ray.get(emb_r_ref))
+            val = fusion_func(val, embs[0][ent], embs[1][cand])
+        order = np.lexsort((cand, -val, ent))
+        e_s, c_s, v_s = ent[order], cand[order], val[order]
+        first = np.ones(len(e_s), bool)
+        first[1:] = e_s[1:] != e_s[:-1]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "kind": np.int8(KIND_BEST),
+                    "a": e_s[first],
+                    "b": c_s[first],
+                    "w": v_s[first],
+                }
+            )
+        )
+    if not frames:
+        return pd.DataFrame({"kind": [], "a": [], "b": [], "w": []}).astype(
+            {"kind": np.int8, "a": np.int64, "b": np.int64, "w": np.float64}
+        )
+    return pd.concat(frames, ignore_index=True)
 
 
 def weighted_cosine_fusion(alpha: float = 0.8, beta: float = 0.2):
@@ -250,45 +334,6 @@ def weighted_cosine_fusion(alpha: float = 0.8, beta: float = 0.2):
         return alpha * val + beta * cos
 
     return fusion
-
-
-class ArgMaxPair(AggregateFnV2):
-    """Grouped argmax: per group, (max val, arg at max).  Reference ties
-    go to the last-inserted dict entry (nondeterministic,
-    model/PARIS.py:49-50); we deterministically break ties by MIN arg id.
-    Accumulator/finalized form: [val, arg] as a 2-list."""
-
-    def __init__(self, val_col: str, arg_col: str, alias_name: str):
-        self._arg_col = arg_col
-        super().__init__(
-            alias_name,
-            on=val_col,
-            ignore_nulls=True,
-            zero_factory=lambda: [-np.inf, -1.0],
-        )
-
-    def get_target_column(self):
-        # Returning None disables the aggregate machinery's column
-        # pruning so aggregate_block sees BOTH the val and arg columns.
-        return None
-
-    def aggregate_block(self, block):
-        from ray.data.block import BlockAccessor
-
-        acc = BlockAccessor.for_block(block)
-        tbl = acc.to_arrow()
-        vals = tbl[self._target_col_name].to_numpy(zero_copy_only=False)
-        args = tbl[self._arg_col].to_numpy(zero_copy_only=False)
-        if len(vals) == 0:
-            return [-np.inf, -1.0]
-        m = vals.max()
-        best = args[vals == m].min()
-        return [float(m), float(best)]
-
-    def combine(self, cur, new):
-        if new[0] > cur[0] or (new[0] == cur[0] and new[1] < cur[1]):
-            return new
-        return cur
 
 
 def run_half_iteration(
@@ -328,6 +373,7 @@ def run_half_iteration(
             cfg.delta,
             init,
             ent_align,
+            cfg.evidence_num_partitions,
         )
     )
     csr_ref = kg_r.csr_by_head_ref()
@@ -339,23 +385,24 @@ def run_half_iteration(
         num_cpus=cfg.num_cpus_per_actor,
         fn_kwargs={"state_ref": state_ref, "csr_ref": csr_ref},
     )
-    sums = (
-        tagged.groupby(["kind", "a", "b"])
-        .aggregate(Sum("w", alias_name="w"))
-        .materialize()
+    # ONE P-way grouped shuffle; each partition combined fully vectorized
+    # (grouped sums A2/A3/A5 + fusion T2/T3 + per-entity argmax A6).
+    combine = functools.partial(
+        _combine_partition,
+        emb_l_ref=emb_l_ref,
+        emb_r_ref=emb_r_ref,
+        fusion_func=cfg.fusion_func,
+        init=init,
     )
-
-    # --- A2/A3 → A4: rel-align normalization (objects/KGs.py:211-220) ---
-    rel_df = sums.map_batches(
-        lambda tb: tb.filter(pa.compute.less(tb["kind"], KIND_CAND)),
-        batch_format="pyarrow",
-    ).to_pandas()
-    if rel_df.empty and "kind" not in rel_df.columns:
-        rel_df = pd.DataFrame(
+    out = tagged.groupby("part").map_groups(combine, batch_format="pandas").to_pandas()
+    if out.empty and "kind" not in out.columns:
+        out = pd.DataFrame(
             {"kind": [], "a": [], "b": [], "w": []}
         ).astype({"kind": np.int8, "a": np.int64, "b": np.int64, "w": np.float64})
-    norm = rel_df[rel_df["kind"] == KIND_NORM].set_index("a")["w"]
-    ongoing = rel_df[rel_df["kind"] == KIND_ONGOING]
+
+    # --- A2/A3 → A4: rel-align normalization (objects/KGs.py:211-220) ---
+    norm = out[out["kind"] == KIND_NORM].set_index("a")["w"]
+    ongoing = out[out["kind"] == KIND_ONGOING]
     if len(ongoing):
         norms = norm.reindex(ongoing["a"]).fillna(1.0).to_numpy()
         probs = ongoing["w"].to_numpy() / (cfg.const + norms)
@@ -368,37 +415,16 @@ def run_half_iteration(
     if not ent_align:
         return match, prob, new_rel_align
 
-    # --- A5 finalize + T2/T3 fusion + A6 argmax ---
-    cands = sums.map_batches(
-        lambda tb: tb.filter(pa.compute.equal(tb["kind"], KIND_CAND)),
-        batch_format="pyarrow",
-    ).map_batches(
-        fusion_fn,
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        fn_kwargs={
-            "emb_l_ref": emb_l_ref,
-            "emb_r_ref": emb_r_ref,
-            "fusion_func": cfg.fusion_func,
-            "init": init,
-        },
-    )
-    best = (
-        cands.groupby("ent")
-        .aggregate(ArgMaxPair("val", "cand", alias_name="best"))
-        .to_pandas()
-    )
-
     # merge with previous state: max-by-prob, ties → new
     # (set_counterpart_id_and_prob, model/PARIS.py:9-13 '>='; worker-copy
     # max-merge, objects/KGs.py:243-249)
+    best = out[out["kind"] == KIND_BEST]
     new_match = match.copy()
     new_prob = prob.copy()
     if len(best):
-        ents = best["ent"].to_numpy(np.int64)
-        pairs = np.vstack(best["best"].to_numpy())
-        vals = np.clip(pairs[:, 0], 0.0, 1.0)  # clip AFTER argmax (PARIS.py:51-52)
-        args = pairs[:, 1].astype(np.int64)
+        ents = best["a"].to_numpy(np.int64)
+        vals = np.clip(best["w"].to_numpy(), 0.0, 1.0)  # clip AFTER argmax
+        args = best["b"].to_numpy(np.int64)
         upd = vals >= prob[ents]
         new_match[ents[upd]] = args[upd]
         new_prob[ents[upd]] = vals[upd]
