@@ -299,14 +299,18 @@ def encode_facts_join(
 # A1 — functionality stats
 # --------------------------------------------------------------------------
 
-def _stats_partials(batch: pd.DataFrame) -> pd.DataFrame:
+_STATS_NPARTS = 32
+
+
+def _stats_partials(batch: pd.DataFrame, n_parts: int = _STATS_NPARTS) -> pd.DataFrame:
     """One tagged partial stream for all three A1 aggregations:
     kind 0 = distinct (rel, head) pairs, kind 1 = distinct (rel, tail)
     pairs (cnt=1 each), kind 2 = raw triple counts per rel (id=0,
-    cnt=batch count).  A single two-stage groupby then yields
-    n_heads / n_tails / n_triples — one shuffle pass over pre-reduced
-    partials instead of three."""
-    rel = batch["rel_id"].to_numpy()
+    cnt=batch count).  ``part`` = hash(kind, rel, id) so the heavy
+    distinct-dedup reduction is a P-way shuffle combined VECTORIZED per
+    partition — never a per-key aggregate (a rel with millions of
+    distinct heads would otherwise pay millions of per-group Python
+    calls)."""
     frames = []
     for kind, col in ((0, "head_id"), (1, "tail_id")):
         p = batch[["rel_id", col]].drop_duplicates()
@@ -331,33 +335,40 @@ def _stats_partials(batch: pd.DataFrame) -> pd.DataFrame:
             }
         )
     )
-    return pd.concat(frames, ignore_index=True)
+    out = pd.concat(frames, ignore_index=True)
+    key = (
+        out["kind"].to_numpy().astype(np.int64) * 0x9E3779B9
+        + out["rel_id"].to_numpy() * 0x85EBCA6B
+        + out["id"].to_numpy() * 0xC2B2AE35
+    ) % (1 << 61)
+    out.insert(0, "part", (key % n_parts).astype(np.int32))
+    return out
 
 
-def _stats_reduce(batch: pd.DataFrame) -> pd.DataFrame:
-    """(kind, rel_id, id, cnt-sum) → (kind, rel_id, v): distinct kinds
-    count rows, the raw kind carries its summed count."""
-    v = np.where(batch["kind"].to_numpy() == 2, batch["cnt"].to_numpy(), 1)
-    out = pd.DataFrame(
-        {"kind": batch["kind"], "rel_id": batch["rel_id"], "v": v.astype(np.int64)}
+def _stats_combine(part: pd.DataFrame) -> pd.DataFrame:
+    """Per-partition vectorized combine: dedup (kind, rel_id, id), then
+    per-(kind, rel_id) partial counts/sums → tiny final groupby."""
+    g = part.groupby(["kind", "rel_id", "id"], as_index=False)["cnt"].sum()
+    v = np.where(g["kind"].to_numpy() == 2, g["cnt"].to_numpy(), 1)
+    g2 = pd.DataFrame(
+        {"kind": g["kind"], "rel_id": g["rel_id"], "v": v.astype(np.int64)}
     )
-    return out.groupby(["kind", "rel_id"], as_index=False)["v"].sum()
+    return g2.groupby(["kind", "rel_id"], as_index=False)["v"].sum()
 
 
 def pred_stats(facts: ray.data.Dataset, preds_df: pd.DataFrame) -> pd.DataFrame:
     """Per-pred n_triples / n_distinct(head) / n_distinct(tail) → func,
-    func_inv (objects/Relation.py:45-49), via ONE tagged partial stream
-    and two grouped reductions (shuffles move per-batch partials, never
-    raw facts)."""
+    func_inv (objects/Relation.py:45-49): one P-way partitioned shuffle
+    with vectorized combine + one tiny final groupby over ≤ P×n_preds×3
+    partial rows."""
     from ray.data.aggregate import Sum
 
     tagged = facts.map_batches(_stats_partials, batch_format="pandas")
-    uniq = tagged.groupby(["kind", "rel_id", "id"]).aggregate(
-        Sum("cnt", alias_name="cnt")
+    partials = tagged.groupby("part").map_groups(
+        _stats_combine, batch_format="pandas"
     )
     per_rel = (
-        uniq.map_batches(_stats_reduce, batch_format="pandas")
-        .groupby(["kind", "rel_id"])
+        partials.groupby(["kind", "rel_id"])
         .aggregate(Sum("v", alias_name="v"))
         .to_pandas()
     )
@@ -412,21 +423,27 @@ def functionality_by_pred(triples: ray.data.Dataset) -> pd.DataFrame:
                 }
             )
         )
-        return pd.concat(frames, ignore_index=True)
-
-    def reduce_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        v = np.where(batch["kind"].to_numpy() == 2, batch["cnt"].to_numpy(), 1)
-        out = pd.DataFrame(
-            {"kind": batch["kind"], "pred": batch["pred"], "v": v.astype(np.int64)}
+        out = pd.concat(frames, ignore_index=True)
+        key = (
+            pd.util.hash_array(out["pred"].to_numpy(dtype=object))
+            ^ pd.util.hash_array(out["id"].to_numpy(dtype=object))
+            ^ (out["kind"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B9))
         )
-        return out.groupby(["kind", "pred"], as_index=False)["v"].sum()
+        out.insert(0, "part", (key % np.uint64(_STATS_NPARTS)).astype(np.int32))
+        return out
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["kind", "pred", "id"], as_index=False)["cnt"].sum()
+        v = np.where(g["kind"].to_numpy() == 2, g["cnt"].to_numpy(), 1)
+        g2 = pd.DataFrame(
+            {"kind": g["kind"], "pred": g["pred"], "v": v.astype(np.int64)}
+        )
+        return g2.groupby(["kind", "pred"], as_index=False)["v"].sum()
 
     tagged = triples.map_batches(partials, batch_format="pandas")
-    uniq = tagged.groupby(["kind", "pred", "id"]).aggregate(
-        Sum("cnt", alias_name="cnt")
-    )
     per_pred = (
-        uniq.map_batches(reduce_rows, batch_format="pandas")
+        tagged.groupby("part")
+        .map_groups(combine, batch_format="pandas")
         .groupby(["kind", "pred"])
         .aggregate(Sum("v", alias_name="v"))
         .to_pandas()
