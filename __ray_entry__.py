@@ -280,17 +280,25 @@ def q_pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]
     )
 
-    def rev(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["revenue"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
-        return batch
+        return batch.groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False
+        ).agg(
+            n=("l_quantity", "size"),
+            sum_qty=("l_quantity", "sum"),
+            revenue=("revenue", "sum"),
+        )
 
+    # pre-aggregate per batch: the groupby shuffles one row per
+    # (flag, status) per batch instead of every lineitem row
     out = (
-        li.map_batches(rev, batch_format="pandas")
+        li.map_batches(partial, batch_format="pandas")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Count(alias_name="n"),
-            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("n", alias_name="n"),
+            Sum("sum_qty", alias_name="sum_qty"),
             Sum("revenue", alias_name="revenue"),
         )
         .to_pandas()
@@ -306,20 +314,27 @@ def q_top_customers(sf_dir: str):
 
     orders = _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
-    j = orders.join(
-        cust,
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("o_custkey", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), total=("o_totalprice", "sum")
+        )
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"), Sum("total", alias_name="total")
+        )
+    )
+    j = per_cust.map_batches(lambda t: t, batch_format="pyarrow").join(
+        cust.map_batches(lambda t: t, batch_format="pyarrow"),
         join_type="inner",
         num_partitions=4,
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
-    agg = (
-        j.groupby("c_name")
-        .aggregate(
-            Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
-        )
-        .to_pandas()
-    )
+    agg = j.select_columns(["c_name", "n_orders", "total"]).to_pandas()
     agg["total"] = agg["total"].round(2)
     return (
         agg.sort_values(["total", "c_name"], ascending=[False, True])

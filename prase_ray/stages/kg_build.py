@@ -139,42 +139,50 @@ def _dense_rank(sorted_ds: ray.data.Dataset, assign_remote):
     return ray.data.from_arrow_refs(out_refs), int(counts.sum()), flagged
 
 
+def _with_part(out: pd.DataFrame, n_parts: int = 32) -> pd.DataFrame:
+    key = pd.util.hash_array(out["name"].to_numpy(dtype=object))
+    out.insert(0, "part", (key % np.uint64(n_parts)).astype(np.int32))
+    return out
+
+
 def _node_names_batch(batch: pd.DataFrame) -> pd.DataFrame:
     sub = pd.DataFrame(
         {"name": batch["subj"], "is_literal": batch["subj_is_lit"]}
     )
     obj = pd.DataFrame({"name": batch["obj"], "is_literal": batch["obj_is_lit"]})
     out = pd.concat([sub, obj], ignore_index=True)
-    return out.drop_duplicates()  # batch-local distinct → smaller shuffle
-
-
-def intern_nodes(triples_inv: ray.data.Dataset) -> ray.data.Dataset:
-    names = triples_inv.map_batches(_node_names_batch, batch_format="pandas")
-    distinct = (
-        names.groupby(["is_literal", "name"])
-        .count()
-        .drop_columns(["count()"])
-        .sort(["is_literal", "name"])  # entities (False) first → dense ids
-    )
-    return _dense_rank(distinct, _assign_node_ids)[0]
+    return _with_part(out.drop_duplicates())  # batch-local distinct
 
 
 def _pred_names_batch(batch: pd.DataFrame) -> pd.DataFrame:
     out = pd.DataFrame(
         {"name": batch["pred"], "is_attribute": batch["pred_is_attr"]}
     )
-    return out.drop_duplicates()
+    return _with_part(out.drop_duplicates())
+
+
+def _distinct_sorted(names: ray.data.Dataset, class_col: str) -> ray.data.Dataset:
+    """Exact distinct (name, class) via hash-partitioned vectorized
+    dedup (D1), then a global sort of the (much smaller) distinct table
+    — class False first, then name, so dense ids come out class-ordered."""
+    return (
+        names.groupby("part")
+        .map_groups(
+            lambda g: g.drop_duplicates([class_col, "name"]).drop(columns=["part"]),
+            batch_format="pandas",
+        )
+        .sort([class_col, "name"])
+    )
+
+
+def intern_nodes(triples_inv: ray.data.Dataset) -> ray.data.Dataset:
+    names = triples_inv.map_batches(_node_names_batch, batch_format="pandas")
+    return _dense_rank(_distinct_sorted(names, "is_literal"), _assign_node_ids)[0]
 
 
 def intern_preds(triples_inv: ray.data.Dataset) -> ray.data.Dataset:
     names = triples_inv.map_batches(_pred_names_batch, batch_format="pandas")
-    distinct = (
-        names.groupby(["is_attribute", "name"])
-        .count()
-        .drop_columns(["count()"])
-        .sort(["is_attribute", "name"])  # relations first
-    )
-    return _dense_rank(distinct, _assign_pred_ids)[0]
+    return _dense_rank(_distinct_sorted(names, "is_attribute"), _assign_pred_ids)[0]
 
 
 # --------------------------------------------------------------------------
@@ -603,24 +611,16 @@ def build_kg(
     tinv = add_inverse_edges(triples).materialize()
 
     node_names = tinv.map_batches(_node_names_batch, batch_format="pandas")
-    node_distinct = (
-        node_names.groupby(["is_literal", "name"])
-        .count()
-        .drop_columns(["count()"])
-        .sort(["is_literal", "name"])
+    nodes, n_nodes, n_literals = _dense_rank(
+        _distinct_sorted(node_names, "is_literal"), _assign_node_ids
     )
-    nodes, n_nodes, n_literals = _dense_rank(node_distinct, _assign_node_ids)
     nodes = nodes.materialize()
     n_entities = n_nodes - n_literals
 
     pred_names = tinv.map_batches(_pred_names_batch, batch_format="pandas")
-    pred_distinct = (
-        pred_names.groupby(["is_attribute", "name"])
-        .count()
-        .drop_columns(["count()"])
-        .sort(["is_attribute", "name"])
+    preds, n_preds, n_attributes = _dense_rank(
+        _distinct_sorted(pred_names, "is_attribute"), _assign_pred_ids
     )
-    preds, n_preds, n_attributes = _dense_rank(pred_distinct, _assign_pred_ids)
     preds = preds.materialize()
     n_relations = n_preds - n_attributes
     preds_df = preds.to_pandas().sort_values("rel_id").reset_index(drop=True)

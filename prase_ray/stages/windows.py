@@ -1,9 +1,9 @@
 """Stream-shaped operators over the ordered events log (TESTDATA
 events table).  Ray Data has no event-time windowing; per the engine's
 documented model the input is treated as a partitioned log — windows
-are computed with a derived window-id column + groupby (tumbling) or
-per-key sorted map_groups (sessions).  Ordering assumption: rows within
-one (key, window) group fit a group batch and are sorted in-group.
+are computed with a derived window-id column + pre-aggregated groupby
+(tumbling) or hash-partitioned vectorized scans (sessions).  Ordering
+is by (ts, event_id) within a key — deterministic tie-break.
 """
 
 from __future__ import annotations
@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Max, Min, Sum
 
 
 def add_tumbling_window(
@@ -35,17 +35,43 @@ def tumbling_aggregate(
     window_s: int,
     key: str = "event_type",
     value_col: str = "value",
+    ts_col: str = "ts",
 ) -> ray.data.Dataset:
-    """Tumbling-window grouped aggregate: one shuffle on
-    (key, window_start)."""
-    win = add_tumbling_window(events, window_s)
-    return win.groupby([key, "window_start"]).aggregate(
-        Count(alias_name="n_events"),
-        Sum(value_col, alias_name="sum_value"),
-        Mean(value_col, alias_name="avg_value"),
-        Min(value_col, alias_name="min_value"),
-        Max(value_col, alias_name="max_value"),
+    """Tumbling-window grouped aggregate.  Partial-aggregated inside
+    map_batches (one row per (key, window) per batch) before the global
+    groupby — the shuffle moves partials, not raw events."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = batch[ts_col].astype("int64") // 1_000_000
+        w = (epoch // window_s) * window_s
+        g = (
+            pd.DataFrame(
+                {key: batch[key], "window_start": w, "v": batch[value_col]}
+            )
+            .groupby([key, "window_start"], as_index=False)
+            .agg(
+                n_events=("v", "size"),
+                sum_value=("v", "sum"),
+                min_value=("v", "min"),
+                max_value=("v", "max"),
+            )
+        )
+        return g
+
+    partials = events.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby([key, "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+        Min("min_value", alias_name="min_value"),
+        Max("max_value", alias_name="max_value"),
     )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["avg_value"] = batch["sum_value"] / batch["n_events"]
+        return batch
+
+    return agg.map_batches(finish, batch_format="pandas")
 
 
 def sessionize(
@@ -53,47 +79,106 @@ def sessionize(
     gap_s: int,
     key: str = "user_id",
     ts_col: str = "ts",
+    n_parts: int = 32,
 ) -> ray.data.Dataset:
-    """Session windows per key: a new session starts when the gap to the
-    previous event exceeds ``gap_s`` (gaps-and-islands).  One shuffle on
-    the key; per-group pandas does the in-order scan."""
+    """Session windows per key (gaps-and-islands): a new session starts
+    when the gap to the previous event exceeds ``gap_s``.  Keys are
+    hash-partitioned; each partition sessionizes ALL its keys in one
+    vectorized sorted scan (no per-key Python)."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, "event_id"])  # deterministic tie-break
-        epoch = g[ts_col].astype("int64") // 1_000_000
-        gap = epoch.diff().fillna(np.inf)
-        new_sess = (gap > gap_s).astype(np.int64)
-        sess_idx = new_sess.cumsum()  # 1-based within key
-        out = pd.DataFrame(
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[key, "event_id", ts_col]].copy()
+        out.insert(
+            0,
+            "part",
+            (
+                pd.util.hash_array(out[key].to_numpy(np.int64).astype(np.uint64))
+                % np.uint64(n_parts)
+            ).astype(np.int32),
+        )
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, "event_id"])
+        es = g[ts_col].astype("int64").to_numpy() // 1_000_000
+        users = g[key].to_numpy()
+        new_user = np.ones(len(g), bool)
+        new_user[1:] = users[1:] != users[:-1]
+        gap = np.ones(len(g), np.float64) * np.inf
+        gap[1:] = es[1:] - es[:-1]
+        new_sess = new_user | (gap > gap_s)
+        s = np.cumsum(new_sess)
+        # session index restarts at 1 per user
+        user_start = np.where(new_user, s, 0)
+        start_ff = np.maximum.accumulate(user_start)
+        sess_idx = s - start_ff + 1
+        return pd.DataFrame(
             {
-                key: g[key].to_numpy(),
-                "session_idx": sess_idx.to_numpy(),
+                key: users,
+                "session_idx": sess_idx.astype(np.int64),
                 "event_id": g["event_id"].to_numpy(),
                 "ts": g[ts_col].to_numpy(),
             }
         )
-        return out
 
-    return events.groupby(key).map_groups(per_key, batch_format="pandas")
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
 
 
 def session_stats(
-    events: ray.data.Dataset, gap_s: int, key: str = "user_id"
+    events: ray.data.Dataset,
+    gap_s: int,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    n_parts: int = 32,
 ) -> ray.data.Dataset:
-    """Per-session stats (n_events, start/end) from sessionize."""
-    sess = sessionize(events, gap_s, key=key)
+    """Per-session stats — same hash-partitioned vectorized scan as
+    sessionize, with the per-session reduction fused into the partition
+    pass (a session is entirely inside its key's partition)."""
 
-    def agg(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[key, "event_id", ts_col]].copy()
+        out.insert(
+            0,
+            "part",
+            (
+                pd.util.hash_array(out[key].to_numpy(np.int64).astype(np.uint64))
+                % np.uint64(n_parts)
+            ).astype(np.int32),
+        )
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, "event_id"])
+        es = g[ts_col].astype("int64").to_numpy() // 1_000_000
+        users = g[key].to_numpy()
+        new_user = np.ones(len(g), bool)
+        new_user[1:] = users[1:] != users[:-1]
+        gap = np.ones(len(g), np.float64) * np.inf
+        gap[1:] = es[1:] - es[:-1]
+        new_sess = new_user | (gap > gap_s)
+        s = np.cumsum(new_sess)
+        user_start = np.where(new_user, s, 0)
+        start_ff = np.maximum.accumulate(user_start)
+        sess_idx = s - start_ff + 1
+        df = pd.DataFrame(
             {
-                key: [g[key].iloc[0]],
-                "session_idx": [g["session_idx"].iloc[0]],
-                "n_events": [len(g)],
-                "session_start": [g["ts"].min()],
-                "session_end": [g["ts"].max()],
+                key: users,
+                "session_idx": sess_idx.astype(np.int64),
+                "ts": g[ts_col].to_numpy(),
             }
         )
+        return df.groupby([key, "session_idx"], as_index=False).agg(
+            n_events=("ts", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        )
 
-    return sess.groupby([key, "session_idx"]).map_groups(
-        agg, batch_format="pandas"
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
     )
