@@ -99,11 +99,26 @@ def drop_degenerate_buckets(
     (tiny by definition); membership is filtered via a broadcast set."""
     import ray
 
-    counts = sigs.groupby(key_cols).count()
-    big = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater(t["count()"], max_bucket)),
-        batch_format="pyarrow",
-    ).to_pandas()
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(key_cols, as_index=False).size()
+        key = np.zeros(len(g), np.uint64)
+        for c in key_cols:
+            key ^= pd.util.hash_array(g[c].to_numpy())
+        g.insert(0, "part", (key % np.uint64(32)).astype(np.int32))
+        return g
+
+    def overfull(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(key_cols, as_index=False)["size"].sum()
+        return g[g["size"] > max_bucket][key_cols]
+
+    # vectorized two-level count: only OVERFULL bucket keys (tiny by
+    # definition) ever reach the driver
+    big = (
+        sigs.map_batches(partial_counts, batch_format="pandas")
+        .groupby("part")
+        .map_groups(overfull, batch_format="pandas")
+        .to_pandas()
+    )
     if big.empty:
         return sigs
     ban = set(map(tuple, big[key_cols].to_numpy()))
@@ -171,20 +186,33 @@ def minhash_lsh_candidates(
         batch_format="pandas",
         fn_kwargs=dict(k=k, num_hashes=num_hashes, bands=bands, seed=seed),
     )
+    def to_pairs(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "a": t["doc_id"].to_numpy(zero_copy_only=False),
+                "b": t["doc_id_r"].to_numpy(zero_copy_only=False),
+            }
+        )
+        key = pd.util.hash_array(
+            df["a"].to_numpy(np.int64).astype(np.uint64)
+        ) ^ pd.util.hash_array(df["b"].to_numpy(np.int64).astype(np.uint64))
+        df.insert(0, "part", (key % np.uint64(32)).astype(np.int32))
+        return df
+
     pairs = _bucket_self_join(
         sigs,
         ["band", "band_hash"],
         [],
         max_bucket=max_bucket,
         num_partitions=num_partitions,
-    ).map_batches(
-        lambda t: t.select(["doc_id", "doc_id_r"]).rename_columns(["a", "b"]),
-        batch_format="pyarrow",
-    )
-    # dedup pairs surfaced by multiple bands
-    from ray.data.aggregate import Count
+    ).map_batches(to_pairs, batch_format="pyarrow")
 
-    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+    # dedup pairs surfaced by multiple bands — partitioned vectorized
+    def dedup_part(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["a", "b"], as_index=False).size()
+        return g.rename(columns={"size": "n_bands"})
+
+    return pairs.groupby("part").map_groups(dedup_part, batch_format="pandas")
 
 
 def verify_jaccard(
