@@ -138,6 +138,14 @@ def web_to_kg(
     """The full DAG.  Returns a summary dict with stage metrics and the
     alignment result; writes the canonical graph when out_dir is set."""
     t0 = time.time()
+    stage_t: dict[str, float] = {}
+
+    def mark(name):
+        now = time.time()
+        stage_t[name] = round(now - mark.last, 3)
+        mark.last = now
+
+    mark.last = t0
     cfg = cfg or PrasConfig()
     texts = extract_text(pages)
     if verify_extraction:
@@ -154,15 +162,23 @@ def web_to_kg(
         ).count()
         if mism:
             raise AssertionError(f"{mism} urls with non-identical extracted text")
-    triples = extract_triples(texts, concurrency=cfg.concurrency)
+    # materialize the extraction ONCE — the two domain filters and both
+    # KG builds all consume it (lazy datasets re-execute per consumer)
+    triples = extract_triples(texts, concurrency=cfg.concurrency).materialize()
     t_l, t_r = split_triples_by_domain(triples)
+    mark("extract")
     kg_l = build_kg(t_l, name="web-KG1", concurrency=cfg.concurrency)
+    mark("build_kg_l")
     kg_r = build_kg(t_r, name="web-KG2", concurrency=cfg.concurrency)
+    mark("build_kg_r")
     pair = KGPair(kg_l, kg_r, cfg)
+    mark("seed")
     pair.run(iterations=iterations, verbose=False,
              checkpoint_dir=os.path.join(out_dir, "chk") if out_dir else None)
+    mark("paris")
     pred = pair.predicted_pairs(cfg.theta)
     summary = {
+        "stage_seconds": stage_t,
         "n_pages": pages.count(),
         "n_triples": triples.count(),
         "kg_l": {"entities": kg_l.n_entities, "facts": kg_l.facts.count()},

@@ -94,7 +94,7 @@ def extract_triples(
     pages_or_docs: ray.data.Dataset,
     *,
     concurrency: int = 4,
-    batch_size: int = 4096,
+    batch_size: int = 1024,
 ) -> ray.data.Dataset:
     """(url|doc) rows with a text column → raw_triples Dataset
     (url, subj, pred, obj, obj_is_literal)."""

@@ -136,7 +136,12 @@ class EvidenceActor:
             self.init,
             self.ent_align,
             self.n_parts,
+            self.fusion_func,
+            emb_l_ref,
+            emb_r_ref,
         ) = ray.get(state_ref)
+        self.emb_l = ray.get(emb_l_ref) if emb_l_ref is not None else None
+        self.emb_r = ray.get(emb_r_ref) if emb_r_ref is not None else None
         self.rel_align_l = PackedProbMap(ral_l_keys, ral_l_vals)
         self.rel_align_r = PackedProbMap(ral_r_keys, ral_r_vals)
         self.csr_off, self.csr_rel, self.csr_tail = ray.get(csr_ref)
@@ -220,16 +225,47 @@ class EvidenceActor:
                 1.0 - hp_c * prob_sub[cm] * func_l
             )
             keep_f = (1.0 - factor) > self.delta
-            # log-space so the per-(e,cand) product sums across batches
+            C_e = E_t[cm][keep_f]
+            C_c = tc[cm][keep_f]
+            C_w = np.log(factor[keep_f])
+            # Facts are globally tail-sorted, so every entity except the
+            # batch's FIRST and LAST tail value is entirely inside this
+            # batch — its candidate product/fusion/argmax (A5/A6) can be
+            # finalized HERE, eliminating its rows from the shuffle.
+            # Only boundary entities ship raw log-partials.
+            if len(t):
+                t_first, t_last = t[0], t[-1]
+                interior = (C_e != t_first) & (C_e != t_last)
+            else:
+                interior = np.zeros(len(C_e), bool)
             out.append(
                 _partial_sum(
                     KIND_CAND,
-                    E_t[cm][keep_f],
-                    tc[cm][keep_f],
-                    np.log(factor[keep_f]),
+                    C_e[~interior],
+                    C_c[~interior],
+                    C_w[~interior],
                     self.n_parts,
                 )
             )
+            if interior.any():
+                ge, gc, gw = _grouped_sum(
+                    C_e[interior], C_c[interior], C_w[interior]
+                )
+                be, bc, bv = _finalize_candidates(
+                    ge, gc, gw, self.emb_l, self.emb_r,
+                    self.fusion_func, self.init,
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "part": np.zeros(len(be), np.int32),
+                            "kind": np.full(len(be), KIND_BEST, np.int8),
+                            "a": be,
+                            "b": bc,
+                            "w": bv,
+                        }
+                    )
+                )
 
         frames = [f for f in out if f is not None]
         if not frames:
@@ -254,6 +290,19 @@ def _grouped_sum(a, b, w):
         (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
         sums,
     )
+
+
+def _finalize_candidates(ent, cand, logw, emb_l, emb_r, fusion_func, init):
+    """A5 finalize + T2/T3 fusion + A6 argmax over grouped (ent, cand)
+    log-sums → (ent, best_cand, raw fused val); ties → min cand."""
+    val = 1.0 - np.exp(logw)
+    if not init and emb_l is not None and emb_r is not None and fusion_func is not None:
+        val = fusion_func(val, emb_l[ent], emb_r[cand])
+    order = np.lexsort((cand, -val, ent))
+    e_s, c_s, v_s = ent[order], cand[order], val[order]
+    first = np.ones(len(e_s), bool)
+    first[1:] = e_s[1:] != e_s[:-1]
+    return e_s[first], c_s[first], v_s[first]
 
 
 _EMB_CACHE: dict = {}
@@ -288,31 +337,39 @@ def _combine_partition(part: pd.DataFrame, *, emb_l_ref, emb_r_ref, fusion_func,
     m = kinds == KIND_CAND
     if m.any():
         ent, cand, logw = _grouped_sum(a[m], b[m], w[m])
-        val = 1.0 - np.exp(logw)
         if (
             not init
             and emb_l_ref is not None
             and emb_r_ref is not None
-            and fusion_func is not None
         ):
             key = (emb_l_ref.hex(), emb_r_ref.hex())
             embs = _EMB_CACHE.get(key)
             if embs is None:
                 _EMB_CACHE.clear()
                 embs = _EMB_CACHE[key] = (ray.get(emb_l_ref), ray.get(emb_r_ref))
-            val = fusion_func(val, embs[0][ent], embs[1][cand])
-        order = np.lexsort((cand, -val, ent))
-        e_s, c_s, v_s = ent[order], cand[order], val[order]
-        first = np.ones(len(e_s), bool)
-        first[1:] = e_s[1:] != e_s[:-1]
+            emb_l, emb_r = embs
+        else:
+            emb_l = emb_r = None
+        e_s, c_s, v_s = _finalize_candidates(
+            ent, cand, logw, emb_l, emb_r, fusion_func, init
+        )
         frames.append(
             pd.DataFrame(
                 {
                     "kind": np.int8(KIND_BEST),
-                    "a": e_s[first],
-                    "b": c_s[first],
-                    "w": v_s[first],
+                    "a": e_s,
+                    "b": c_s,
+                    "w": v_s,
                 }
+            )
+        )
+    # pass through BEST rows finalized inside evidence batches (interior
+    # entities) — each entity appears exactly once across all batches
+    mb = kinds == KIND_BEST
+    if mb.any():
+        frames.append(
+            pd.DataFrame(
+                {"kind": np.int8(KIND_BEST), "a": a[mb], "b": b[mb], "w": w[mb]}
             )
         )
     if not frames:
@@ -374,14 +431,22 @@ def run_half_iteration(
             init,
             ent_align,
             cfg.evidence_num_partitions,
+            cfg.fusion_func,
+            emb_l_ref,
+            emb_r_ref,
         )
     )
     csr_ref = kg_r.csr_by_head_ref()
 
+    # batch size adapts so the evidence stage yields enough batches to
+    # occupy the whole CPU pool (a fixed large batch size can leave
+    # num_batches < num_cpus and serialize the pass)
+    n_facts = kg_l.n_facts or kg_l.facts.count()
+    bs = int(min(cfg.batch_size, max(4096, n_facts // (cfg.concurrency * 8))))
     tagged = kg_l.facts_by_tail().map_batches(
         evidence_fn,
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
+        batch_size=bs,
         num_cpus=cfg.num_cpus_per_actor,
         fn_kwargs={"state_ref": state_ref, "csr_ref": csr_ref},
     )
