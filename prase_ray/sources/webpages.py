@@ -27,43 +27,76 @@ _HTML_TMPL = (
 )
 
 
+def _hash_field(i: np.ndarray, j: int, field: int, seed: int) -> np.ndarray:
+    """Deterministic per-(page, sentence, field) pseudo-random uint64 —
+    independent of shard boundaries, fully vectorized."""
+    from prase_ray.functions.hashing import splitmix64
+
+    M = (1 << 64) - 1
+    x = (
+        i.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ^ np.uint64((j * 0xBF58476D1CE4E5B9) & M)
+        ^ np.uint64((seed * 0x94D049BB133111EB) & M)
+        ^ np.uint64((field * 0x2545F4914F6CDD1D) & M)
+    )
+    return splitmix64(x)
+
+
 def _page_rows(
     start: int, count: int, n_entities: int, sents_per_page: int, seed: int
 ) -> pd.DataFrame:
-    rows = []
-    for i in range(start, start + count):
-        rng = np.random.default_rng(seed * 1_000_003 + i)
-        side = i % 2  # even pages → kg1 domain, odd → kg2
-        domain = f"kg{side + 1}.example.com"
-        prefix = f"K{side + 1}_E"
-        sents = []
-        for _ in range(sents_per_page):
-            a = int(rng.integers(0, n_entities))
-            kind = rng.random()
-            if kind < 0.6:
-                v = REL_VERBS[int(rng.integers(0, len(REL_VERBS)))]
-                b = int(rng.integers(0, n_entities))
-                sents.append(f"{prefix}{a} {v} {prefix}{b}.")
-            elif kind < 0.85:
-                # shared literal across domains → literal-seed joins
-                sents.append(f"{prefix}{a} has_name name_{a}.")
-            else:
-                sents.append(f"{prefix}{a} has_code C{a:05d}.")
-        text = " ".join(sents)
-        url = f"https://{domain}/page/{i}"
-        html = _HTML_TMPL.format(title=f"Page {i}", nav=i, text=text)
-        rows.append(
-            {
-                "url": url,
-                "warc_ts": pd.Timestamp("2024-01-01")
-                + pd.Timedelta(seconds=int(i)),
-                "html": html.encode("utf-8"),
-                "text": text,
-                "lang": "en",
-            }
+    i = np.arange(start, start + count, dtype=np.int64)
+    side = (i % 2).astype(np.int64)
+    prefix = np.where(side == 0, "K1_E", "K2_E")
+    domain = np.where(side == 0, "kg1.example.com", "kg2.example.com")
+
+    sent_cols = []
+    for j in range(sents_per_page):
+        a = (_hash_field(i, j, 1, seed) % np.uint64(n_entities)).astype(np.int64)
+        kind = _hash_field(i, j, 2, seed) / 2.0**64
+        v_idx = (
+            _hash_field(i, j, 3, seed) % np.uint64(len(REL_VERBS))
+        ).astype(np.int64)
+        b = (_hash_field(i, j, 4, seed) % np.uint64(n_entities)).astype(np.int64)
+
+        ea = pd.Series(prefix, dtype=object) + pd.Series(a).astype(str)
+        eb = pd.Series(prefix, dtype=object) + pd.Series(b).astype(str)
+        verbs = pd.Series(np.array(REL_VERBS, dtype=object)[v_idx])
+        rel_sent = ea + " " + verbs + " " + eb + "."
+        # shared literals across domains → literal-seed joins
+        name_sent = ea + " has_name name_" + pd.Series(a).astype(str) + "."
+        code_sent = (
+            ea
+            + " has_code C"
+            + pd.Series(a).astype(str).str.zfill(5)
+            + "."
         )
-    df = pd.DataFrame(rows)
-    return df
+        sent = rel_sent.where(
+            kind < 0.6, name_sent.where(kind < 0.85, code_sent)
+        )
+        sent_cols.append(sent)
+
+    text = sent_cols[0]
+    for s in sent_cols[1:]:
+        text = text + " " + s
+
+    url = "https://" + pd.Series(domain, dtype=object) + "/page/" + pd.Series(i).astype(str)
+    istr = pd.Series(i).astype(str)
+    html = (
+        "<html><head><title>Page " + istr + "</title></head>"
+        "<body><nav>boilerplate nav " + istr + "</nav><p>" + text
+        + "</p><footer>footer " + istr + "</footer></body></html>"
+    )
+    return pd.DataFrame(
+        {
+            "url": url,
+            "warc_ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(i, unit="s"),
+            "html": html.str.encode("utf-8"),
+            "text": text,
+            "lang": "en",
+        }
+    )
 
 
 def synth_web_pages(
