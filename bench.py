@@ -66,7 +66,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     # --- flagship: web pages → extract → two KGs → PRASE → canonical ---
     scaling_mode = os.environ.get("RAY_GRAFT_SCALING") == "1"
-    page_scale = 4 if scaling_mode else 1  # scaling run: compute-dominant
+    page_scale = 16 if scaling_mode else 1  # scaling run: compute-dominant
     n_pages = max(200, int(20000 * sf * 10)) * page_scale
     n_entities = max(50, n_pages // 8)
     conc = max(2, num_cpus // 2)

@@ -147,6 +147,10 @@ def web_to_kg(
 
     mark.last = t0
     cfg = cfg or PrasConfig()
+    # materialize the input once: every later touch (extraction, counts)
+    # would otherwise re-execute the read/synthesis pipeline
+    pages = pages.materialize()
+    n_pages = pages.count()
     texts = extract_text(pages)
     if verify_extraction:
         # per-url byte-identical invariant (input_hint): compare against
@@ -167,10 +171,20 @@ def web_to_kg(
     triples = extract_triples(texts, concurrency=cfg.concurrency).materialize()
     t_l, t_r = split_triples_by_domain(triples)
     mark("extract")
-    kg_l = build_kg(t_l, name="web-KG1", concurrency=cfg.concurrency)
-    mark("build_kg_l")
-    kg_r = build_kg(t_r, name="web-KG2", concurrency=cfg.concurrency)
-    mark("build_kg_r")
+    # the two KG builds are independent — overlap their (driver-blocking)
+    # pipeline executions on two threads
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fut_l = ex.submit(
+            build_kg, t_l, name="web-KG1", concurrency=cfg.concurrency
+        )
+        fut_r = ex.submit(
+            build_kg, t_r, name="web-KG2", concurrency=cfg.concurrency
+        )
+        kg_l = fut_l.result()
+        kg_r = fut_r.result()
+    mark("build_kgs")
     pair = KGPair(kg_l, kg_r, cfg)
     mark("seed")
     pair.run(iterations=iterations, verbose=False,
@@ -179,7 +193,7 @@ def web_to_kg(
     pred = pair.predicted_pairs(cfg.theta)
     summary = {
         "stage_seconds": stage_t,
-        "n_pages": pages.count(),
+        "n_pages": n_pages,
         "n_triples": triples.count(),
         "kg_l": {"entities": kg_l.n_entities, "facts": kg_l.facts.count()},
         "kg_r": {"entities": kg_r.n_entities, "facts": kg_r.facts.count()},
