@@ -85,9 +85,29 @@ def _nrows(tbl: pa.Table) -> tuple:
     return tbl.num_rows, flags
 
 
+_EMPTY_NODES = pa.schema(
+    [
+        ("ent_id", pa.int64()),
+        ("name", pa.string()),
+        ("value", pa.string()),
+        ("is_literal", pa.bool_()),
+    ]
+)
+_EMPTY_PREDS = pa.schema(
+    [
+        ("rel_id", pa.int64()),
+        ("name", pa.string()),
+        ("value", pa.string()),
+        ("is_attribute", pa.bool_()),
+    ]
+)
+
+
 @ray.remote
 def _assign_node_ids(tbl: pa.Table, offset: int) -> pa.Table:
     df = tbl.to_pandas()
+    if df.empty:
+        return _EMPTY_NODES.empty_table()
     ids = np.arange(offset, offset + len(df), dtype=np.int64)
     is_lit = df["is_literal"].to_numpy(dtype=bool)
     names = df["name"].astype(str)
@@ -110,6 +130,8 @@ def _assign_node_ids(tbl: pa.Table, offset: int) -> pa.Table:
 @ray.remote
 def _assign_pred_ids(tbl: pa.Table, offset: int) -> pa.Table:
     df = tbl.to_pandas()
+    if df.empty:
+        return _EMPTY_PREDS.empty_table()
     ids = np.arange(offset, offset + len(df), dtype=np.int64)
     names = df["name"].astype(str)
     out = pd.DataFrame(
