@@ -250,19 +250,18 @@ def main():
             return json.loads(out.strip().splitlines()[-1])
 
         lo, hi = 8, 32
-        k_lo = sub(lo, kernel=True)
-        k_hi = sub(hi, kernel=True)
-        eff = (k_lo["value"] / k_hi["value"]) / (hi / lo)
+        r_lo = sub(lo, kernel=False)
+        r_hi = sub(hi, kernel=False)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         print(
             json.dumps(
                 {
-                    "kernel": "paris evidence+combine pass (core propagation)",
-                    "sec_8": k_lo["value"],
-                    "sec_32": k_hi["value"],
-                    "facts_per_sec_8": k_lo["facts_per_sec"],
-                    "facts_per_sec_32": k_hi["facts_per_sec"],
+                    "workload": "web_kg flagship end-to-end (16x pages)",
+                    "sec_8": r_lo["value"],
+                    "sec_32": r_hi["value"],
+                    "triples_per_sec_8": r_lo.get("triples_per_sec"),
+                    "triples_per_sec_32": r_hi.get("triples_per_sec"),
                     "scaling_efficiency": round(eff, 3),
-                    "n_facts": k_lo["n_facts"],
                 }
             )
         )

@@ -171,19 +171,8 @@ def web_to_kg(
     triples = extract_triples(texts, concurrency=cfg.concurrency).materialize()
     t_l, t_r = split_triples_by_domain(triples)
     mark("extract")
-    # the two KG builds are independent — overlap their (driver-blocking)
-    # pipeline executions on two threads
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        fut_l = ex.submit(
-            build_kg, t_l, name="web-KG1", concurrency=cfg.concurrency
-        )
-        fut_r = ex.submit(
-            build_kg, t_r, name="web-KG2", concurrency=cfg.concurrency
-        )
-        kg_l = fut_l.result()
-        kg_r = fut_r.result()
+    kg_l = build_kg(t_l, name="web-KG1", concurrency=cfg.concurrency)
+    kg_r = build_kg(t_r, name="web-KG2", concurrency=cfg.concurrency)
     mark("build_kgs")
     pair = KGPair(kg_l, kg_r, cfg)
     mark("seed")
