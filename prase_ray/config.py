@@ -37,6 +37,15 @@ class PrasConfig:
     concurrency: int = 8             # actor-pool size for stateful stages
     num_cpus_per_actor: float = 1.0
     evidence_num_partitions: int = 32  # hash partitions for wide groupbys
+    # hot-key guard: max rows a single two-hop expansion may materialize
+    # at once inside an evidence task (celebrity counterparts are
+    # processed in fact-granular chunks within this budget)
+    expand_row_budget: int = 4_000_000
+    # PARIS formulation: 'broadcast' holds the right KG's CSR in the
+    # object store (conformance / node-fits-memory path); 'join'
+    # re-expresses the two-hop evidence walk as dataflow joins
+    # (web-scale path, SURVEY.md §7.1 stage 7a)
+    paris_mode: str = "broadcast"
 
     # --- determinism ---
     seed: int = 42

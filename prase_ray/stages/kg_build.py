@@ -490,6 +490,26 @@ def functionality_by_pred(triples: ray.data.Dataset) -> pd.DataFrame:
     ]
 
 
+@ray.remote
+def _build_csr(n_nodes: int, *blocks: pa.Table):
+    """Build the head-indexed CSR from fact blocks inside a worker task;
+    the returned tuple lives in the object store (never on the driver)."""
+    # repartition() pads with empty ZERO-COLUMN blocks — skip those
+    blocks = [b for b in blocks if "head_id" in b.schema.names and b.num_rows]
+    if blocks:
+        h = np.concatenate([b["head_id"].to_numpy() for b in blocks])
+        r = np.concatenate([b["rel_id"].to_numpy() for b in blocks])
+        t = np.concatenate([b["tail_id"].to_numpy() for b in blocks])
+    else:
+        h = r = t = np.empty(0, dtype=np.int64)
+    order = np.argsort(h, kind="stable")
+    h, r, t = h[order], r[order], t[order]
+    offsets = np.zeros(n_nodes + 1, dtype=np.int64)
+    np.add.at(offsets, h + 1, 1)
+    offsets = np.cumsum(offsets)
+    return offsets, r, t
+
+
 # --------------------------------------------------------------------------
 # KG bundle
 # --------------------------------------------------------------------------
@@ -512,6 +532,12 @@ class KGDataset:
     n_relations: int                # incl. -(INV) twins
     n_attributes: int
     n_facts: int = 0
+    # True iff ``facts`` is globally sorted by tail_id (build_kg
+    # guarantees it).  The PARIS evidence kernel only finalizes
+    # per-entity candidates inside a batch when this holds; with an
+    # unsorted facts table every candidate goes through the shuffle
+    # (correct, just more shuffle volume).
+    tail_sorted: bool = False
 
     _csr_ref: Optional[ray.ObjectRef] = field(default=None, repr=False)
     _func_ref: Optional[ray.ObjectRef] = field(default=None, repr=False)
@@ -544,33 +570,21 @@ class KGDataset:
     def csr_by_head_ref(self) -> ray.ObjectRef:
         """CSR adjacency (offsets, rel_ids, tail_ids) over head_id —
         the broadcast right-side index of the PARIS two-hop join
-        (fact_dict_by_head, objects/KG.py:212-219)."""
+        (fact_dict_by_head, objects/KG.py:212-219).  Built inside a Ray
+        TASK from the materialized fact blocks, so the driver never
+        holds the fact table; only the resulting object ref comes back
+        (driver RSS stays flat while building a multi-GB CSR)."""
         if self._csr_ref is None:
-            heads, rels, tails = [], [], []
-            for b in self.facts.iter_batches(
-                batch_size=1 << 20, batch_format="pyarrow"
-            ):
-                heads.append(b["head_id"].to_numpy())
-                rels.append(b["rel_id"].to_numpy())
-                tails.append(b["tail_id"].to_numpy())
-            if heads:
-                h = np.concatenate(heads)
-                r = np.concatenate(rels)
-                t = np.concatenate(tails)
-            else:
-                h = r = t = np.empty(0, dtype=np.int64)
-            order = np.argsort(h, kind="stable")
-            h, r, t = h[order], r[order], t[order]
-            offsets = np.zeros(self.n_nodes + 1, dtype=np.int64)
-            np.add.at(offsets, h + 1, 1)
-            offsets = np.cumsum(offsets)
-            self._csr_ref = ray.put((offsets, r, t))
+            refs = self.facts.materialize().to_arrow_refs()
+            self._csr_ref = _build_csr.remote(self.n_nodes, *refs)
         return self._csr_ref
 
     def facts_by_tail(self) -> ray.data.Dataset:
         """The streamed left side of the PARIS pass (fact_dict_by_tail,
-        objects/KG.py:212-219) — just the facts table; the kernel groups
-        per batch, no global sort needed."""
+        objects/KG.py:212-219) — the facts table.  When ``tail_sorted``
+        the evidence kernel finalizes interior entities per batch; when
+        not, all candidate partials go through the shuffle (slower but
+        correct for hand-built KGDatasets with unsorted facts)."""
         return self.facts
 
     def nodes_df(self) -> pd.DataFrame:
@@ -677,4 +691,5 @@ def build_kg(
         n_relations=n_relations,
         n_attributes=n_attributes,
         n_facts=facts.count(),
+        tail_sorted=True,
     )

@@ -40,6 +40,7 @@ import ray
 import ray.data
 
 from prase_ray.config import PrasConfig
+from prase_ray.functions.hashing import splitmix64
 from prase_ray.state.alignment import AlignState, PackedProbMap
 from prase_ray.stages.kg_build import KGDataset
 
@@ -47,6 +48,15 @@ KIND_NORM = 0      # (rel)            → Σ P(h≡h')·P(e≡e')     [A3]
 KIND_ONGOING = 1   # (rel, rel_cp)    → Σ P(h≡h')·P(e≡e')     [A2]
 KIND_CAND = 2      # (ent, cand)      → Σ log(factor)          [A5]
 KIND_BEST = 3      # (ent, best_cand) → fused argmax value      [A6]
+
+
+def _part_hash(a: np.ndarray, kind: int, n_parts: int) -> np.ndarray:
+    """Partition id for shuffle keys.  All arithmetic in uint64: an
+    int64 array times a >2**63 Python int silently promotes to float64
+    on numpy 1.x (collapsing every key onto ~1 partition) and raises
+    OverflowError on numpy 2.x."""
+    mixed = splitmix64(a.astype(np.uint64) ^ np.uint64(kind * 0x9E3779B9 + 1))
+    return (mixed % np.uint64(n_parts)).astype(np.int32)
 
 
 def _segment_expand(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
@@ -78,9 +88,7 @@ def _partial_sum(
     uniq, inv = np.unique(key, return_inverse=True)
     sums = np.bincount(inv, weights=w, minlength=len(uniq))
     ua = (uniq >> np.uint64(32)).astype(np.int64)
-    part = (
-        ((ua * 0x9E3779B97F4A7C15 + kind) % (1 << 61)) % n_parts
-    ).astype(np.int32)
+    part = _part_hash(ua, kind, n_parts)
     return pd.DataFrame(
         {
             "part": part,
@@ -139,6 +147,8 @@ class EvidenceActor:
             self.fusion_func,
             emb_l_ref,
             emb_r_ref,
+            self.finalize_interior,
+            self.expand_budget,
         ) = ray.get(state_ref)
         self.emb_l = ray.get(emb_l_ref) if emb_l_ref is not None else None
         self.emb_r = ray.get(emb_r_ref) if emb_r_ref is not None else None
@@ -178,62 +188,95 @@ class EvidenceActor:
             )
         )
 
-        # J3 two-hop expansion over h' outgoing facts (PARIS.py:108-109)
+        # J3 two-hop expansion over h' outgoing facts (PARIS.py:108-109).
+        # HOT-KEY GUARD: a single counterpart with out-degree d referenced
+        # by f facts in this batch expands to f·d rows; unbounded
+        # np.repeat would blow a task's RSS on celebrity entities
+        # (SURVEY.md §4 skew note).  The expansion is processed in chunks
+        # of ≤ expand_budget rows (fact-granular, so one chunk is at most
+        # one fact's full adjacency); candidate log-partials are grouped
+        # per chunk (bounded by #distinct (ent, cand) — the output size)
+        # and merged after the loop.
         starts = self.csr_off[hc]
         counts = self.csr_off[hc + 1] - starts
-        pos = _segment_expand(starts, counts)
-        rc = self.csr_rel[pos]
-        tc = self.csr_tail[pos]
-        E_t = np.repeat(t, counts)
-        E_r = np.repeat(r, counts)
-        E_hp = np.repeat(hp, counts)
-        E_ec = np.repeat(ec, counts)
-        E_ep = np.repeat(ep, counts)
-
-        # J4: skip literal candidate tails (PARIS.py:110-111) — applies
-        # to BOTH the ongoing registration and candidates
-        lm = tc < self.n_entities_r
-        rc, tc = rc[lm], tc[lm]
-        E_t, E_r, E_hp, E_ec, E_ep = (
-            E_t[lm], E_r[lm], E_hp[lm], E_ec[lm], E_ep[lm],
+        cum = np.cumsum(counts)
+        total = int(cum[-1]) if len(cum) else 0
+        n_chunks = max(1, -(-total // max(1, self.expand_budget)))
+        bounds = np.searchsorted(
+            cum, np.linspace(0, total, n_chunks + 1)[1:-1], side="left"
         )
+        fact_bounds = np.concatenate([[0], bounds + 1, [len(t)]]).astype(np.int64)
+        fact_bounds = np.unique(fact_bounds)
 
-        # A2 ongoing: expansions hitting e's own counterpart
-        # (PARIS.py:112-115, eqv_prob > 0)
-        om = (tc == E_ec) & (E_ep > 0.0)
-        out.append(
-            _partial_sum(
-                KIND_ONGOING, E_r[om], rc[om], E_hp[om] * E_ep[om], self.n_parts
-            )
-        )
+        acc_e: list[np.ndarray] = []
+        acc_c: list[np.ndarray] = []
+        acc_w: list[np.ndarray] = []
+        for lo, hi in zip(fact_bounds[:-1], fact_bounds[1:]):
+            sl = slice(lo, hi)
+            cnt = counts[sl]
+            pos = _segment_expand(starts[sl], cnt)
+            rc = self.csr_rel[pos]
+            tc = self.csr_tail[pos]
+            E_t = np.repeat(t[sl], cnt)
+            E_r = np.repeat(r[sl], cnt)
+            E_hp = np.repeat(hp[sl], cnt)
+            E_ec = np.repeat(ec[sl], cnt)
+            E_ep = np.repeat(ep[sl], cnt)
 
-        if self.ent_align:
-            # J5 + register_ent_equality (PARIS.py:56-78)
-            prob_sub = self.rel_align_l.lookup(E_r, rc) / self.epsilon
-            prob_sup = self.rel_align_r.lookup(rc, E_r) / self.epsilon
-            low = (prob_sub < self.theta) & (prob_sup < self.theta)
-            if self.init:
-                prob_sub = np.where(low, self.theta, prob_sub)
-                prob_sup = np.where(low, self.theta, prob_sup)
-                cm = np.ones(len(prob_sub), bool)
-            else:
-                cm = ~low
-            func_l = self.func_l[E_r[cm]] / self.epsilon
-            func_r = self.func_r[rc[cm]] / self.epsilon
-            hp_c = E_hp[cm]
-            factor = (1.0 - hp_c * prob_sup[cm] * func_r) * (
-                1.0 - hp_c * prob_sub[cm] * func_l
+            # J4: skip literal candidate tails (PARIS.py:110-111) —
+            # applies to BOTH the ongoing registration and candidates
+            lm = tc < self.n_entities_r
+            rc, tc = rc[lm], tc[lm]
+            E_t, E_r, E_hp, E_ec, E_ep = (
+                E_t[lm], E_r[lm], E_hp[lm], E_ec[lm], E_ep[lm],
             )
-            keep_f = (1.0 - factor) > self.delta
-            C_e = E_t[cm][keep_f]
-            C_c = tc[cm][keep_f]
-            C_w = np.log(factor[keep_f])
-            # Facts are globally tail-sorted, so every entity except the
+
+            # A2 ongoing: expansions hitting e's own counterpart
+            # (PARIS.py:112-115, eqv_prob > 0)
+            om = (tc == E_ec) & (E_ep > 0.0)
+            out.append(
+                _partial_sum(
+                    KIND_ONGOING, E_r[om], rc[om], E_hp[om] * E_ep[om],
+                    self.n_parts,
+                )
+            )
+
+            if self.ent_align:
+                # J5 + register_ent_equality (PARIS.py:56-78)
+                prob_sub = self.rel_align_l.lookup(E_r, rc) / self.epsilon
+                prob_sup = self.rel_align_r.lookup(rc, E_r) / self.epsilon
+                low = (prob_sub < self.theta) & (prob_sup < self.theta)
+                if self.init:
+                    prob_sub = np.where(low, self.theta, prob_sub)
+                    prob_sup = np.where(low, self.theta, prob_sup)
+                    cm = np.ones(len(prob_sub), bool)
+                else:
+                    cm = ~low
+                func_l = self.func_l[E_r[cm]] / self.epsilon
+                func_r = self.func_r[rc[cm]] / self.epsilon
+                hp_c = E_hp[cm]
+                factor = (1.0 - hp_c * prob_sup[cm] * func_r) * (
+                    1.0 - hp_c * prob_sub[cm] * func_l
+                )
+                keep_f = (1.0 - factor) > self.delta
+                ge, gc, gw = _grouped_sum(
+                    E_t[cm][keep_f], tc[cm][keep_f], np.log(factor[keep_f])
+                )
+                acc_e.append(ge)
+                acc_c.append(gc)
+                acc_w.append(gw)
+
+        if self.ent_align and acc_e:
+            C_e, C_c, C_w = _grouped_sum(
+                np.concatenate(acc_e), np.concatenate(acc_c), np.concatenate(acc_w)
+            )
+            # When facts are globally tail-sorted (build_kg guarantees;
+            # finalize_interior gates it), every entity except the
             # batch's FIRST and LAST tail value is entirely inside this
             # batch — its candidate product/fusion/argmax (A5/A6) can be
             # finalized HERE, eliminating its rows from the shuffle.
             # Only boundary entities ship raw log-partials.
-            if len(t):
+            if self.finalize_interior and len(t):
                 t_first, t_last = t[0], t[-1]
                 interior = (C_e != t_first) & (C_e != t_last)
             else:
@@ -248,17 +291,18 @@ class EvidenceActor:
                 )
             )
             if interior.any():
-                ge, gc, gw = _grouped_sum(
-                    C_e[interior], C_c[interior], C_w[interior]
-                )
                 be, bc, bv = _finalize_candidates(
-                    ge, gc, gw, self.emb_l, self.emb_r,
+                    C_e[interior], C_c[interior], C_w[interior],
+                    self.emb_l, self.emb_r,
                     self.fusion_func, self.init,
                 )
                 out.append(
                     pd.DataFrame(
                         {
-                            "part": np.zeros(len(be), np.int32),
+                            # hash pass-through BEST rows by entity too:
+                            # a fixed part would funnel nearly every
+                            # per-entity row into one combine partition
+                            "part": _part_hash(be, KIND_BEST, self.n_parts),
                             "kind": np.full(len(be), KIND_BEST, np.int8),
                             "a": be,
                             "b": bc,
@@ -434,6 +478,8 @@ def run_half_iteration(
             cfg.fusion_func,
             emb_l_ref,
             emb_r_ref,
+            kg_l.tail_sorted,
+            cfg.expand_row_budget,
         )
     )
     csr_ref = kg_r.csr_by_head_ref()
@@ -491,15 +537,15 @@ def run_half_iteration(
         raw_vals = best["w"].to_numpy()
         args = best["b"].to_numpy(np.int64)
         if len(np.unique(ents)) != len(ents):
-            # safety net: duplicate per-entity rows (possible only if the
-            # facts table ever loses its tail-sort) → global argmax
-            order = np.lexsort((args, -raw_vals, ents))
-            e_s = ents[order]
-            first = np.ones(len(e_s), bool)
-            first[1:] = e_s[1:] != e_s[:-1]
-            ents = e_s[first]
-            raw_vals = raw_vals[order][first]
-            args = args[order][first]
+            # Interior finalization emitted two BEST rows for one entity
+            # — only possible if the facts table lost its tail-sort while
+            # tail_sorted stayed True.  An argmax over PARTIAL per-batch
+            # products would silently underestimate probabilities, so
+            # fail loudly instead (invariant enforced by build_kg).
+            raise AssertionError(
+                "duplicate per-entity BEST rows: facts are not globally "
+                "tail-sorted but KGDataset.tail_sorted is True"
+            )
         vals = np.clip(raw_vals, 0.0, 1.0)  # clip AFTER argmax
         upd = vals >= prob[ents]
         new_match[ents[upd]] = args[upd]
@@ -545,7 +591,10 @@ def bipartite_match(
     new_sub_prob = sub_prob.copy()
     if len(claim_e):
         back = new_sup_match[claim_c]
-        drop = back != claim_e
+        # unclaimed counterpart (back == -1) keeps the match — the
+        # reference `continue`s on sup_counterpart_id is None
+        # (objects/KGs.py:238-239); reachable only for prob-0.0 claims
+        drop = (back >= 0) & (back != claim_e)
         new_sub_match[claim_e[drop]] = -1
         new_sub_prob[claim_e[drop]] = 0.0
     return new_sub_match, new_sub_prob, new_sup_match, new_sup_prob
