@@ -718,4 +718,117 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY ROUND(SUM(o.o_totalprice), 2) DESC, c.c_name
             LIMIT 10
         """,
+        # token-exact semantics: a token is a maximal \S+ run; membership
+        # is exact equality after lower() — mirrors the vectorized
+        # regex-count kernels in prase_ray/stages/text.py
+        "quality_score": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       len(regexp_extract_all(text, '\\S+')) AS n,
+                       len(list_filter(
+                           regexp_extract_all(lower(text), '\\S+'),
+                           x -> x IN ('the','and','of','to','a','in','is','that','it','for')
+                       )) AS stop,
+                       length(text) AS n_chars,
+                       length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS sym
+                FROM documents
+            ), r AS (
+                SELECT doc_id, n,
+                       CAST(stop AS DOUBLE) / (CASE WHEN n = 0 THEN 1 ELSE n END) AS stopword_ratio,
+                       CAST(sym AS DOUBLE) / (CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END) AS symbol_ratio
+                FROM t
+            )
+            SELECT doc_id, stopword_ratio, symbol_ratio,
+                   0.4 * (LEAST(GREATEST(n / 50.0, 0), 1)
+                          * LEAST(GREATEST((5000 - n) / 5000.0, 0), 1))
+                   + 0.3 * LEAST(GREATEST(stopword_ratio * 4, 0), 1)
+                   + 0.3 * (1 - LEAST(GREATEST(symbol_ratio * 5, 0), 1)) AS quality
+            FROM r
+        """,
+        "lang_id": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\\S+') AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       len(toks) AS n,
+                       len(list_filter(toks, x -> regexp_matches(x, '[一-鿿]'))) AS cjk,
+                       len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu'))) AS c_de,
+                       len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS c_en,
+                       len(list_filter(toks, x -> x IN ('el','la','los','y','es','no','por','una','que','de'))) AS c_es,
+                       len(list_filter(toks, x -> x IN ('le','la','les','et','est','pas','pour','une','que'))) AS c_fr
+                FROM t
+            ), s AS (
+                SELECT doc_id, n,
+                       CAST(cjk AS DOUBLE) / GREATEST(n, 1) AS cjk_ratio,
+                       CAST(c_de AS DOUBLE) / GREATEST(n, 1) AS s_de,
+                       CAST(c_en AS DOUBLE) / GREATEST(n, 1) AS s_en,
+                       CAST(c_es AS DOUBLE) / GREATEST(n, 1) AS s_es,
+                       CAST(c_fr AS DOUBLE) / GREATEST(n, 1) AS s_fr
+                FROM c
+            )
+            SELECT doc_id,
+                   CASE WHEN n > 0 AND cjk_ratio > 0.2 THEN 'zh'
+                        WHEN n = 0 OR GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   CASE WHEN n > 0 AND cjk_ratio > 0.2 THEN cjk_ratio
+                        WHEN n = 0 OR GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 0.0
+                        ELSE GREATEST(s_de, s_en, s_es, s_fr) END AS lang_conf
+            FROM s
+        """,
+        # edges connect consecutive events of one user, so each user with
+        # >= 2 events forms exactly one component labeled by their min
+        # event id
+        "connected_components": """
+            SELECT CAST(event_id AS BIGINT) AS node,
+                   CAST(MIN(event_id) OVER (PARTITION BY user_id) AS BIGINT) AS label
+            FROM events
+            WHERE user_id IN (
+                SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) >= 2
+            )
+        """,
+        # string shingles stand in for the engine's hash shingles (the
+        # SET Jaccard is identical absent 64-bit hash collisions); docs
+        # with < k tokens contribute one whole-doc shingle, as the
+        # engine does
+        "ngram_jaccard": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, source,
+                       CASE
+                         WHEN len(toks) = 0 THEN []
+                         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                         ELSE list_transform(
+                             generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         )
+                       END AS shingles
+                FROM d
+            ), rows_ AS (
+                SELECT DISTINCT doc_id, source, unnest(shingles) AS shingle
+                FROM sh
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS sz FROM rows_ GROUP BY doc_id
+            ), inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+                FROM rows_ x JOIN rows_ y
+                  ON x.source = y.source AND x.shingle = y.shingle
+                 AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   ROUND(CAST(i AS DOUBLE) /
+                         (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.4
+        """,
     }

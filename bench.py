@@ -85,6 +85,25 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     extras["triples_per_sec"] = round(n_triples / timings["web_kg_flagship"], 1)
     extras["n_triples"] = n_triples
 
+    if not scaling_mode:
+        # 10x-scale flagship row: makes round-over-round SCALE
+        # regressions visible (a change that only hurts at volume shows
+        # up here, not in the sandbox-scale row)
+        def flagship_10x():
+            pages = synth_web_pages(
+                n_pages=n_pages * 10, n_entities=n_entities * 10, seed=42,
+                parallelism=num_cpus * 4,
+            )
+            cfg = PrasConfig(concurrency=conc, batch_size=131072)
+            return web_to_kg(pages, iterations=2, cfg=cfg, out_dir=None,
+                             verify_extraction=False)
+
+        s10 = timed("web_kg_flagship_10x", flagship_10x)
+        extras["triples_per_sec_10x"] = round(
+            s10["n_triples"] / timings["web_kg_flagship_10x"], 1
+        )
+        extras["n_triples_10x"] = s10["n_triples"]
+
     if scaling_mode:
         # scaling criterion measures the flagship only (the operator
         # suite is IO/overhead-bound at sf0.1 and would mask it)
@@ -125,6 +144,51 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "sf": sf,
         "num_cpus": num_cpus,
         **extras,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_extract_scaling(num_cpus: int, page_scale: int = 64) -> dict:
+    """Extraction-throughput scaling workload: synth pages → html→text →
+    OpenIE triples (the north-rule's 'triples extracted/sec' headline
+    stage).  Pure per-batch compute — no shuffle — so it isolates CPU
+    scaling from shuffle/orchestration latency."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from prase_ray.sources.webpages import synth_web_pages
+    from prase_ray.stages.extract import extract_text, extract_triples
+
+    n_pages = 20000 * page_scale
+    pages = synth_web_pages(
+        n_pages=n_pages, n_entities=n_pages // 8, seed=42,
+        parallelism=num_cpus * 4,
+    ).materialize()
+    t0 = time.time()
+    n_triples = extract_triples(
+        # actor pool sized to the WHOLE allocation: this workload is
+        # extraction-only, so no CPUs are reserved for other stages
+        extract_text(pages), concurrency=num_cpus
+    ).count()
+    elapsed = time.time() - t0
+    result = {
+        "value": round(elapsed, 3),
+        "unit": "sec",
+        "n_pages": n_pages,
+        "n_triples": int(n_triples),
+        "triples_per_sec": round(n_triples / elapsed, 1),
+        "num_cpus": num_cpus,
     }
     ray.shutdown()
     return result
@@ -238,11 +302,18 @@ def main():
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if "--scaling" in sys.argv:
-        def sub(ncpu: int, kernel: bool) -> dict:
+        # The sandbox host shows minute-scale performance variance (a
+        # single-threaded numpy sort swings +/-50% between runs), so one
+        # run per config is meaningless: run each config REPS times,
+        # ALTERNATING so slow host phases hit both configs, and report
+        # per-config medians.
+        import statistics
+
+        def sub(ncpu: int, extract: bool) -> dict:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
             args = [sys.executable, os.path.abspath(__file__)]
-            if kernel:
-                args.append("--scaling-kernel")
+            if extract:
+                args.append("--scaling-extract")
             else:
                 env["RAY_GRAFT_SCALING"] = "1"
             out = subprocess.run(
@@ -250,22 +321,46 @@ def main():
             ).stdout
             return json.loads(out.strip().splitlines()[-1])
 
-        lo, hi = 8, 32
-        r_lo = sub(lo, kernel=False)
-        r_hi = sub(hi, kernel=False)
-        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-        print(
-            json.dumps(
+        lo = int(os.environ.get("RAY_GRAFT_SCALING_LO", "8"))
+        hi = int(os.environ.get("RAY_GRAFT_SCALING_HI", "32"))
+        reps = int(os.environ.get("RAY_GRAFT_SCALING_REPS", "3"))
+        results = []
+        for workload, extract in (
+            ("extract_triples throughput (64x pages, compute-only)", True),
+            ("web_kg flagship end-to-end (16x pages)", False),
+        ):
+            runs = {lo: [], hi: []}
+            for _ in range(reps):
+                for n in (lo, hi):
+                    runs[n].append(sub(n, extract))
+            med = {
+                n: statistics.median(r["value"] for r in runs[n]) for n in (lo, hi)
+            }
+            eff = (med[lo] / med[hi]) / (hi / lo)
+            tps = {
+                n: round(
+                    statistics.median(r["triples_per_sec"] for r in runs[n]), 1
+                )
+                for n in (lo, hi)
+            }
+            results.append(
                 {
-                    "workload": "web_kg flagship end-to-end (16x pages)",
-                    "sec_8": r_lo["value"],
-                    "sec_32": r_hi["value"],
-                    "triples_per_sec_8": r_lo.get("triples_per_sec"),
-                    "triples_per_sec_32": r_hi.get("triples_per_sec"),
+                    "workload": workload,
+                    "reps": reps,
+                    f"sec_{lo}": med[lo],
+                    f"sec_{hi}": med[hi],
+                    f"sec_{lo}_all": [r["value"] for r in runs[lo]],
+                    f"sec_{hi}_all": [r["value"] for r in runs[hi]],
+                    f"triples_per_sec_{lo}": tps[lo],
+                    f"triples_per_sec_{hi}": tps[hi],
                     "scaling_efficiency": round(eff, 3),
                 }
             )
-        )
+        print(json.dumps({"scaling": results}))
+        return
+
+    if "--scaling-extract" in sys.argv:
+        print(json.dumps(run_extract_scaling(num_cpus)))
         return
 
     if "--scaling-kernel" in sys.argv:

@@ -45,6 +45,12 @@ class PrasConfig:
     # the core-private cache slice: measured 3.6x faster than 4M-row
     # chunks on a 32-core node (memory-subsystem-bound otherwise).
     expand_row_budget: int = 32768
+    # Final-combine gate: when both KGs' node counts fit under this,
+    # the per-batch-reduced evidence partials are concatenated and
+    # combined on the driver (one vectorized pass — same collect-final
+    # shape as ds.aggregate()); above it, a P-way grouped shuffle with
+    # per-partition vectorized combine runs instead (web-scale path).
+    driver_combine_max_nodes: int = 5_000_000
     # PARIS formulation: 'broadcast' holds the right KG's CSR in the
     # object store (conformance / node-fits-memory path); 'join'
     # re-expresses the two-hop evidence walk as dataflow joins

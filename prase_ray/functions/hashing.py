@@ -64,15 +64,17 @@ def shingle_hashes(
     sh_offsets = np.zeros(n_docs + 1, np.int64)
     np.cumsum(sh_counts, out=sh_offsets[1:])
 
-    # rolling polynomial combine: h_i = mix(sum_{j<k} tok[i+j] * C^j)
+    # rolling polynomial combine: h_i = mix(sum_{j<k} tok[i+j] * C^j);
+    # uint64 wraparound is intended (errstate silences the overflow warn)
     C = np.uint64(0x100000001B3)  # FNV prime
     acc = np.zeros(len(tok_hash), np.uint64)
     powc = np.uint64(1)
-    for j in range(k):
-        shifted = np.roll(tok_hash, -j)
-        acc = (acc + shifted * powc) & _MASK64
-        powc = (powc * C) & _MASK64
-    acc = splitmix64(acc)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            shifted = np.roll(tok_hash, -j)
+            acc = (acc + shifted * powc) & _MASK64
+            powc = (powc * C) & _MASK64
+        acc = splitmix64(acc)
 
     out = np.empty(int(sh_counts.sum()), np.uint64)
     # windows starting at positions [offsets[i], offsets[i] + sh_counts[i])
@@ -175,14 +177,15 @@ def rolling_fingerprint(texts: pd.Series) -> np.ndarray:
         pos_in_doc = np.arange(len(tok), dtype=np.int64) - np.repeat(
             off[:-1], counts
         )
-        pows = np.empty(len(tok), np.uint64)
         maxlen = int(counts.max())
         ptab = np.empty(maxlen + 1, np.uint64)
         ptab[0] = np.uint64(1)
-        for j in range(1, maxlen + 1):
-            ptab[j] = (ptab[j - 1] * C) & _MASK64
-        pows = ptab[pos_in_doc]
-        contrib = (tok * pows) & _MASK64
-        sums = np.add.reduceat(contrib, off[:-1][counts > 0]) & _MASK64
-        out[counts > 0] = splitmix64(sums)
+        # uint64 wraparound is intended (errstate silences the warn)
+        with np.errstate(over="ignore"):
+            for j in range(1, maxlen + 1):
+                ptab[j] = (ptab[j - 1] * C) & _MASK64
+            pows = ptab[pos_in_doc]
+            contrib = (tok * pows) & _MASK64
+            sums = np.add.reduceat(contrib, off[:-1][counts > 0]) & _MASK64
+            out[counts > 0] = splitmix64(sums)
     return out

@@ -18,115 +18,148 @@ def _node_names(pair) -> tuple[pd.Series, pd.Series]:
     return ndf_l, ndf_r
 
 
+def _name_array(df: pd.DataFrame, id_col: str, n: int) -> np.ndarray:
+    """Dense id → name object array (vectorized gather instead of
+    thousands of DataFrame.loc calls per dump)."""
+    arr = np.empty(n, dtype=object)
+    arr[df[id_col].to_numpy()] = df["name"].to_numpy()
+    return arr
+
+
+def _flag_array(df: pd.DataFrame, id_col: str, flag_col: str, n: int) -> np.ndarray:
+    arr = np.zeros(n, dtype=bool)
+    arr[df[id_col].to_numpy()] = df[flag_col].to_numpy(dtype=bool)
+    return arr
+
+
+def _write_tsv(f, frame: pd.DataFrame, float_format: str | None) -> None:
+    import csv
+
+    # QUOTE_NONE: names (incl. quoted literals like '"bob"') are written
+    # raw, exactly as the reference's manual join does
+    frame.to_csv(
+        f, sep="\t", header=False, index=False,
+        float_format=float_format, quoting=csv.QUOTE_NONE,
+    )
+
+
 def save_results(pair, path: str, theta: float | None = None) -> None:
     """K1 (objects/KGs.py:373-409): sectioned TSV — attribute /
     relation / literal / entity alignment; rel/attr rows carry
-    [prob_l→r, prob_r→l] filtered at prob > theta."""
+    [prob_l→r, prob_r→l] filtered at prob > theta.  Fully vectorized:
+    name gathers + merged rel frames + one to_csv per section."""
     theta = pair.cfg.theta if theta is None else theta
-    ndf_l, ndf_r = _node_names(pair)
-    pdf_l = pair.kg_l.preds_df.set_index("rel_id")
-    pdf_r = pair.kg_r.preds_df.set_index("rel_id")
     st = pair.state
+    names_l = _name_array(pair.kg_l.nodes_df(), "ent_id", pair.kg_l.n_nodes)
+    names_r = _name_array(pair.kg_r.nodes_df(), "ent_id", pair.kg_r.n_nodes)
+    pnames_l = _name_array(pair.kg_l.preds_df, "rel_id", pair.kg_l.n_preds)
+    pnames_r = _name_array(pair.kg_r.preds_df, "rel_id", pair.kg_r.n_preds)
+    pattr_l = _flag_array(
+        pair.kg_l.preds_df, "rel_id", "is_attribute", pair.kg_l.n_preds
+    )
+    pattr_r = _flag_array(
+        pair.kg_r.preds_df, "rel_id", "is_attribute", pair.kg_r.n_preds
+    )
 
-    # entity/literal sections from both directions' match arrays
-    ent_rows, lit_rows = [], []
-    for side, match, prob, nl, nr in (
-        (0, st.sub_match, st.sub_prob, ndf_l, ndf_r),
-        (1, st.sup_match, st.sup_prob, ndf_r, ndf_l),
-    ):
-        if side == 1:
-            continue  # reference iterates kg_l objects only for ent/lit
-        ids = np.nonzero(match >= 0)[0]
-        for i in ids:
-            row = (nl.loc[i, "name"], nr.loc[match[i], "name"], [prob[i]])
-            if bool(nl.loc[i, "is_literal"]):
-                lit_rows.append(row)
-            else:
-                ent_rows.append(row)
+    # entity/literal sections (reference iterates kg_l objects only)
+    ids = np.nonzero(st.sub_match >= 0)[0]
+    node_frame = pd.DataFrame(
+        {
+            "nl": names_l[ids],
+            "nr": names_r[st.sub_match[ids]],
+            "p": st.sub_prob[ids],
+        }
+    )
+    is_lit = ids >= pair.kg_l.n_entities  # dense class-ordered ids
 
-    # relation/attribute sections from both rel maps
-    def rel_rows():
-        rel_d, attr_d = {}, {}
-        for _, row in st.rel_align_l.to_frame().iterrows():
-            if row["prob"] > theta:
-                rid, cid = int(row["rel_id"]), int(row["counterpart_id"])
-                key = (pdf_l.loc[rid, "name"], pdf_r.loc[cid, "name"])
-                d = attr_d if bool(pdf_l.loc[rid, "is_attribute"]) else rel_d
-                d[key] = [row["prob"], 0.0]
-        for _, row in st.rel_align_r.to_frame().iterrows():
-            if row["prob"] > theta:
-                rid, cid = int(row["rel_id"]), int(row["counterpart_id"])
-                key = (pdf_l.loc[cid, "name"], pdf_r.loc[rid, "name"])
-                d = attr_d if bool(pdf_r.loc[rid, "is_attribute"]) else rel_d
-                d.setdefault(key, [0.0, 0.0])[-1] = row["prob"]
-        return rel_d, attr_d
+    # relation/attribute rows: L map gives prob_l→r, R map prob_r→l,
+    # outer-merged on the (name_l, name_r) key (dict semantics of
+    # objects/KGs.py:383-400)
+    lf = st.rel_align_l.to_frame()
+    lf = lf[lf["prob"] > theta]
+    lf = pd.DataFrame(
+        {
+            "nl": pnames_l[lf["rel_id"].to_numpy()],
+            "nr": pnames_r[lf["counterpart_id"].to_numpy()],
+            "p_lr": lf["prob"].to_numpy(),
+            "attr": pattr_l[lf["rel_id"].to_numpy()],
+        }
+    )
+    rf = st.rel_align_r.to_frame()
+    rf = rf[rf["prob"] > theta]
+    rf = pd.DataFrame(
+        {
+            "nl": pnames_l[rf["counterpart_id"].to_numpy()],
+            "nr": pnames_r[rf["rel_id"].to_numpy()],
+            "p_rl": rf["prob"].to_numpy(),
+            "attr_r": pattr_r[rf["rel_id"].to_numpy()],
+        }
+    )
+    merged = lf.merge(rf, on=["nl", "nr"], how="outer")
+    merged["p_lr"] = merged["p_lr"].fillna(0.0)
+    merged["p_rl"] = merged["p_rl"].fillna(0.0)
+    merged["attr"] = merged["attr"].fillna(merged["attr_r"]).astype(bool)
 
-    rel_d, attr_d = rel_rows()
     base = os.path.dirname(path)
     if base:
         os.makedirs(base, exist_ok=True)
     with open(path, "w", encoding="utf-8") as f:
-        for title, items in (
-            ("Attribute Alignment", attr_d.items()),
-            ("Relation Alignment", rel_d.items()),
-            ("Literal Alignment", [((a, b), p) for a, b, p in lit_rows]),
-            ("Entity Alignment", [((a, b), p) for a, b, p in ent_rows]),
+        for title, frame in (
+            ("Attribute Alignment", merged[merged["attr"]][["nl", "nr", "p_lr", "p_rl"]]),
+            ("Relation Alignment", merged[~merged["attr"]][["nl", "nr", "p_lr", "p_rl"]]),
+            ("Literal Alignment", node_frame[is_lit]),
+            ("Entity Alignment", node_frame[~is_lit]),
         ):
             f.write("--- " + title + " ---\n\n")
-            for (nl, nr), probs in items:
-                f.write(
-                    nl + "\t" + nr + "\t"
-                    + "\t".join(format(p, ".6f") for p in probs) + "\n"
-                )
+            _write_tsv(f, frame, float_format="%.6f")
             f.write("\n")
 
 
 def save_params(pair, path: str) -> None:
     """K2 (objects/KGs.py:411-438): full checkpoint dump as
     ``L/R \\t name_l \\t name_r \\t prob`` lines — loadable by
-    KGPair.load_params."""
-    ndf_l, ndf_r = _node_names(pair)
-    pdf_l = pair.kg_l.preds_df.set_index("rel_id")
-    pdf_r = pair.kg_r.preds_df.set_index("rel_id")
+    KGPair.load_params.  Vectorized name gathers + one to_csv per
+    block (probs written as repr, so the float round-trips exactly)."""
     st = pair.state
+    names_l = _name_array(pair.kg_l.nodes_df(), "ent_id", pair.kg_l.n_nodes)
+    names_r = _name_array(pair.kg_r.nodes_df(), "ent_id", pair.kg_r.n_nodes)
+    pnames_l = _name_array(pair.kg_l.preds_df, "rel_id", pair.kg_l.n_preds)
+    pnames_r = _name_array(pair.kg_r.preds_df, "rel_id", pair.kg_r.n_preds)
     base = os.path.dirname(path)
     if base:
         os.makedirs(base, exist_ok=True)
     with open(path, "w", encoding="utf-8") as f:
         for prefix, match, prob, nl, nr in (
-            ("L", st.sub_match, st.sub_prob, ndf_l, ndf_r),
-            ("R", st.sup_match, st.sup_prob, ndf_r, ndf_l),
+            ("L", st.sub_match, st.sub_prob, names_l, names_r),
+            ("R", st.sup_match, st.sup_prob, names_r, names_l),
         ):
             ids = np.nonzero(match >= 0)[0]
-            for i in ids:
-                f.write(
-                    "\t".join(
-                        [
-                            prefix,
-                            str(nl.loc[i, "name"]),
-                            str(nr.loc[match[i], "name"]),
-                            str(prob[i]),
-                        ]
-                    )
-                    + "\n"
-                )
+            frame = pd.DataFrame(
+                {
+                    "prefix": prefix,
+                    "nl": nl[ids],
+                    "nr": nr[match[ids]],
+                    # float64 default to_csv formatting = shortest
+                    # repr → exact float round-trip through load_params
+                    "p": prob[ids],
+                }
+            )
+            _write_tsv(f, frame, None)
         for prefix, pm, pl, pr in (
-            ("L", st.rel_align_l, pdf_l, pdf_r),
-            ("R", st.rel_align_r, pdf_r, pdf_l),
+            ("L", st.rel_align_l, pnames_l, pnames_r),
+            ("R", st.rel_align_r, pnames_r, pnames_l),
         ):
-            for _, row in pm.to_frame().iterrows():
-                if row["prob"] > 0.0:
-                    f.write(
-                        "\t".join(
-                            [
-                                prefix,
-                                str(pl.loc[int(row["rel_id"]), "name"]),
-                                str(pr.loc[int(row["counterpart_id"]), "name"]),
-                                str(row["prob"]),
-                            ]
-                        )
-                        + "\n"
-                    )
+            rel = pm.to_frame()
+            rel = rel[rel["prob"] > 0.0]
+            frame = pd.DataFrame(
+                {
+                    "prefix": prefix,
+                    "nl": pl[rel["rel_id"].to_numpy()],
+                    "nr": pr[rel["counterpart_id"].to_numpy()],
+                    "p": rel["prob"].to_numpy(),
+                }
+            )
+            _write_tsv(f, frame, None)
 
 
 def load_params(pair, path: str, init: bool = True) -> None:

@@ -13,6 +13,7 @@ import time
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
@@ -20,7 +21,7 @@ import ray.data
 from prase_ray.config import PrasConfig
 from prase_ray.pipelines.prase import KGPair
 from prase_ray.stages.extract import extract_text, extract_triples
-from prase_ray.stages.kg_build import KGDataset, build_kg
+from prase_ray.stages.kg_build import KGDataset, build_kg, build_kg_pair
 
 
 def split_triples_by_domain(
@@ -38,6 +39,25 @@ def split_triples_by_domain(
     return l, r
 
 
+def tag_triples_by_domain(
+    triples: ray.data.Dataset, domain_l: str = "kg1", domain_r: str = "kg2"
+) -> ray.data.Dataset:
+    """One pass over the extraction output: kg=0 for domain_l urls, kg=1
+    for domain_r, other urls dropped — feeds build_kg_pair without the
+    double filter of split_triples_by_domain."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ml = pc.match_substring(t["url"], f"https://{domain_l}.")
+        mr = pc.match_substring(t["url"], f"https://{domain_r}.")
+        t = t.filter(pc.or_(ml, mr))
+        kg = pc.cast(
+            pc.match_substring(t["url"], f"https://{domain_r}."), pa.int8()
+        )
+        return t.drop_columns(["url"]).append_column("kg", kg)
+
+    return triples.map_batches(fn, batch_format="pyarrow")
+
+
 def materialize_canonical_graph(
     pair: KGPair,
     out_dir: str,
@@ -52,6 +72,14 @@ def materialize_canonical_graph(
     canonical_id (``part`` column) so a rerun can skip finished
     partitions via the lineage manifest."""
     threshold = pair.cfg.theta if threshold is None else threshold
+    # resume: a complete manifest means every partition was written —
+    # skip the whole materialization (per-partition resume below)
+    mf = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(mf):
+        with open(mf) as f:
+            prev = json.load(f)
+        if prev.get("complete") and prev.get("threshold") == threshold:
+            return prev
     st = pair.state
     n_l = pair.kg_l.n_nodes
     r_to_canon = np.arange(pair.kg_r.n_nodes, dtype=np.int64) + n_l
@@ -166,13 +194,15 @@ def web_to_kg(
         ).count()
         if mism:
             raise AssertionError(f"{mism} urls with non-identical extracted text")
-    # materialize the extraction ONCE — the two domain filters and both
-    # KG builds all consume it (lazy datasets re-execute per consumer)
+    # materialize the extraction ONCE — tagging and the KG pair build
+    # consume it (lazy datasets re-execute per consumer)
     triples = extract_triples(texts, concurrency=cfg.concurrency).materialize()
-    t_l, t_r = split_triples_by_domain(triples)
     mark("extract")
-    kg_l = build_kg(t_l, name="web-KG1", concurrency=cfg.concurrency)
-    kg_r = build_kg(t_r, name="web-KG2", concurrency=cfg.concurrency)
+    # both KGs through ONE set of tagged pipelines (intern/encode/sort/
+    # stats each run once over the union — half the serial stage count)
+    kg_l, kg_r = build_kg_pair(
+        tag_triples_by_domain(triples), names=("web-KG1", "web-KG2")
+    )
     mark("build_kgs")
     pair = KGPair(kg_l, kg_r, cfg)
     mark("seed")

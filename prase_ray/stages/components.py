@@ -38,6 +38,9 @@ def connected_components(
 ) -> ray.data.Dataset:
     """edges: Dataset(a, b) undirected pairs → Dataset(node, label),
     label = min node id of the component.  Nodes = those in edges."""
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    num_partitions = ensure_join_cpu_budget(num_partitions)
     n_edges = edges.count()
     if not force_distributed and n_edges <= min_distributed_edges:
         pdf = edges.to_pandas()

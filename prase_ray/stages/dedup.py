@@ -145,6 +145,9 @@ def _bucket_self_join(
     via a hash-partitioned self-join — vectorized bulk work instead of
     per-group Python (map_groups over ~#docs×bands tiny buckets is the
     classic LSH scalability trap)."""
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    num_partitions = ensure_join_cpu_budget(num_partitions)
     sigs = drop_degenerate_buckets(sigs, key_cols, max_bucket)
     # normalize to Arrow blocks (join/rename operators require them) and
     # materialize before the self-join so the shared upstream plan does
@@ -216,41 +219,102 @@ def minhash_lsh_candidates(
 
 
 def verify_jaccard(
-    pairs: ray.data.Dataset,
+    pairs: ray.data.Dataset | pd.DataFrame,
     docs: ray.data.Dataset,
     *,
     k: int = 3,
     threshold: float = 0.7,
+    num_parts: int = 32,
 ) -> pd.DataFrame:
-    """Exact k-shingle Jaccard for candidate pairs.  The candidate set
-    is assumed small relative to the corpus (LSH's whole point); doc
-    texts for candidate ids are fetched via a semi-join filter, shingled
-    once, and compared on the driver."""
-    pdf = pairs.to_pandas()
+    """Exact k-shingle Jaccard for candidate pairs, as DATAFLOW: doc
+    shingles never reach the driver.  The pair LIST is small (LSH's
+    whole point) and is broadcast; shingle rows are computed per doc
+    batch, routed to the pair's hash partition, and each partition
+    computes |Sa ∩ Sb| with two vectorized merges + a grouped count
+    (no per-pair Python loop anywhere).
+
+    Scale shape: Σ|S_doc| rows shuffled once, ≤ corpus shingle volume;
+    a doc in P partitions ships its shingles P times (bounded by its
+    pair fan-out)."""
+    import ray
+
+    pdf = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
     if pdf.empty:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    need = np.union1d(pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64))
-    need_set = set(need.tolist())
+    pdf = pdf[["a", "b"]].astype(np.int64).copy()
+    key = pd.util.hash_array(pdf["a"].to_numpy(np.uint64)) ^ pd.util.hash_array(
+        pdf["b"].to_numpy(np.uint64)
+    )
+    pdf["part"] = (key % np.uint64(num_parts)).astype(np.int32)
+    # doc → partitions it participates in (ships that doc's shingles there)
+    doc_parts = pd.DataFrame(
+        {
+            "doc_id": np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()]),
+            "part": np.tile(pdf["part"].to_numpy(), 2),
+        }
+    ).drop_duplicates()
+    need_arr = np.unique(doc_parts["doc_id"].to_numpy())
+    need_ref = ray.put(need_arr)
+    dp_ref = ray.put(doc_parts)
+    pairs_ref = ray.put(pdf)
 
-    def pick(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch["doc_id"].isin(need_set)][["doc_id", "text"]]
+    def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        need = ray.get(need_ref)  # zero-copy numpy
+        m = np.isin(batch["doc_id"].to_numpy(np.int64), need)
+        if not m.any():
+            return pd.DataFrame(
+                {"part": pd.Series([], dtype=np.int32),
+                 "doc_id": pd.Series([], dtype=np.int64),
+                 "shingle": pd.Series([], dtype=np.int64)}
+            )
+        sub = batch[m]
+        tok, off = tokenize_offsets(sub["text"])
+        sh, sh_off = shingle_hashes(tok, off, k)
+        counts = sh_off[1:] - sh_off[:-1]
+        rows = pd.DataFrame(
+            {
+                "doc_id": np.repeat(sub["doc_id"].to_numpy(np.int64), counts),
+                "shingle": sh.astype(np.int64),
+            }
+        ).drop_duplicates()
+        return rows.merge(ray.get(dp_ref), on="doc_id")[
+            ["part", "doc_id", "shingle"]
+        ]
 
-    texts = docs.map_batches(pick, batch_format="pandas").to_pandas()
-    tok, off = tokenize_offsets(texts["text"])
-    sh, sh_off = shingle_hashes(tok, off, k)
-    sets = {
-        int(d): set(sh[sh_off[i] : sh_off[i + 1]].tolist())
-        for i, d in enumerate(texts["doc_id"])
-    }
-    jac = []
-    for a, b in pdf[["a", "b"]].itertuples(index=False):
-        sa, sb = sets.get(int(a), set()), sets.get(int(b), set())
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        jac.append(inter / union if union else 0.0)
-    pdf = pdf.copy()
-    pdf["jaccard"] = jac
-    return pdf[pdf["jaccard"] >= threshold][["a", "b", "jaccard"]]
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        allp = ray.get(pairs_ref)
+        p = allp[allp["part"] == int(g["part"].iloc[0])][["a", "b"]]
+        sizes = g.groupby("doc_id")["shingle"].size()  # rows are distinct
+        t = p.merge(g[["doc_id", "shingle"]], left_on="a", right_on="doc_id")[
+            ["a", "b", "shingle"]
+        ]
+        t = t.merge(
+            g[["doc_id", "shingle"]],
+            left_on=["b", "shingle"],
+            right_on=["doc_id", "shingle"],
+        )
+        inter = t.groupby(["a", "b"], as_index=False).size()
+        out = p.merge(inter, on=["a", "b"], how="left")
+        out["size"] = out["size"].fillna(0).astype(np.int64)
+        sa = sizes.reindex(out["a"]).fillna(0).to_numpy()
+        sb = sizes.reindex(out["b"]).fillna(0).to_numpy()
+        union = sa + sb - out["size"].to_numpy()
+        out["jaccard"] = np.where(
+            union > 0, out["size"].to_numpy() / np.where(union > 0, union, 1), 0.0
+        )
+        out = out[out["jaccard"] >= threshold]
+        return out[["a", "b", "jaccard"]]
+
+    verified = (
+        docs.map_batches(shingle_rows, batch_format="pandas")
+        .groupby("part")
+        .map_groups(verify_part, batch_format="pandas")
+        .to_pandas()
+    )
+    verified = _ensure_cols(
+        verified, {"a": np.int64, "b": np.int64, "jaccard": np.float64}
+    )
+    return verified.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def minhash_dedup_keep_ids(
@@ -276,7 +340,15 @@ def minhash_dedup_keep_ids(
         concurrency=concurrency,
     )
     verified = verify_jaccard(cands, docs, k=k, threshold=threshold)
-    comp = connected_components_df(verified[["a", "b"]])
+    # size-gated components: driver union-find for small verified sets,
+    # distributed label propagation beyond (stages/components.py)
+    from prase_ray.stages.components import connected_components
+
+    comp = connected_components(
+        ray.data.from_pandas(verified[["a", "b"]])
+        if len(verified)
+        else ray.data.from_pandas(pd.DataFrame({"a": [], "b": []}, dtype=np.int64))
+    ).to_pandas()
     return comp.rename(columns={"node": "doc_id", "label": "keep_id"})
 
 

@@ -30,6 +30,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -44,7 +45,8 @@ from prase_ray.functions.normalize import (
 # --------------------------------------------------------------------------
 
 def _double_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """Emit (h, r, t) and (t, r-(INV), h) rows (objects/KG.py:145-157)."""
+    """Emit (h, r, t) and (t, r-(INV), h) rows (objects/KG.py:145-157).
+    A ``kg`` tag column, if present, rides along (pair builds)."""
     fwd = pd.DataFrame(
         {
             "subj": batch["subj"],
@@ -65,6 +67,9 @@ def _double_batch(batch: pd.DataFrame) -> pd.DataFrame:
             "pred_is_attr": batch["obj_is_literal"],
         }
     )
+    if "kg" in batch.columns:
+        fwd.insert(0, "kg", batch["kg"].to_numpy())
+        inv.insert(0, "kg", batch["kg"].to_numpy())
     return pd.concat([fwd, inv], ignore_index=True)
 
 
@@ -299,6 +304,9 @@ def encode_facts_join(
 ) -> ray.data.Dataset:
     """Web-scale path: three hash joins instead of a broadcast (the node
     table may not fit on one node at 10^12-doc scale)."""
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    num_partitions = ensure_join_cpu_budget(num_partitions)
     n = nodes.select_columns(["ent_id", "name", "is_literal"])
     p = preds.select_columns(["rel_id", "name"])
     t = triples_inv.join(
@@ -693,3 +701,283 @@ def build_kg(
         n_facts=facts.count(),
         tail_sorted=True,
     )
+
+
+# --------------------------------------------------------------------------
+# pair build — both KGs of an alignment pair through SHARED tagged
+# pipelines.  Building two KGs sequentially pays every fixed pipeline
+# latency (materialize, sort, shuffle rounds) twice; tagging rows with a
+# ``kg`` column runs each stage ONCE over the union (2x the data per
+# execution — better CPU occupancy — and half the serial stage count).
+# --------------------------------------------------------------------------
+
+def _pair_node_names_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    sub = pd.DataFrame(
+        {"kg": batch["kg"], "name": batch["subj"], "is_literal": batch["subj_is_lit"]}
+    )
+    obj = pd.DataFrame(
+        {"kg": batch["kg"], "name": batch["obj"], "is_literal": batch["obj_is_lit"]}
+    )
+    out = pd.concat([sub, obj], ignore_index=True)
+    return _with_part(out.drop_duplicates())
+
+
+def _pair_pred_names_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    out = pd.DataFrame(
+        {"kg": batch["kg"], "name": batch["pred"], "is_attribute": batch["pred_is_attr"]}
+    )
+    return _with_part(out.drop_duplicates())
+
+
+def _distinct_sorted_pair(names: ray.data.Dataset, class_col: str) -> ray.data.Dataset:
+    """Distinct (kg, class, name) rows, globally sorted kg-first so a
+    single dense rank yields per-KG class-ordered ids."""
+    return (
+        names.groupby("part")
+        .map_groups(
+            lambda g: g.drop_duplicates(["kg", class_col, "name"]).drop(columns=["part"]),
+            batch_format="pandas",
+        )
+        .sort(["kg", class_col, "name"])
+    )
+
+
+@ray.remote
+def _pair_block_stats(tbl: pa.Table, class_col: str):
+    """Per-block (rows, rows_kg1, flagged_kg0, flagged_kg1)."""
+    if tbl.num_rows == 0 or "kg" not in tbl.schema.names:
+        return 0, 0, 0, 0
+    kg = tbl["kg"].to_numpy(zero_copy_only=False).astype(np.int64)
+    fl = tbl[class_col].to_numpy(zero_copy_only=False).astype(bool)
+    return (
+        tbl.num_rows,
+        int((kg == 1).sum()),
+        int(fl[kg == 0].sum()),
+        int(fl[kg == 1].sum()),
+    )
+
+
+@ray.remote
+def _assign_pair_node_ids(tbl: pa.Table, offset: int, n_kg0: int) -> pa.Table:
+    """Dense per-KG ids from the global rank: sorted kg-first, so kg=1
+    rows subtract the kg=0 total."""
+    df = tbl.to_pandas()
+    if df.empty:
+        return pa.schema(
+            [("kg", pa.int8()), ("ent_id", pa.int64()), ("name", pa.string()),
+             ("value", pa.string()), ("is_literal", pa.bool_())]
+        ).empty_table()
+    ids = np.arange(offset, offset + len(df), dtype=np.int64)
+    kg = df["kg"].to_numpy().astype(np.int8)
+    ids = np.where(kg == 1, ids - n_kg0, ids)
+    is_lit = df["is_literal"].to_numpy(dtype=bool)
+    names = df["name"].astype(str)
+    value = pd.Series(index=names.index, dtype=object)
+    if (~is_lit).any():
+        value[~is_lit] = normalize_uri_series(names[~is_lit])
+    if is_lit.any():
+        value[is_lit] = normalize_literal_series(names[is_lit])
+    out = pd.DataFrame(
+        {"kg": kg, "ent_id": ids, "name": names,
+         "value": value.astype(str), "is_literal": is_lit}
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+@ray.remote
+def _assign_pair_pred_ids(tbl: pa.Table, offset: int, n_kg0: int) -> pa.Table:
+    df = tbl.to_pandas()
+    if df.empty:
+        return pa.schema(
+            [("kg", pa.int8()), ("rel_id", pa.int64()), ("name", pa.string()),
+             ("value", pa.string()), ("is_attribute", pa.bool_())]
+        ).empty_table()
+    ids = np.arange(offset, offset + len(df), dtype=np.int64)
+    kg = df["kg"].to_numpy().astype(np.int8)
+    ids = np.where(kg == 1, ids - n_kg0, ids)
+    names = df["name"].astype(str)
+    out = pd.DataFrame(
+        {"kg": kg, "rel_id": ids, "name": names,
+         "value": normalize_uri_series(names).astype(str),
+         "is_attribute": df["is_attribute"].to_numpy(dtype=bool)}
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _dense_rank_pair(sorted_ds: ray.data.Dataset, assign_remote, class_col: str):
+    """Per-KG dense ids over the kg-first-sorted distinct stream.
+    Returns (ds, per_kg) where per_kg[k] = (n_rows, n_flagged)."""
+    mat = sorted_ds.materialize()
+    refs = mat.to_arrow_refs()
+    stats = ray.get([_pair_block_stats.remote(r, class_col) for r in refs])
+    counts = np.array([s[0] for s in stats], dtype=np.int64)
+    n_kg1 = int(sum(s[1] for s in stats))
+    n_kg0 = int(counts.sum()) - n_kg1
+    fl0 = int(sum(s[2] for s in stats))
+    fl1 = int(sum(s[3] for s in stats))
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    out_refs = [
+        assign_remote.remote(r, int(o), n_kg0) for r, o in zip(refs, offsets)
+    ]
+    per_kg = {0: (n_kg0, fl0), 1: (n_kg1, fl1)}
+    return ray.data.from_arrow_refs(out_refs), per_kg
+
+
+class _EncodePairFacts:
+    """Broadcast-lookup encode for tagged pair triples: two per-KG
+    name→id index sets, rows routed by the kg column (vectorized
+    two-way split per batch)."""
+
+    def __init__(self, maps_ref):
+        maps = ray.get(maps_ref)
+        self.enc = {k: _EncodeFactsFromMaps(*maps[k]) for k in (0, 1)}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        kg = batch["kg"].to_numpy()
+        outs = []
+        for k in (0, 1):
+            m = kg == k
+            if m.any():
+                out = self.enc[k](batch[m])
+                out.insert(0, "kg", np.int8(k))
+                outs.append(out)
+        if not outs:
+            return pd.DataFrame(
+                {"kg": pd.Series([], dtype=np.int8),
+                 "rel_id": pd.Series([], dtype=np.int64),
+                 "head_id": pd.Series([], dtype=np.int64),
+                 "tail_id": pd.Series([], dtype=np.int64)}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+
+class _EncodeFactsFromMaps(_EncodeFacts):
+    """_EncodeFacts initialized from in-memory arrays (no refs)."""
+
+    def __init__(self, ent_names, ent_ids, lit_names, lit_ids, rel_names, rel_ids):
+        self.ent_idx = pd.Index(ent_names)
+        self.ent_ids = ent_ids
+        self.lit_idx = pd.Index(lit_names)
+        self.lit_ids = lit_ids
+        self.rel_idx = pd.Index(rel_names)
+        self.rel_ids = rel_ids
+
+
+_ENCODE_PAIR_CACHE: dict = {}
+
+
+def _encode_pair_fn(batch, *, maps_ref):
+    key = maps_ref.hex()
+    enc = _ENCODE_PAIR_CACHE.get(key)
+    if enc is None:
+        _ENCODE_PAIR_CACHE.clear()
+        enc = _ENCODE_PAIR_CACHE[key] = _EncodePairFacts(maps_ref)
+    return enc(batch)
+
+
+def build_kg_pair(
+    tagged_triples: ray.data.Dataset,
+    names: tuple[str, str] = ("KG1", "KG2"),
+    *,
+    target_blocks: int = 64,
+) -> tuple[KGDataset, KGDataset]:
+    """Both KGs from one tagged triples Dataset
+    (kg:int in {0,1}, subj, pred, obj, obj_is_literal).
+
+    Semantics identical to two build_kg calls over the split inputs
+    (tests/test_kg_build.py asserts id-level equality); roughly half the
+    wall-clock at pair scale because every shuffle/materialization runs
+    once over the union."""
+    tinv = add_inverse_edges(tagged_triples).materialize()
+
+    node_names = tinv.map_batches(_pair_node_names_batch, batch_format="pandas")
+    nodes, node_kg = _dense_rank_pair(
+        _distinct_sorted_pair(node_names, "is_literal"),
+        _assign_pair_node_ids,
+        "is_literal",
+    )
+    nodes = nodes.materialize()
+
+    pred_names = tinv.map_batches(_pair_pred_names_batch, batch_format="pandas")
+    preds, pred_kg = _dense_rank_pair(
+        _distinct_sorted_pair(pred_names, "is_attribute"),
+        _assign_pair_pred_ids,
+        "is_attribute",
+    )
+    preds = preds.materialize()
+
+    ndf_all = nodes.to_pandas()
+    pdf_all = preds.to_pandas()
+    maps = {}
+    for k in (0, 1):
+        ndf = ndf_all[ndf_all["kg"] == k]
+        pdf = pdf_all[pdf_all["kg"] == k]
+        ent = ndf[~ndf["is_literal"]]
+        lit = ndf[ndf["is_literal"]]
+        maps[k] = (
+            ent["name"].to_numpy(dtype=object),
+            ent["ent_id"].to_numpy(dtype=np.int64),
+            lit["name"].to_numpy(dtype=object),
+            lit["ent_id"].to_numpy(dtype=np.int64),
+            pdf["name"].to_numpy(dtype=object),
+            pdf["rel_id"].to_numpy(dtype=np.int64),
+        )
+    maps_ref = ray.put(maps)
+    facts = tinv.map_batches(
+        _encode_pair_fn, batch_format="pandas", fn_kwargs={"maps_ref": maps_ref}
+    )
+    # kg-first tail sort: per-KG slices stay globally tail-sorted
+    facts = facts.sort(["kg", "tail_id"]).repartition(target_blocks).materialize()
+
+    # A1 stats for both KGs in ONE shuffle: pack kg into the rel key
+    def _pack_rel(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "rel_id": (batch["kg"].to_numpy().astype(np.int64) << 32)
+                | batch["rel_id"].to_numpy(),
+                "head_id": batch["head_id"],
+                "tail_id": batch["tail_id"],
+            }
+        )
+
+    pdf_packed = pdf_all.copy()
+    pdf_packed["rel_id"] = (
+        pdf_packed["kg"].to_numpy().astype(np.int64) << 32
+    ) | pdf_packed["rel_id"].to_numpy()
+    stats = pred_stats(
+        facts.map_batches(_pack_rel, batch_format="pandas"), pdf_packed
+    )
+    stats["rel_id"] = stats["rel_id"].to_numpy() & 0xFFFFFFFF
+
+    out = []
+    for k, name in zip((0, 1), names):
+        def side(t: pa.Table, k=k):
+            if "kg" not in t.column_names:  # empty repartition padding
+                return t
+            return t.filter(pc.equal(t["kg"], k)).drop_columns(["kg"])
+
+        kg_nodes = nodes.map_batches(side, batch_format="pyarrow").materialize()
+        kg_facts = facts.map_batches(side, batch_format="pyarrow").materialize()
+        preds_df = (
+            stats[stats["kg"] == k]
+            .drop(columns=["kg"])
+            .sort_values("rel_id")
+            .reset_index(drop=True)
+        )
+        n_nodes_k, n_lit_k = node_kg[k]
+        n_preds_k, n_attr_k = pred_kg[k]
+        out.append(
+            KGDataset(
+                name=name,
+                nodes=kg_nodes,
+                preds_df=preds_df,
+                facts=kg_facts,
+                n_entities=n_nodes_k - n_lit_k,
+                n_literals=n_lit_k,
+                n_relations=n_preds_k - n_attr_k,
+                n_attributes=n_attr_k,
+                n_facts=kg_facts.count(),
+                tail_sorted=True,
+            )
+        )
+    return out[0], out[1]

@@ -552,8 +552,15 @@ def run_half_iteration(
         num_cpus=cfg.num_cpus_per_actor,
         fn_kwargs={"state_ref": state_ref, "csr_ref": csr_ref},
     )
-    # ONE P-way grouped shuffle; each partition combined fully vectorized
-    # (grouped sums A2/A3/A5 + fusion T2/T3 + per-entity argmax A6).
+    # Final combine of the per-batch-reduced partials (grouped sums
+    # A2/A3/A5 + fusion T2/T3 + per-entity argmax A6).  The partial
+    # volume is O(n_entities + boundary + n_rel²) — tiny relative to the
+    # evidence stream — so below the gate the driver concatenates and
+    # combines once (exactly what ds.aggregate() does for its final
+    # merge), skipping a whole sort-shuffle round per half-iteration.
+    # Above the gate (web scale: per-entity rows no longer driver-sized)
+    # it stays a P-way grouped shuffle with vectorized per-partition
+    # combine.
     combine = functools.partial(
         _combine_partition,
         emb_l_ref=emb_l_ref,
@@ -561,7 +568,15 @@ def run_half_iteration(
         fusion_func=cfg.fusion_func,
         init=init,
     )
-    out = tagged.groupby("part").map_groups(combine, batch_format="pandas").to_pandas()
+    if (kg_l.n_nodes + kg_r.n_nodes) <= cfg.driver_combine_max_nodes:
+        parts = tagged.to_pandas()
+        out = combine(parts) if len(parts) else parts
+    else:
+        out = (
+            tagged.groupby("part")
+            .map_groups(combine, batch_format="pandas")
+            .to_pandas()
+        )
     return finalize_half_iteration(out, match, prob, cfg, ent_align=ent_align)
 
 
@@ -670,10 +685,56 @@ def bipartite_match(
     return new_sub_match, new_sub_prob, new_sup_match, new_sup_prob
 
 
-def seed_literals(kg_l: KGDataset, kg_r: KGDataset, state: AlignState) -> int:
+def seed_literals(
+    kg_l: KGDataset, kg_r: KGDataset, state: AlignState, *,
+    use_join: Optional[bool] = None,
+) -> int:
     """J1: exact equijoin of normalized literal values across KGs →
     prob-1.0 seeds (objects/KGs.py:53-58; one literal per value per
-    side, SURVEY.md §2.8 D1 note)."""
+    side, SURVEY.md §2.8 D1 note).
+
+    Size-gated: below the gate the per-side one-literal-per-value maps
+    are driver pandas (node tables already driver-cached on the
+    conformance path); above it, a Dataset groupby-min + hash join so
+    the full node tables never land on one machine."""
+    if use_join is None:
+        use_join = (kg_l.n_nodes + kg_r.n_nodes) > 5_000_000
+    if use_join:
+        from ray.data.aggregate import Min
+
+        from prase_ray.rayctx import ensure_join_cpu_budget as _join_parts
+
+        def lv(kg: KGDataset, alias: str):
+            def f(t: pa.Table) -> pa.Table:
+                t = t.filter(t["is_literal"])
+                return t.select(["value", "ent_id"])
+
+            return (
+                kg.nodes.map_batches(f, batch_format="pyarrow")
+                .groupby("value")
+                .aggregate(Min("ent_id", alias_name=alias))
+            )
+
+        joined = (
+            lv(kg_l, "ent_id_l")
+            .join(
+                lv(kg_r, "ent_id_r"),
+                join_type="inner",
+                num_partitions=_join_parts(16),
+                on=("value",),
+            )
+            .select_columns(["ent_id_l", "ent_id_r"])
+        )
+        n = 0
+        for b in joined.iter_batches(batch_format="pyarrow"):
+            lid = b["ent_id_l"].to_numpy()
+            rid = b["ent_id_r"].to_numpy()
+            state.sub_match[lid] = rid
+            state.sub_prob[lid] = 1.0
+            state.sup_match[rid] = lid
+            state.sup_prob[rid] = 1.0
+            n += len(lid)
+        return n
     lv_l = kg_l.literal_value_map()
     lv_r = kg_r.literal_value_map()
     joined = lv_l.merge(lv_r, on="value", suffixes=("_l", "_r"))

@@ -187,8 +187,13 @@ def run_half_iteration_join(
 ):
     """One directed pass (objects/KGs.py:110-174) as dataflow joins.
     Same contract as paris.run_half_iteration; results identical."""
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
     n_parts = cfg.evidence_num_partitions
-    jp = max(2, n_parts // 4)
+    # join partitions sized to the live cluster (rayctx.py: unsized
+    # chained joins deadlock small clusters on aggregator reservations)
+    jp = ensure_join_cpu_budget(max(2, n_parts // 4))
+    n_parts_join = ensure_join_cpu_budget(n_parts)
 
     # head-side matches, θ-filtered (PARIS.py:102-103) — literals
     # included (attribute-INV facts have literal heads; the prob-1.0
@@ -223,7 +228,7 @@ def run_half_iteration_join(
     e2 = e1.select_columns(["rel_id", "tail_id", "hc", "hp", "ec", "ep"]).join(
         facts_r,
         join_type="inner",
-        num_partitions=n_parts,
+        num_partitions=n_parts_join,
         on=("hc",),
         right_on=("head_id",),
         right_suffix="_r",

@@ -50,15 +50,25 @@ def token_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(token_stats_batch, batch_format="pandas")
 
 
+# Token-exact membership count as ONE compiled regex pass: a "token" is
+# a maximal \S+ run, so word W counts iff delimited by whitespace or the
+# string boundary on both sides — no per-row Python loop (this stage
+# runs per document and must stay vectorized at corpus scale).
+def _token_count_pattern(words) -> str:
+    alt = "|".join(sorted(words))
+    return rf"(?:(?<=\s)|^)(?:{alt})(?=\s|$)"
+
+
+_STOPWORD_RE = _token_count_pattern(_STOPWORDS)
+
+
 def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Heuristic quality score in [0,1]: length band + stopword ratio +
-    low symbol noise (the usual web-text quality fingerprints)."""
+    low symbol noise (the usual web-text quality fingerprints).
+    Fully vectorized: compiled-alternation str.count, no Python loop."""
     text = batch["text"]
-    toks = text.str.lower().str.split()
-    n = toks.str.len().fillna(0).astype(np.int64)
-    stop = toks.map(
-        lambda ws: sum(w in _STOPWORDS for w in ws) if isinstance(ws, list) else 0
-    )
+    n = text.str.count(r"\S+").astype(np.int64)
+    stop = text.str.lower().str.count(_STOPWORD_RE).astype(np.int64)
     stop_ratio = stop / n.replace(0, 1)
     n_chars = text.str.len().astype(np.int64)
     sym = text.str.count(r"[^A-Za-z0-9\s]").astype(np.int64)
@@ -82,36 +92,47 @@ def quality_score(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 class LangIdModel:
-    """Actor-pool language-ID stage: marker sets 'compiled' once per
-    actor in __init__ (the pattern a real fasttext-style model would
-    use), scored per batch."""
+    """Actor-pool language-ID stage: per-language token-count regexes
+    compiled once per actor in __init__ (the pattern a real
+    fasttext-style model would use), scored per batch with ONE
+    vectorized str.count pass per language — no per-row Python."""
+
+    # tokens (maximal \S+ runs) containing a CJK codepoint
+    _CJK_RE = r"(?:(?<=\s)|^)\S*[一-鿿]\S*(?=\s|$)"
 
     def __init__(self):
-        self.profiles = {
-            lang: frozenset(words) for lang, words in _LANG_MARKERS.items()
+        import re
+
+        # alphabetical language order fixes the argmax tie-break
+        # (ties → alphabetically-first language)
+        self.langs = sorted(l for l, w in _LANG_MARKERS.items() if w)
+        self.patterns = {
+            l: re.compile(_token_count_pattern(_LANG_MARKERS[l]))
+            for l in self.langs
         }
+        self.cjk_re = re.compile(self._CJK_RE)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.lower().str.split()
-
-        def best(ws):
-            if not isinstance(ws, list) or not ws:
-                return "und", 0.0
-            cjk = sum(any("一" <= ch <= "鿿" for ch in w) for w in ws)
-            if cjk / len(ws) > 0.2:
-                return "zh", cjk / len(ws)
-            scores = {
-                lang: sum(w in prof for w in ws) / len(ws)
-                for lang, prof in self.profiles.items()
-                if prof
-            }
-            lang = max(sorted(scores), key=lambda k: scores[k])
-            return (lang, scores[lang]) if scores[lang] > 0 else ("und", 0.0)
-
-        res = toks.map(best)
+        text = batch["text"]
+        low = text.str.lower()
+        n = text.str.count(r"\S+").to_numpy(np.int64)
+        denom = np.maximum(n, 1)
+        cjk_ratio = low.str.count(self.cjk_re).to_numpy(np.int64) / denom
+        scores = np.stack(
+            [low.str.count(self.patterns[l]).to_numpy(np.int64) for l in self.langs],
+            axis=1,
+        ) / denom[:, None]
+        best = np.argmax(scores, axis=1)  # first max → alphabetical tie-break
+        best_score = scores[np.arange(len(n)), best]
+        lang = np.array(self.langs, dtype=object)[best]
+        conf = best_score
+        und = (n == 0) | ((best_score <= 0.0) & (cjk_ratio <= 0.2))
+        is_zh = (cjk_ratio > 0.2) & (n > 0)
+        lang = np.where(is_zh, "zh", np.where(und, "und", lang))
+        conf = np.where(is_zh, cjk_ratio, np.where(und, 0.0, conf))
         out = batch[["doc_id"]].copy()
-        out["lang_pred"] = res.str[0]
-        out["lang_conf"] = res.str[1]
+        out["lang_pred"] = lang
+        out["lang_conf"] = conf
         return out
 
 

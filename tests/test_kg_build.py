@@ -107,6 +107,46 @@ def test_csr(kg):
     assert deg == 3  # likes x2 + name x1 (E1 not a tail of anything fwd)
 
 
+def test_pair_build_matches_sequential(ray_session):
+    """build_kg_pair over tagged union == two build_kg calls: identical
+    node/pred id assignment, facts (as multisets), stats and counts."""
+    import ray.data
+
+    from prase_ray.sources.fixtures import make_two_kg_fixture
+    from prase_ray.stages.kg_build import build_kg_pair
+
+    t1, t2, _ = make_two_kg_fixture(n_entities=50, seed=11)
+    kg1s = build_kg(from_pandas_triples(t1), name="A")
+    kg2s = build_kg(from_pandas_triples(t2), name="B")
+
+    t1t = t1.copy()
+    t1t.insert(0, "kg", np.int8(0))
+    t2t = t2.copy()
+    t2t.insert(0, "kg", np.int8(1))
+    tagged = ray.data.from_pandas(pd.concat([t1t, t2t], ignore_index=True))
+    kg1p, kg2p = build_kg_pair(tagged, names=("A", "B"))
+
+    for seq, par in ((kg1s, kg1p), (kg2s, kg2p)):
+        assert (seq.n_entities, seq.n_literals, seq.n_relations,
+                seq.n_attributes, seq.n_facts) == (
+            par.n_entities, par.n_literals, par.n_relations,
+            par.n_attributes, par.n_facts)
+        ns = seq.nodes.to_pandas().sort_values("ent_id").reset_index(drop=True)
+        npr = par.nodes.to_pandas().sort_values("ent_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(ns, npr)
+        fs = seq.facts.to_pandas().sort_values(
+            ["rel_id", "head_id", "tail_id"]).reset_index(drop=True)
+        fp = par.facts.to_pandas().sort_values(
+            ["rel_id", "head_id", "tail_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(fs, fp)
+        ss = seq.preds_df.sort_values("rel_id").reset_index(drop=True)
+        sp = par.preds_df[ss.columns].sort_values("rel_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(ss, sp)
+        # per-KG tail-sort invariant survives the shared kg-first sort
+        tails = par.facts.to_pandas()["tail_id"].to_numpy()
+        assert (np.diff(tails) >= 0).all()
+
+
 def test_info(kg):
     info = kg.info()
     assert info["relation_tuples"] == 4  # halved (INV twins)

@@ -36,6 +36,66 @@ def test_quality_and_langid(docs):
     assert len(l) == docs.count()
 
 
+def test_langid_vectorized_matches_rowwise(ray_session):
+    """The vectorized regex-count lang-ID must equal the per-row
+    token-membership semantics (incl. CJK path, ties, empty docs)."""
+    from prase_ray.stages.text import _LANG_MARKERS, LangIdModel
+
+    rows = [
+        "the cat and the dog is here for it",
+        "der hund ist nicht mit der katze",
+        "le chat est pour la maison et le pain",
+        "el perro es la casa y no por que",
+        "你好 世界 这是 中文 文本",
+        "mixed the der le el y",       # tie-ish across languages
+        "",                            # empty
+        "zz yy xx ww",                 # no markers → und
+        "the 中文 and 中文 of 中文",     # cjk ratio 3/6 = 0.5 → zh
+        "  leading the  spaces and  ", # irregular whitespace
+    ]
+    df = pd.DataFrame({"doc_id": range(len(rows)), "text": rows})
+    out = LangIdModel()(df).set_index("doc_id")
+
+    profiles = {l: frozenset(w) for l, w in _LANG_MARKERS.items() if w}
+    for did, text in zip(df["doc_id"], df["text"]):
+        ws = text.lower().split()
+        if not ws:
+            exp = ("und", 0.0)
+        else:
+            cjk = sum(any("一" <= ch <= "鿿" for ch in w) for w in ws)
+            if cjk / len(ws) > 0.2:
+                exp = ("zh", cjk / len(ws))
+            else:
+                scores = {
+                    l: sum(w in p for w in ws) / len(ws)
+                    for l, p in profiles.items()
+                }
+                lang = max(sorted(scores), key=lambda k: scores[k])
+                exp = (lang, scores[lang]) if scores[lang] > 0 else ("und", 0.0)
+        assert out.loc[did, "lang_pred"] == exp[0], (did, text)
+        assert out.loc[did, "lang_conf"] == pytest.approx(exp[1]), (did, text)
+
+
+def test_quality_vectorized_stopword_count(ray_session):
+    from prase_ray.stages.text import quality_score_batch
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "The cat and the. dog for it",  # 'the.' must NOT count
+                "",
+                "of of of of",
+            ],
+        }
+    )
+    out = quality_score_batch(df).set_index("doc_id")
+    # row 0: lowered tokens: the, cat, and, the., dog, for, it → 4 hits / 7
+    assert out.loc[0, "stopword_ratio"] == pytest.approx(4 / 7)
+    assert out.loc[1, "stopword_ratio"] == 0.0
+    assert out.loc[2, "stopword_ratio"] == 1.0
+
+
 def test_fingerprint_deterministic(docs):
     from prase_ray.stages.text import fingerprint
 
