@@ -168,7 +168,7 @@ def run_extract_scaling(num_cpus: int, page_scale: int = 64) -> dict:
     DataContext.get_current().enable_progress_bars = False
 
     from prase_ray.sources.webpages import synth_web_pages
-    from prase_ray.stages.extract import extract_text, extract_triples
+    from prase_ray.stages.extract import extract_triples
 
     n_pages = 20000 * page_scale
     pages = synth_web_pages(
@@ -178,8 +178,9 @@ def run_extract_scaling(num_cpus: int, page_scale: int = 64) -> dict:
     t0 = time.time()
     n_triples = extract_triples(
         # actor pool sized to the WHOLE allocation: this workload is
-        # extraction-only, so no CPUs are reserved for other stages
-        extract_text(pages), concurrency=num_cpus
+        # extraction-only, so no CPUs are reserved for other stages;
+        # fused html→text→triples (one stage, one object-store hop)
+        pages.select_columns(["url", "html"]), concurrency=num_cpus
     ).count()
     elapsed = time.time() - t0
     result = {

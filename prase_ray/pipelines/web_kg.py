@@ -179,10 +179,10 @@ def web_to_kg(
     # would otherwise re-execute the read/synthesis pipeline
     pages = pages.materialize()
     n_pages = pages.count()
-    texts = extract_text(pages)
     if verify_extraction:
         # per-url byte-identical invariant (input_hint): compare against
         # the reference text column, streamed
+        texts = extract_text(pages)
         joined = pages.select_columns(["url", "text"]).zip(
             texts.select_columns(["extracted_text"])
         )
@@ -194,9 +194,13 @@ def web_to_kg(
         ).count()
         if mism:
             raise AssertionError(f"{mism} urls with non-identical extracted text")
-    # materialize the extraction ONCE — tagging and the KG pair build
-    # consume it (lazy datasets re-execute per consumer)
-    triples = extract_triples(texts, concurrency=cfg.concurrency).materialize()
+    # FUSED html→text→triples (one actor stage, one object-store hop —
+    # the intermediate text Dataset never materializes), run ONCE —
+    # tagging and the KG pair build consume the result (lazy datasets
+    # re-execute per consumer)
+    triples = extract_triples(
+        pages.select_columns(["url", "html"]), concurrency=cfg.concurrency
+    ).materialize()
     mark("extract")
     # both KGs through ONE set of tagged pipelines (intern/encode/sort/
     # stats each run once over the union — half the serial stage count)

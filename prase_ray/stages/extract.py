@@ -7,87 +7,135 @@ actor pool — the stage shape a real model-backed extractor needs
 (model load once per actor in __init__, batched inference per batch,
 ``num_gpus`` when a GPU extractor is plugged in); here the "model" is a
 compiled regex, since no ML libs exist in this environment.
+
+All kernels are Arrow-native (RE2 via pyarrow.compute: split_pattern →
+extract_regex → struct_field): zero Python-object churn per row, which
+is what keeps per-core throughput flat as cores are added — the
+previous pandas ``str.findall`` + list-flatten version allocated ~10
+Python objects per triple and saturated the shared memory bus at ~8
+cores.  Findall-equivalence: every match of ``X (\\w+) V (\\w+)\\.``
+ends at a '.', so splitting on '.' and matching ``...(\\w+)$`` in each
+dot-terminated segment (the last, never-dot-terminated segment is
+dropped) yields exactly the same matches for ANY input — at most one
+per segment, since a segment holds no '.'.
 """
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 # main-content extraction: the deterministic inverse of the synth
 # template (sources/webpages.py) — real-world trafilatura is replaced
 # by this pure function so the byte-identical-per-url invariant is
-# exactly testable.
-_CONTENT_RE = re.compile(rb"<p>(.*?)</p>", re.S)
+# exactly testable.  (?s): '.' spans newlines, as re.S did.
+_CONTENT_PATTERN = r"(?s)<p>(?P<c>.*?)</p>"
 
 # OpenIE-style SVO pattern over token sentences. Verbs are a closed
 # vocabulary; has_* verbs yield literal objects.
-_REL_PATTERN = r"(\w+) (links_to|cites|mentions|located_in|parent_of) (\w+)\."
-_ATTR_PATTERN = r"(\w+) (has_name|has_code) (\w+)\."
+_REL_VERBS = ("links_to", "cites", "mentions", "located_in", "parent_of")
+_ATTR_VERBS = ("has_name", "has_code")
+_SVO_PATTERN = (
+    r"(?P<subj>\w+) (?P<pred>"
+    + "|".join(_REL_VERBS + _ATTR_VERBS)
+    + r") (?P<obj>\w+)$"
+)
+_ATTR_SET = pa.array(list(_ATTR_VERBS), type=pa.string())
+
+_EMPTY_TRIPLES = pa.schema(
+    [
+        ("url", pa.string()),
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("obj_is_literal", pa.bool_()),
+    ]
+).empty_table()
 
 
-def extract_text_batch(batch: pd.DataFrame) -> pd.DataFrame:
+def _content_from_html(html: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """html:binary → text:string (first <p>…</p> body, '' if absent)."""
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    s = html.cast(pa.string())  # utf-8 validated cast
+    m = pc.extract_regex(s, pattern=_CONTENT_PATTERN)
+    return pc.fill_null(pc.struct_field(m, "c"), "")
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
     """html:binary → text:string.  Byte-identical per url (input_hint
     invariant): tested against the ``text`` column in
     tests/test_extract.py."""
-    htmls = batch["html"]
-    texts = [
-        (m.group(1).decode("utf-8") if (m := _CONTENT_RE.search(h)) else "")
-        for h in htmls
-    ]
-    return pd.DataFrame({"url": batch["url"], "extracted_text": texts})
+    return pa.table(
+        {"url": batch["url"], "extracted_text": _content_from_html(batch["html"])}
+    )
 
 
 def extract_text(pages: ray.data.Dataset) -> ray.data.Dataset:
-    return pages.map_batches(extract_text_batch, batch_format="pandas")
+    return pages.map_batches(extract_text_batch, batch_format="pyarrow")
+
+
+def _triples_from_text(
+    texts: pa.ChunkedArray | pa.Array, urls: pa.ChunkedArray | pa.Array
+) -> pa.Table:
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    segs = pc.split_pattern(texts, pattern=".")
+    flat = pc.list_flatten(segs)
+    if len(flat) == 0:
+        return _EMPTY_TRIPLES
+    parents = pc.list_parent_indices(segs)
+    # drop each list's LAST segment: it was not '.'-terminated in the
+    # source, so `...(\w+)$` must not apply to it (findall required a
+    # literal trailing dot)
+    lens = pc.list_value_length(segs).to_numpy(zero_copy_only=False)
+    ends = np.cumsum(lens[lens > 0])  # flat index just past each list
+    keep = np.ones(len(flat), dtype=bool)
+    keep[ends - 1] = False
+    keep_idx = np.nonzero(keep)[0]
+    flat = flat.take(pa.array(keep_idx))
+    parents = parents.take(pa.array(keep_idx))
+
+    m = pc.extract_regex(flat, pattern=_SVO_PATTERN)
+    valid_idx = pa.array(
+        np.nonzero(pc.is_valid(m).to_numpy(zero_copy_only=False))[0]
+    )
+    m = m.take(valid_idx)
+    parents = parents.take(valid_idx)
+    pred = pc.struct_field(m, "pred")
+    return pa.table(
+        {
+            "url": urls.take(parents),
+            "subj": pc.struct_field(m, "subj"),
+            "pred": pred,
+            "obj": pc.struct_field(m, "obj"),
+            "obj_is_literal": pc.is_in(pred, value_set=_ATTR_SET),
+        }
+    )
 
 
 class TripleExtractor:
-    """Actor-pool stage: patterns compiled once per actor; per batch a
-    vectorized findall + explode.  GPU-ready shape: swap __init__ body
-    for a model load and __call__ for batched inference."""
+    """Actor-pool stage: patterns 'compiled' once per actor (RE2 plans
+    are cached by Arrow per pattern string; a model-backed extractor
+    would load weights here); per batch one Arrow kernel pipeline.
+    GPU-ready shape: swap __init__ for a model load and __call__ for
+    batched inference."""
 
-    def __init__(
-        self, rel_pattern: str = _REL_PATTERN, attr_pattern: str = _ATTR_PATTERN
-    ):
-        self.rel_re = rel_pattern
-        self.attr_re = attr_pattern
+    def __init__(self, svo_pattern: str = _SVO_PATTERN):
+        self.svo_pattern = svo_pattern
 
-    def _extract(
-        self, batch: pd.DataFrame, pattern: str, is_literal: bool
-    ) -> pd.DataFrame:
-        text_col = "text" if "text" in batch else "extracted_text"
-        found = batch[text_col].str.findall(pattern)
-        counts = found.str.len().fillna(0).astype(np.int64)
-        if counts.sum() == 0:
-            return pd.DataFrame(
-                {
-                    "url": pd.Series([], dtype=batch["url"].dtype),
-                    "subj": pd.Series([], dtype=object),
-                    "pred": pd.Series([], dtype=object),
-                    "obj": pd.Series([], dtype=object),
-                    "obj_is_literal": pd.Series([], dtype=bool),
-                }
-            )
-        flat = [t for lst in found for t in lst]
-        arr = np.array(flat, dtype=object)
-        return pd.DataFrame(
-            {
-                "url": np.repeat(batch["url"].to_numpy(), counts),
-                "subj": arr[:, 0],
-                "pred": arr[:, 1],
-                "obj": arr[:, 2],
-                "obj_is_literal": is_literal,
-            }
-        )
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rel = self._extract(batch, self.rel_re, False)
-        attr = self._extract(batch, self.attr_re, True)
-        return pd.concat([rel, attr], ignore_index=True)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = batch.schema.names
+        if "html" in names and "text" not in names and "extracted_text" not in names:
+            texts = _content_from_html(batch["html"])  # fused html→triples
+        else:
+            texts = batch["text" if "text" in names else "extracted_text"]
+        return _triples_from_text(texts, batch["url"])
 
 
 def extract_triples(
@@ -96,11 +144,12 @@ def extract_triples(
     concurrency: int = 4,
     batch_size: int = 1024,
 ) -> ray.data.Dataset:
-    """(url|doc) rows with a text column → raw_triples Dataset
-    (url, subj, pred, obj, obj_is_literal)."""
+    """(url|doc) rows with a text column — or raw pages with an html
+    column (fused html→text→triples, one object-store hop instead of
+    two) → raw_triples Dataset (url, subj, pred, obj, obj_is_literal)."""
     return pages_or_docs.map_batches(
         TripleExtractor,
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,
     )
