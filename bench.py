@@ -86,6 +86,25 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     extras["n_triples"] = n_triples
 
     if not scaling_mode:
+        # join-formulated PARIS path on the same workload: the
+        # web-scale mode (no broadcast CSR; SURVEY §7.1 stage 7a) —
+        # benched alongside broadcast so the path cost is visible
+        # round-over-round
+        def flagship_join():
+            pages = synth_web_pages(
+                n_pages=n_pages, n_entities=n_entities, seed=42,
+                parallelism=num_cpus * 4,
+            )
+            cfg = PrasConfig(concurrency=conc, batch_size=131072,
+                             paris_mode="join")
+            return web_to_kg(pages, iterations=2, cfg=cfg, out_dir=None,
+                             verify_extraction=False)
+
+        sj = timed("web_kg_flagship_joinpath", flagship_join)
+        extras["triples_per_sec_joinpath"] = round(
+            sj["n_triples"] / timings["web_kg_flagship_joinpath"], 1
+        )
+
         # 10x-scale flagship row: makes round-over-round SCALE
         # regressions visible (a change that only hurts at volume shows
         # up here, not in the sandbox-scale row)

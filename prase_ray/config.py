@@ -54,8 +54,14 @@ class PrasConfig:
     # PARIS formulation: 'broadcast' holds the right KG's CSR in the
     # object store (conformance / node-fits-memory path); 'join'
     # re-expresses the two-hop evidence walk as dataflow joins
-    # (web-scale path, SURVEY.md §7.1 stage 7a)
-    paris_mode: str = "broadcast"
+    # (web-scale path, SURVEY.md §7.1 stage 7a); 'auto' (default)
+    # picks per pass by the broadcast side's fact count — bit-equal
+    # outputs either way (tests/test_paris.py)
+    paris_mode: str = "auto"
+    # 'auto' cutoff: max facts whose CSR (3 int64 arrays) may be
+    # broadcast to every node (~2.4 GB at the default; above it the
+    # join path streams instead)
+    broadcast_max_facts: int = 100_000_000
 
     # --- determinism ---
     seed: int = 42

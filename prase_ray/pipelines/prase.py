@@ -125,16 +125,32 @@ class KGPair:
                 self.state.save(d, meta={"iteration": i, "init": init})
         return evals
 
+    def _half_fn(self, broadcast_side):
+        """Resolve the half-iteration implementation for a pass whose
+        broadcast side is ``broadcast_side``.  'auto' picks per PASS:
+        the broadcast CSR (3 int64 arrays over n_facts) must fit one
+        node's object store, so sides above ``broadcast_max_facts``
+        take the join-formulated dataflow path (SURVEY.md §7.1 stage
+        7a) — both paths are bit-equivalent (tests/test_paris.py)."""
+        cfg = self.cfg
+        mode = cfg.paris_mode
+        if mode == "auto":
+            mode = (
+                "join"
+                if broadcast_side.n_facts > cfg.broadcast_max_facts
+                else "broadcast"
+            )
+        if mode == "join":
+            from prase_ray.stages.paris_join import run_half_iteration_join
+
+            return run_half_iteration_join
+        return run_half_iteration
+
     def _run_one_iteration(self, init: bool) -> None:
         st = self.state
         cfg = self.cfg
-        if cfg.paris_mode == "join":
-            # web-scale dataflow path (SURVEY.md §7.1 stage 7a): no
-            # broadcast CSR / match arrays; same semantics (tested 1e-12)
-            from prase_ray.stages.paris_join import run_half_iteration_join as half
-        else:
-            half = run_half_iteration
-        # left → right pass (ent_align=True)
+        # left → right pass (ent_align=True): kg_r is the broadcast side
+        half = self._half_fn(self.kg_r)
         sub_match, sub_prob, rel_l = half(
             self.kg_l,
             self.kg_r,
@@ -165,7 +181,8 @@ class KGPair:
         )
 
         # right → left pass: swapped sides, rel maps swapped
-        # (objects/KGs.py:128-134), rel aggregates only
+        # (objects/KGs.py:128-134), rel aggregates only; kg_l broadcasts
+        half = self._half_fn(self.kg_l)
         _, _, rel_r = half(
             self.kg_r,
             self.kg_l,

@@ -254,3 +254,27 @@ def test_determinism(ray_session):
         )
     for a, b in zip(res[0], res[1]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_auto_mode_selects_by_broadcast_side_size():
+    """'auto' (the default) resolves per pass: broadcast while the
+    broadcast side's CSR fits one node, join above the cutoff."""
+    from types import SimpleNamespace
+
+    from prase_ray.stages.paris import run_half_iteration
+    from prase_ray.stages.paris_join import run_half_iteration_join
+
+    cfg = PrasConfig(broadcast_max_facts=1000)
+    assert cfg.paris_mode == "auto"
+    pick = lambda n: KGPair._half_fn(
+        SimpleNamespace(cfg=cfg), SimpleNamespace(n_facts=n)
+    )
+    assert pick(999) is run_half_iteration
+    assert pick(1000) is run_half_iteration
+    assert pick(1001) is run_half_iteration_join
+    # explicit modes override the cutoff entirely
+    forced = PrasConfig(paris_mode="join", broadcast_max_facts=10**9)
+    assert (
+        KGPair._half_fn(SimpleNamespace(cfg=forced), SimpleNamespace(n_facts=1))
+        is run_half_iteration_join
+    )
