@@ -397,6 +397,16 @@ def q_embedding_neardup(sf_dir: str):
     return out
 
 
+def q_cosine_pairs_exact(sf_dir: str):
+    """Exact all-pairs cosine >= 0.4 (brute-force baseline for the SRP
+    near-dup path; broadcast-matrix blockwise matmul)."""
+    from prase_ray.stages.ann import cosine_pairs_exact
+
+    out = cosine_pairs_exact(_read(sf_dir, "embeddings"), threshold=0.4)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
 def q_knn_lsh(sf_dir: str):
     from prase_ray.stages.ann import knn_cosine_lsh
 
@@ -518,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_candidates": q_simhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
+        "cosine_pairs_exact": q_cosine_pairs_exact,
         "knn_lsh": q_knn_lsh,
         "connected_components": q_connected_components,
         "prase_align": q_prase_align,
@@ -830,5 +841,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.4
+        """,
+        # DOUBLE casts so the kernel sums in float64 like the numpy side
+        "cosine_pairs_exact": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         """,
     }

@@ -380,7 +380,8 @@ def main():
         return
 
     if "--scaling-extract" in sys.argv:
-        print(json.dumps(run_extract_scaling(num_cpus)))
+        ps = int(os.environ.get("RAY_GRAFT_PAGE_SCALE", "64"))
+        print(json.dumps(run_extract_scaling(num_cpus, page_scale=ps)))
         return
 
     if "--scaling-kernel" in sys.argv:

@@ -96,6 +96,75 @@ def knn_cosine_bruteforce(
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+_MAT_STATE: dict = {}
+
+
+@ray.remote
+def _gather_normalized(id_col: str, vec_col: str, *tables):
+    """Concatenate corpus blocks into (ids, unit-rows matrix) INSIDE a
+    Ray task, so the driver never holds the dense matrix (same pattern
+    as the KG CSR build, kg_build.csr_by_head_ref)."""
+    import pyarrow as pa
+
+    t = pa.concat_tables(tables)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    V = np.vstack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    return ids, V / np.where(norms > 0, norms, 1.0)
+
+
+def _pairs_fn(batch: pd.DataFrame, *, mat_ref, threshold, id_col, vec_col):
+    key = mat_ref.hex()
+    st = _MAT_STATE.get(key)
+    if st is None:
+        _MAT_STATE.clear()
+        st = _MAT_STATE[key] = ray.get(mat_ref)
+    all_ids, All = st
+    V = np.vstack(batch[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    Vn = V / np.where(norms > 0, norms, 1.0)
+    ids = batch[id_col].to_numpy(np.int64)
+    S = Vn @ All.T  # (batch, N)
+    keep = (S >= threshold) & (ids[:, None] < all_ids[None, :])
+    r, c = np.nonzero(keep)
+    return pd.DataFrame(
+        {"a": ids[r], "b": all_ids[c], "cosine": S[r, c]}
+    ).astype({"a": np.int64, "b": np.int64})
+
+
+def cosine_pairs_exact(
+    corpus: ray.data.Dataset,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Exact all-pairs cosine >= threshold (a < b): the brute-force
+    baseline against which the SRP near-dup path (dedup.py) trades
+    recall.  One broadcast of the normalized matrix (built in a Ray
+    task, `ray.put` semantics via the task's return ref); each corpus
+    batch does one blockwise matmul — O(N·B) per task, never a dense
+    N×N materialization.  Use ONLY when one side fits a node's object
+    store; above that, the SRP-bucketed variant is the scale path."""
+    blocks = (
+        corpus.select_columns([id_col, vec_col]).materialize().to_arrow_refs()
+    )
+    mat_ref = _gather_normalized.remote(id_col, vec_col, *blocks)
+    out = (
+        corpus.map_batches(
+            _pairs_fn,
+            batch_format="pandas",
+            fn_kwargs=dict(
+                mat_ref=mat_ref, threshold=threshold,
+                id_col=id_col, vec_col=vec_col,
+            ),
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 _LSH_STATE: dict = {}
 
 

@@ -317,3 +317,36 @@ def test_multimodal_plumbing(ray_session):
     assert len(frames) == 16 * 3
     with pytest.raises(Exception):
         decode_images(media, mode="strict", concurrency=1).materialize()
+
+
+def test_cosine_pairs_exact_matches_numpy(ray_session):
+    from prase_ray.stages.ann import cosine_pairs_exact
+
+    rng = np.random.default_rng(5)
+    V = rng.normal(size=(120, 8))
+    # plant two near-duplicate pairs
+    V[7] = V[3] + rng.normal(scale=1e-3, size=8)
+    V[90] = V[44] + rng.normal(scale=1e-3, size=8)
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(120),
+                "embedding": [v.astype(np.float32) for v in V],
+            }
+        )
+    )
+    out = cosine_pairs_exact(ds, threshold=0.9, concurrency=2)
+    Vf = np.vstack([v.astype(np.float32) for v in V]).astype(np.float64)
+    Vn = Vf / np.linalg.norm(Vf, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    a, b = np.nonzero(np.triu(S >= 0.9, k=1))
+    expect = set(zip(a.tolist(), b.tolist()))
+    got = set(zip(out["a"].tolist(), out["b"].tolist()))
+    assert got == expect
+    assert (3, 7) in got and (44, 90) in got
+    np.testing.assert_allclose(
+        out.set_index(["a", "b"])["cosine"]
+        .loc[list(zip(a.tolist(), b.tolist()))]
+        .to_numpy(),
+        S[a, b], rtol=1e-12,
+    )
