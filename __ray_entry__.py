@@ -228,7 +228,8 @@ def q_token_stats(sf_dir: str):
 
     out = token_stats(_read(sf_dir, "documents"))
     return out.select_columns(
-        ["doc_id", "n_chars_text", "n_tokens", "digit_ratio", "punct_ratio"]
+        ["doc_id", "n_chars_text", "n_tokens", "n_bpe_tokens",
+         "digit_ratio", "punct_ratio"]
     )
 
 
@@ -657,6 +658,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    length(text) AS n_chars_text,
                    len(string_split(text, ' ')) AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'
+                   )) AS n_bpe_tokens,
                    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
                        / (CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END) AS digit_ratio,
                    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)

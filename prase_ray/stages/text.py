@@ -23,14 +23,23 @@ _LANG_MARKERS = {
 _STOPWORDS = _LANG_MARKERS["en"]
 
 
+# GPT-2-style pretokenizer, restricted to constructs RE2 also supports
+# (no lookarounds, ASCII classes) so the DuckDB oracle can count the
+# SAME segmentation: contraction suffixes, space-prefixed letter/digit
+# runs, space-prefixed symbol runs, whitespace runs.
+_BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
 def token_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Per-doc token/char statistics.  Token = single-space split
     segment (including empties), matching DuckDB
-    ``len(string_split(text, ' '))`` for oracle parity."""
+    ``len(string_split(text, ' '))`` for oracle parity; n_bpe_tokens =
+    GPT-2-ish pretokenizer segment count (one compiled-regex pass)."""
     text = batch["text"]
     n_chars = text.str.len().astype(np.int64)
     n_tokens = (text.str.count(" ", flags=0) + 1).astype(np.int64)
     n_ws_tokens = text.str.split().str.len().fillna(0).astype(np.int64)
+    n_bpe = text.str.count(_BPE_RE).astype(np.int64)
     digits = text.str.count(r"[0-9]").astype(np.int64)
     punct = text.str.count(r"[.,;:!?]").astype(np.int64)
     denom = n_chars.replace(0, 1)
@@ -40,6 +49,7 @@ def token_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
             "n_chars_text": n_chars,
             "n_tokens": n_tokens,
             "n_ws_tokens": n_ws_tokens,
+            "n_bpe_tokens": n_bpe,
             "digit_ratio": digits / denom,
             "punct_ratio": punct / denom,
         }

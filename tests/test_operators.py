@@ -26,6 +26,27 @@ def test_token_stats(docs):
         assert out.loc[did, "n_chars_text"] == len(text)
 
 
+def test_bpe_token_count(ray_session):
+    import re
+
+    from prase_ray.stages.text import _BPE_RE, token_stats
+
+    cases = [
+        "I'll say we're  done, it's a no-op!",
+        "abc123 x.y,z",
+        "",
+        "   ",
+    ]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(len(cases)), "text": cases})
+    )
+    out = token_stats(ds).to_pandas().set_index("doc_id")
+    for i, text in enumerate(cases):
+        assert out.loc[i, "n_bpe_tokens"] == len(re.findall(_BPE_RE, text)), text
+    # spot-check one segmentation by hand: I|'ll| say| we|'re|<2sp>|done|,| it|'s| a| no|-|op|!
+    assert out.loc[0, "n_bpe_tokens"] == 15
+
+
 def test_quality_and_langid(docs):
     from prase_ray.stages.text import lang_id, quality_score
 
