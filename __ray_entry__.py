@@ -537,6 +537,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# ---- SQL fragment builders for hash-exact oracles -----------------------
+# The engine's token hash is FNV-1a 64 over codepoints (first 128), chosen
+# precisely so DuckDB can reproduce it (prase_ray/functions/hashing.py).
+_U64 = "18446744073709551616::HUGEINT"
+
+
+def _sql_mul64(a: str, b: str) -> str:
+    """(a * b) mod 2^64 for HUGEINT operands via 32-bit limb split
+    (a full 64x64 product overflows HUGEINT)."""
+    return (
+        f"(((({a}) % 4294967296) * (({b}) % 4294967296) + "
+        f"(((({a}) // 4294967296) * (({b}) % 4294967296) + "
+        f"(({a}) % 4294967296) * (({b}) // 4294967296)) % 4294967296) "
+        f"* 4294967296) % {_U64})"
+    )
+
+
+# FNV-1a 64 of lambda var `t` (bound by an enclosing list_transform/unnest)
+_SQL_FNV_T = (
+    "list_reduce("
+    "list_prepend(14695981039346656037::HUGEINT, "
+    "list_transform(string_split(left(t, 128), ''), "
+    "c -> unicode(c)::HUGEINT)), "
+    f"(fh, c) -> (xor(fh, c) * 1099511628211::HUGEINT) % {_U64})"
+)
+
+# whitespace tokenization identical to pandas Series.str.split()
+_SQL_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
+
+
 def oracle_sql() -> dict[str, str]:
     svo = SVO_PATTERN
     return {
@@ -845,6 +875,80 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.4
+        """,
+        # hash-exact: reproduces the engine's FNV-1a token hashes, the
+        # polynomial rolling combine, and the splitmix64 finalizer in
+        # pure SQL (rolling_fingerprint, prase_ray/functions/hashing.py)
+        "fingerprint": f"""
+            WITH dt AS (
+                SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+            ),
+            acc AS (
+                SELECT doc_id, len(toks) AS ntok,
+                    list_reduce(
+                        list_prepend({{h: 0::HUGEINT, p: 1::HUGEINT}},
+                            list_transform(toks, t -> {{h: {_SQL_FNV_T}, p: 0::HUGEINT}})),
+                        (a, x) -> {{h: (a.h + {_sql_mul64('x.h', 'a.p')}) % {_U64},
+                                    p: (a.p * 1099511628211::HUGEINT) % {_U64}}}).h AS s
+                FROM dt
+            ),
+            z0 AS (SELECT doc_id, ntok,
+                          (s + 11400714819323198485::HUGEINT) % {_U64} AS z FROM acc),
+            x0 AS (SELECT doc_id, ntok, xor(z, z // 1073741824) AS x FROM z0),
+            z1 AS (SELECT doc_id, ntok,
+                          {_sql_mul64('x', '13787848793156543929::HUGEINT')} AS z FROM x0),
+            x1 AS (SELECT doc_id, ntok, xor(z, z // 134217728) AS x FROM z1),
+            z2 AS (SELECT doc_id, ntok,
+                          {_sql_mul64('x', '10723151780598845931::HUGEINT')} AS z FROM x1)
+            SELECT doc_id,
+                   CASE WHEN ntok = 0 THEN '0'
+                        ELSE CAST(CAST(xor(z, z // 2147483648) AS UBIGINT) AS VARCHAR)
+                   END AS fingerprint
+            FROM z2
+        """,
+        # hash-exact SimHash: FNV token hashes -> per-bit majority votes
+        # -> 64-bit signature -> 4x16-bit band self-join -> hamming <= 8
+        # (simhash_candidates, prase_ray/stages/dedup.py)
+        "simhash_candidates": f"""
+            WITH dt AS (
+                SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(toks) AS t FROM dt),
+            th AS (SELECT doc_id, {_SQL_FNV_T} AS h FROM tok),
+            bits AS (
+                SELECT doc_id, b.bit,
+                       CASE WHEN sum(CASE WHEN (h // CAST(power(2, b.bit) AS HUGEINT)) % 2 = 1
+                                          THEN 1 ELSE -1 END) > 0
+                            THEN CAST(power(2, b.bit) AS HUGEINT) ELSE 0::HUGEINT
+                       END AS contrib
+                FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+                GROUP BY doc_id, b.bit
+            ),
+            sigs0 AS (SELECT doc_id, sum(contrib) AS sig FROM bits GROUP BY doc_id),
+            sigs AS (
+                SELECT d.doc_id, coalesce(s.sig, 0::HUGEINT) AS sig
+                FROM dt d LEFT JOIN sigs0 s USING (doc_id)
+            ),
+            bands AS (
+                SELECT doc_id, sig, b.band,
+                       (sig // CAST(power(2, 16 * b.band) AS HUGEINT)) % 65536 AS band_hash
+                FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+            ),
+            pairs AS (
+                SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sig AS s1, r.sig AS s2
+                FROM bands l JOIN bands r
+                  ON l.band = r.band AND l.band_hash = r.band_hash
+                 AND l.doc_id < r.doc_id
+            )
+            SELECT * FROM (
+                SELECT a, b,
+                       bit_count(xor(
+                           CAST(CASE WHEN s1 >= 9223372036854775808::HUGEINT
+                                     THEN s1 - {_U64} ELSE s1 END AS BIGINT),
+                           CAST(CASE WHEN s2 >= 9223372036854775808::HUGEINT
+                                     THEN s2 - {_U64} ELSE s2 END AS BIGINT)))::BIGINT AS hamming
+                FROM pairs
+            ) WHERE hamming <= 8
         """,
         # DOUBLE casts so the kernel sums in float64 like the numpy side
         "cosine_pairs_exact": """

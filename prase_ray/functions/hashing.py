@@ -29,10 +29,44 @@ def hash_bytes_array(values: pd.Series, seed: int = 0) -> np.ndarray:
     return splitmix64(h.astype(np.uint64) ^ np.uint64(seed * 0x9E3779B9 + 1))
 
 
+_FNV_BASIS = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+FNV_MAX_CHARS = 128  # tokens hashed over their first 128 codepoints
+
+
+def fnv1a_str_array(flat: np.ndarray, max_chars: int = FNV_MAX_CHARS) -> np.ndarray:
+    """Vectorized FNV-1a 64 over unicode codepoints (first `max_chars`
+    of each string).  Chosen over pandas' string hasher because it is
+    SQL-reproducible: DuckDB `list_reduce` over `string_split(t, '')`
+    computes the identical value, enabling driver oracle checks on
+    fingerprint/simhash outputs.  Columnar: a fixed-width UTF-32 view
+    gives a (n, width) codepoint matrix; one vectorized FNV step per
+    char position, masked on live (non-pad) rows."""
+    n = len(flat)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    arr = np.asarray(flat, dtype="U")  # auto-width UTF-32
+    width = arr.dtype.itemsize // 4
+    if width > max_chars:
+        arr = arr.astype(f"U{max_chars}")
+        width = max_chars
+    cp = np.ascontiguousarray(arr).view(np.uint32).reshape(n, width)
+    h = np.full(n, _FNV_BASIS)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            col = cp[:, j].astype(np.uint64)
+            act = col != 0  # NUL padding marks end-of-string
+            if not act.any():
+                break
+            h[act] = ((h[act] ^ col[act]) * _FNV_PRIME) & _MASK64
+    return h
+
+
 def tokenize_offsets(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """Whitespace tokenization over a batch → (token_hash_flat, doc_offsets).
     doc_offsets has len(texts)+1 entries; tokens of doc i live in
-    token_hash_flat[offsets[i]:offsets[i+1]]."""
+    token_hash_flat[offsets[i]:offsets[i+1]].  Token hash = FNV-1a 64
+    (SQL-reproducible, see fnv1a_str_array)."""
     tok_lists = texts.str.split()
     counts = tok_lists.str.len().fillna(0).to_numpy(dtype=np.int64)
     flat = (
@@ -40,11 +74,7 @@ def tokenize_offsets(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
         if counts.sum()
         else np.empty(0, dtype=object)
     )
-    tok_hash = (
-        pd.util.hash_array(flat, hash_key="0123456789123456").astype(np.uint64)
-        if len(flat)
-        else np.empty(0, np.uint64)
-    )
+    tok_hash = fnv1a_str_array(flat)
     offsets = np.zeros(len(texts) + 1, np.int64)
     np.cumsum(counts, out=offsets[1:])
     return tok_hash, offsets

@@ -415,7 +415,9 @@ def pred_stats(facts: ray.data.Dataset, preds_df: pd.DataFrame) -> pd.DataFrame:
     for c in ("n_heads", "n_tails", "n_triples"):
         if c not in piv:
             piv[c] = 0
-    out = preds_df.merge(piv.reset_index(), on="rel_id", how="left")
+    out = preds_df.merge(
+        piv.reset_index().rename_axis(columns=None), on="rel_id", how="left"
+    )
     for c in ("n_triples", "n_heads", "n_tails"):
         out[c] = out[c].fillna(0).astype(np.int64)
     freq = out["n_triples"].to_numpy(dtype=np.float64)
@@ -488,7 +490,7 @@ def functionality_by_pred(triples: ray.data.Dataset) -> pd.DataFrame:
     )
     piv = per_pred.pivot(index="pred", columns="kind", values="v").fillna(0)
     piv = piv.rename(columns={0: "n_heads", 1: "n_tails", 2: "n_triples"})
-    out = piv.reset_index()
+    out = piv.reset_index().rename_axis(columns=None)
     for c in ("n_heads", "n_tails", "n_triples"):
         out[c] = out[c].astype(np.int64)
     out["func"] = out["n_heads"] / out["n_triples"]
