@@ -567,6 +567,117 @@ _SQL_FNV_T = (
 _SQL_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
 
 
+def _sql_splitmix(y: str) -> str:
+    """splitmix64 of HUGEINT expression `y` (keep `y` a simple column
+    ref — it is textually duplicated ~128x by the mul64 expansions)."""
+    z0 = f"((({y}) + 11400714819323198485::HUGEINT) % {_U64})"
+    x0 = f"xor({z0}, {z0} // 1073741824)"
+    z1 = _sql_mul64(x0, "13787848793156543929::HUGEINT")
+    x1 = f"xor({z1}, {z1} // 134217728)"
+    z2 = _sql_mul64(x1, "10723151780598845931::HUGEINT")
+    return f"xor({z2}, {z2} // 2147483648)"
+
+
+def _sql_minhash_dedup() -> str:
+    """Hash-exact SQL twin of minhash_dedup_keep_ids (k=3, 64 hashes,
+    16 bands of 4 rows, seed 17, jaccard >= 0.6): FNV token hashes →
+    k-shingle rolling hashes → affine MinHash minima (constants from
+    minhash_params, embedded) → per-band splitmix chain → bucket
+    self-join → exact-jaccard verify → connected components as a
+    recursive closure (tiny at oracle scale)."""
+    from prase_ray.functions.hashing import minhash_params
+
+    a, b = minhash_params(64, 17)
+    hf_rows = ", ".join(
+        f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)" for j in range(64)
+    )
+    c2 = (0x100000001B3**2) % (1 << 64)  # C^2 mod 2^64 for the k=3 window
+    rolling = (
+        "list_reduce("
+        "list_prepend({h: 0::HUGEINT, p: 1::HUGEINT}, "
+        "list_transform(th, x -> {h: x, p: 0::HUGEINT})), "
+        f"(a, x) -> {{h: (a.h + {_sql_mul64('x.h', 'a.p')}) % {_U64}, "
+        f"p: (a.p * 1099511628211::HUGEINT) % {_U64}}}).h"
+    )
+    window = (
+        f"(th[i] + (th[i+1] * 1099511628211::HUGEINT) % {_U64} "
+        f"+ {_sql_mul64('th[i+2]', f'{c2}::HUGEINT')}) % {_U64}"
+    )
+    return f"""
+        WITH dt AS (
+            SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+        ),
+        tt AS (
+            SELECT doc_id,
+                   list_transform(toks, t -> {_SQL_FNV_T}) AS th
+            FROM dt
+        ),
+        win AS (
+            SELECT doc_id,
+                   CASE WHEN len(th) = 0 THEN CAST([] AS HUGEINT[])
+                        WHEN len(th) < 3 THEN [{rolling}]
+                        ELSE list_transform(generate_series(1, len(th) - 2),
+                                            i -> {window})
+                   END AS ws
+            FROM tt
+        ),
+        wr AS (SELECT doc_id, unnest(ws) AS w FROM win),
+        sh AS (SELECT DISTINCT doc_id, {_sql_splitmix('w')} AS s FROM wr),
+        hf(j, a, b) AS (VALUES {hf_rows}),
+        sig AS (
+            SELECT d.doc_id, hf.j,
+                   coalesce(min(({_sql_mul64('sh.s', 'hf.a')} + hf.b) % {_U64}),
+                            18446744073709551615::HUGEINT) AS v
+            FROM dt d LEFT JOIN sh ON sh.doc_id = d.doc_id CROSS JOIN hf
+            GROUP BY d.doc_id, hf.j
+        ),
+        bandv AS (
+            SELECT doc_id, j // 4 AS band, list(v ORDER BY j) AS vs
+            FROM sig GROUP BY doc_id, j // 4
+        ),
+        bh AS (
+            SELECT doc_id, band,
+                   list_reduce(list_prepend(0::HUGEINT, vs),
+                               (acc, s) -> {_sql_splitmix('xor(acc, s)')}) AS band_hash
+            FROM bandv
+        ),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bh l JOIN bh r
+              ON l.band = r.band AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.a, c.b, count(*) AS i
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.a
+            JOIN sh y ON y.doc_id = c.b AND y.s = x.s
+            GROUP BY c.a, c.b
+        ),
+        ver AS (
+            SELECT c.a, c.b FROM cand c
+            JOIN sz sa ON sa.doc_id = c.a
+            JOIN sz sb ON sb.doc_id = c.b
+            LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+            WHERE (sa.n + sb.n - coalesce(i.i, 0)) > 0
+              AND CAST(coalesce(i.i, 0) AS DOUBLE)
+                  / (sa.n + sb.n - coalesce(i.i, 0)) >= 0.6
+        ),
+        und AS (SELECT a AS x, b AS y FROM ver UNION SELECT b, a FROM ver),
+        reach AS (
+            WITH RECURSIVE r(x, y) AS (
+                SELECT x, x FROM (SELECT DISTINCT x FROM und)
+                UNION
+                SELECT r.x, u.y FROM r JOIN und u ON r.y = u.x
+            )
+            SELECT * FROM r
+        )
+        SELECT CAST(x AS BIGINT) AS doc_id, CAST(MIN(y) AS BIGINT) AS keep_id
+        FROM reach GROUP BY x
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     svo = SVO_PATTERN
     return {
@@ -876,6 +987,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.4
         """,
+        # hash-exact end-to-end MinHash+LSH near-dup: see _sql_minhash_dedup
+        "minhash_dedup": _sql_minhash_dedup(),
         # hash-exact: reproduces the engine's FNV-1a token hashes, the
         # polynomial rolling combine, and the splitmix64 finalizer in
         # pure SQL (rolling_fingerprint, prase_ray/functions/hashing.py)

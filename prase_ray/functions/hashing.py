@@ -138,6 +138,17 @@ def _expand(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     return out
 
 
+def minhash_params(num_hashes: int, seed: int = 17) -> tuple[np.ndarray, np.ndarray]:
+    """Affine permutation params (a odd, b) for MinHash, derived via
+    splitmix64 of (seed, j) — a closed form (not an RNG stream) so a
+    SQL oracle can embed the identical constants."""
+    idx = np.arange(num_hashes, dtype=np.uint64)
+    base = np.uint64(seed) << np.uint64(32)
+    a = splitmix64(base ^ (np.uint64(2) * idx)) | np.uint64(1)
+    b = splitmix64(base ^ (np.uint64(2) * idx + np.uint64(1)))
+    return a, b
+
+
 def minhash_signatures(
     sh_hash: np.ndarray, sh_offsets: np.ndarray, num_hashes: int, seed: int = 17
 ) -> np.ndarray:
@@ -149,12 +160,11 @@ def minhash_signatures(
     if not nonempty.any():
         return sig
     starts = sh_offsets[:-1][nonempty]
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, 1 << 62, size=num_hashes, dtype=np.uint64) | np.uint64(1)
-    b = rng.integers(0, 1 << 62, size=num_hashes, dtype=np.uint64)
-    for j in range(num_hashes):
-        hj = (sh_hash * a[j] + b[j]) & _MASK64
-        sig[nonempty, j] = np.minimum.reduceat(hj, starts)
+    a, b = minhash_params(num_hashes, seed)
+    with np.errstate(over="ignore"):
+        for j in range(num_hashes):
+            hj = (sh_hash * a[j] + b[j]) & _MASK64
+            sig[nonempty, j] = np.minimum.reduceat(hj, starts)
     return sig
 
 
