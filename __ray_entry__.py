@@ -422,6 +422,23 @@ def q_knn_lsh(sf_dir: str):
     return out[["query_id", "rank", "neighbor_id"]]
 
 
+def q_knn_ivf(sf_dir: str):
+    """ANN top-k via IVF coarse quantizer (deterministic spherical
+    k-means; approximate — knn_bruteforce is the exact oracle)."""
+    from prase_ray.stages.ann import knn_cosine_ivf
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    qdf = tbl[tbl["vec_id"] < 5].sort_values("vec_id")
+    Q = np.vstack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = knn_cosine_ivf(
+        _read(sf_dir, "embeddings"), Q, qdf["vec_id"].to_numpy(np.int64),
+        k=3, n_centroids=8, nprobe=3,
+    )
+    return out[["query_id", "rank", "neighbor_id"]]
+
+
 def q_connected_components(sf_dir: str):
     """Distributed min-label-propagation components over a derived edge
     list (consecutive events of the same user)."""
@@ -531,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "cosine_pairs_exact": q_cosine_pairs_exact,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "connected_components": q_connected_components,
         "prase_align": q_prase_align,
         "web_extract": q_web_extract,

@@ -210,6 +210,140 @@ def _bucket_score_fn(batch: pd.DataFrame, *, state_ref, k, id_col, vec_col):
     return pd.concat(frames, ignore_index=True)
 
 
+@ray.remote
+def _train_centroids(
+    id_col: str, vec_col: str, n_centroids: int, iters: int, seed: int, *tables
+) -> np.ndarray:
+    """Deterministic spherical k-means over the sampled corpus blocks,
+    INSIDE a Ray task (driver never holds the sample).  Init = evenly
+    spaced rows of a splitmix-shuffled order; `iters` Lloyd rounds with
+    unit-renormalized means (cosine geometry)."""
+    import pyarrow as pa
+
+    from prase_ray.functions.hashing import splitmix64
+
+    t = pa.concat_tables(tables)
+    V = np.vstack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    Vn = V / np.where(norms > 0, norms, 1.0)
+    n = len(Vn)
+    k = min(n_centroids, n)
+    order = np.argsort(splitmix64(np.arange(n, dtype=np.uint64) ^ np.uint64(seed)))
+    C = Vn[order[np.linspace(0, n - 1, k).astype(np.int64)]].copy()
+    for _ in range(iters):
+        assign = np.argmax(Vn @ C.T, axis=1)
+        for c in range(k):  # k is small (#centroids), vectorized inner
+            m = assign == c
+            if m.any():
+                v = Vn[m].sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    C[c] = v / nv
+    return C
+
+
+def _ivf_score_fn(batch: pd.DataFrame, *, state_ref, k, id_col, vec_col):
+    """IVF scoring: each corpus row belongs to its nearest centroid's
+    inverted list; it scores only against queries probing that list."""
+    key = state_ref.hex()
+    st = _LSH_STATE.get(key)
+    if st is None:
+        _LSH_STATE.clear()
+        st = _LSH_STATE[key] = ray.get(state_ref)
+    C, Q, q_ids, b2q = st
+    V = np.vstack(batch[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    Vn = V / np.where(norms > 0, norms, 1.0)
+    ids = batch[id_col].to_numpy(np.int64)
+    cbucket = np.argmax(Vn @ C.T, axis=1)
+    frames = []
+    for b in np.unique(cbucket):
+        qs = b2q.get(int(b))
+        if not qs:
+            continue
+        m = cbucket == b
+        S = Q[qs] @ Vn[m].T
+        kk = min(k, S.shape[1])
+        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(S.shape[0]), kk)
+        cols = part.ravel()
+        frames.append(
+            pd.DataFrame(
+                {
+                    "query_id": q_ids[np.asarray(qs)[rows]],
+                    "neighbor_id": ids[m][cols],
+                    "cosine": S[rows, cols],
+                }
+            )
+        )
+    if not frames:
+        return pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cosine": []}
+        ).astype({"query_id": np.int64, "neighbor_id": np.int64, "cosine": float})
+    return pd.concat(frames, ignore_index=True)
+
+
+def knn_cosine_ivf(
+    corpus: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_rows: int = 50_000,
+    kmeans_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Approximate top-k via an IVF coarse quantizer: deterministic
+    spherical k-means centroids (trained in a Ray task on a bounded
+    sample), corpus rows assigned to their nearest centroid per batch,
+    each query probing its `nprobe` nearest centroids.  Scale shape:
+    train once on ≤train_rows, broadcast (centroids, queries) once via
+    ray.put, then a single streaming pass over the corpus — recall
+    degrades gracefully with nprobe/n_centroids, exact variant
+    (knn_cosine_bruteforce) is the oracle."""
+    sample = corpus.select_columns([id_col, vec_col]).limit(train_rows)
+    blocks = sample.materialize().to_arrow_refs()
+    C = ray.get(
+        _train_centroids.remote(
+            id_col, vec_col, n_centroids, kmeans_iters, seed, *blocks
+        )
+    )
+    Qn = queries / np.where(
+        np.linalg.norm(queries, axis=1, keepdims=True) > 0,
+        np.linalg.norm(queries, axis=1, keepdims=True),
+        1.0,
+    )
+    # nprobe nearest centroids per query → inverted probe map
+    qc = np.argsort(-(Qn @ C.T), axis=1)[:, : min(nprobe, len(C))]
+    bucket_to_q: dict[int, list[int]] = {}
+    for qi in range(len(Qn)):
+        for b in qc[qi]:
+            bucket_to_q.setdefault(int(b), []).append(qi)
+    state_ref = ray.put((C, Qn, np.asarray(query_ids, np.int64), bucket_to_q))
+    parts = corpus.map_batches(
+        _ivf_score_fn,
+        batch_format="pandas",
+        fn_kwargs={"state_ref": state_ref, "k": k, "id_col": id_col,
+                   "vec_col": vec_col},
+    )
+    out = (
+        parts.groupby("query_id")
+        .map_groups(
+            lambda g: _final_topk(
+                g[g["neighbor_id"] != g["query_id"].iloc[0]], k
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def knn_cosine_lsh(
     corpus: ray.data.Dataset,
     queries: np.ndarray,

@@ -517,14 +517,20 @@ def embedding_neardup_pairs(
         # are not joinable as non-key fields)
         all_buckets = [bucket] + [bucket ^ (1 << b) for b in range(n_planes)]
         reps = len(all_buckets)
-        # vectors ride through the join as fixed-width binary (the only
-        # flat payload type hash-join supports); frombuffer on verify
-        vec_bytes = [v.tobytes() for v in Vn]
+        # vectors ride through the join as binary; build the whole
+        # column from the tiled matrix's buffer (no per-row tobytes)
+        tiled = np.ascontiguousarray(np.tile(Vn, (reps, 1)))
+        offsets = np.arange(n * reps + 1, dtype=np.int32) * (d * 8)
+        vec_arr = pa.Array.from_buffers(
+            pa.binary(),
+            n * reps,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(tiled.tobytes())],
+        )
         return pa.table(
             {
                 "bucket": np.concatenate(all_buckets),
                 "doc_id": np.tile(ids, reps),
-                "vec": pa.array(vec_bytes * reps, type=pa.binary()),
+                "vec": vec_arr,
             }
         )
 
@@ -538,8 +544,9 @@ def embedding_neardup_pairs(
             return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
                 {"a": np.int64, "b": np.int64, "cosine": np.float64}
             )
-        X = np.vstack([np.frombuffer(v, np.float64) for v in batch["vec"]])
-        Y = np.vstack([np.frombuffer(v, np.float64) for v in batch["vec_r"]])
+        nrow = len(batch)
+        X = np.frombuffer(b"".join(batch["vec"]), np.float64).reshape(nrow, -1)
+        Y = np.frombuffer(b"".join(batch["vec_r"]), np.float64).reshape(nrow, -1)
         cos = np.einsum("ij,ij->i", X, Y)
         m = cos >= threshold
         return pd.DataFrame(

@@ -1,48 +1,165 @@
 """Multimodal column stages: image/audio/video as opaque ``binary``
-columns with typed metadata.  The Ray-side plumbing — schemas, actor
-signatures, batch sizing, output layout — is real and tested; the
-actual codec calls are STUBBED (image/audio libraries are not in this
-container): ``mode='strict'`` raises NotImplementedError at the decode
-call site, ``mode='fake'`` substitutes a deterministic fake decoder so
-the pipeline shape is exercisable end-to-end.
+columns with typed metadata.
+
+Two tiers:
+
+- **Real, fully tested**: a raw uncompressed media codec (RAWI images:
+  6-byte header ``h:u16 w:u16 c:u8 ver:u8`` + ``h*w*c`` uint8 pixels;
+  RAWA audio: ``u32 sample_rate`` + int16 PCM), bilinear resize,
+  per-channel feature extraction (mean/std/8-bin histogram), windowed
+  RMS audio framing, video frame sampling over concatenated RAWI
+  frames.  All pure numpy — no codec libraries required.
+- **Stubbed (environment limitation)**: compressed codecs (PNG/JPEG/
+  Opus/H.264) gated behind an import-try of PIL; ``mode='strict'``
+  raises NotImplementedError at the decode call site, ``mode='fake'``
+  substitutes a deterministic fake so compressed-path pipeline shape
+  stays exercisable.
 
 Batch-size guidance: binary payloads are large — size ``batch_size``
-so batch_bytes × concurrency stays under the worker heap (the caller
-passes rows-per-batch; at 1 MiB media blobs keep it ≤ 64).
+so batch_bytes × concurrency stays under the worker heap (at 1 MiB
+media blobs keep it ≤ 64).  Stages are actor pools (callable classes):
+state (codec tables, models) loads once per actor in ``__init__``.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pandas as pd
 import ray.data
 
+# --------------------------------------------------------------------------
+# raw codec (real): RAWI images / RAWA audio
+# --------------------------------------------------------------------------
+
+_RAWI_HDR = struct.Struct("<HHBB")  # h, w, channels, version
+
+
+def encode_rawi(img: np.ndarray) -> bytes:
+    """uint8 (h, w, c) array → RAWI blob."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    return _RAWI_HDR.pack(h, w, c, 1) + img.tobytes()
+
+
+def decode_rawi(blob: bytes) -> np.ndarray:
+    """RAWI blob → uint8 (h, w, c) array (zero-copy view of the blob)."""
+    h, w, c, _ = _RAWI_HDR.unpack_from(blob)
+    return np.frombuffer(blob, np.uint8, count=h * w * c, offset=_RAWI_HDR.size).reshape(
+        h, w, c
+    )
+
+
+def encode_rawa(pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 PCM array → RAWA blob."""
+    return struct.pack("<I", sample_rate) + np.ascontiguousarray(
+        pcm, dtype=np.int16
+    ).tobytes()
+
+
+def decode_rawa(blob: bytes) -> tuple[int, np.ndarray]:
+    """RAWA blob → (sample_rate, int16 PCM view)."""
+    (sr,) = struct.unpack_from("<I", blob)
+    return sr, np.frombuffer(blob, np.int16, offset=4)
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Real bilinear resize, pure numpy (align_corners=False convention,
+    edge-clamped).  uint8 in → uint8 out."""
+    h, w, c = img.shape
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    f = img.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def image_features(img: np.ndarray, bins: int = 8) -> np.ndarray:
+    """Per-channel mean + std + luma histogram → feature vector of
+    length 2*c + bins (real, deterministic)."""
+    f = img.astype(np.float64)
+    mean = f.mean(axis=(0, 1))
+    std = f.std(axis=(0, 1))
+    luma = f.mean(axis=2)
+    hist, _ = np.histogram(luma, bins=bins, range=(0, 256))
+    hist = hist / max(1, luma.size)
+    return np.concatenate([mean, std, hist]).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# stages
+# --------------------------------------------------------------------------
 
 class ImageDecoder:
-    """binary → (height, width, channels, feature vector).  Real
-    implementation would hold a decoder/model per actor (``num_gpus``
-    for GPU decode)."""
+    """binary → (height, width, channels, feature vector), optionally
+    resized to (target_h, target_w) first.
 
-    def __init__(self, mode: str = "strict", feature_dim: int = 8):
+    ``codec='rawi'`` is REAL (header-framed uint8 pixels, bilinear
+    resize, histogram features).  ``codec='compressed'`` needs PIL:
+    strict mode raises if it is absent; fake mode derives deterministic
+    dims/features from the blob so the pipeline shape still runs."""
+
+    def __init__(
+        self,
+        codec: str = "rawi",
+        mode: str = "strict",
+        feature_dim: int = 8,
+        target: tuple[int, int] | None = None,
+    ):
+        assert codec in ("rawi", "compressed")
         assert mode in ("strict", "fake")
+        self.codec = codec
         self.mode = mode
         self.feature_dim = feature_dim
+        self.target = target
+        self._pil = None
+        if codec == "compressed":
+            try:  # pragma: no cover - PIL absent in this environment
+                from PIL import Image  # noqa: F401
+
+                self._pil = Image
+            except ImportError:
+                self._pil = None
 
     def _decode(self, blob: bytes) -> tuple[int, int, int, np.ndarray]:
+        if self.codec == "rawi":
+            img = decode_rawi(blob)
+            if self.target is not None:
+                img = resize_bilinear(img, *self.target)
+            h, w, c = img.shape
+            return h, w, c, image_features(img)
+        if self._pil is not None:  # pragma: no cover
+            import io
+
+            img = np.asarray(self._pil.open(io.BytesIO(blob)).convert("RGB"))
+            if self.target is not None:
+                img = resize_bilinear(img, *self.target)
+            h, w, c = img.shape
+            return h, w, c, image_features(img)
         if self.mode == "strict":
             raise NotImplementedError(
-                "image decode requires PIL/cv2 — not available in this "
-                "environment; run with mode='fake' for pipeline tests"
+                "compressed image decode requires PIL/cv2 — not available "
+                "in this environment; use codec='rawi' or mode='fake'"
             )
         # deterministic fake: dimensions and features derived from bytes
         h = 1 + blob[0] if blob else 1
         w = 1 + (blob[1] if len(blob) > 1 else 0)
         rng = np.random.default_rng(len(blob))
-        feat = rng.normal(size=self.feature_dim)
-        return h, w, 3, feat
+        return h, w, 3, rng.normal(size=self.feature_dim).astype(np.float32)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         hs, ws, cs, feats = [], [], [], []
+        # per-row loop is inherent to variable-size blob decode; the
+        # inner work (decode/resize/features) is vectorized numpy
         for blob in batch["data"]:
             h, w, c, f = self._decode(bytes(blob))
             hs.append(h)
@@ -60,30 +177,102 @@ class ImageDecoder:
         )
 
 
-class FrameSampler:
-    """video binary → K sampled frame descriptors (flat_map-shaped:
-    one row in, K rows out)."""
+class AudioFramer:
+    """RAWA binary → windowed RMS energy frames (flat_map-shaped: one
+    row in, n_frames rows out).  Real: int16 PCM decode + vectorized
+    frame RMS via reshape."""
 
-    def __init__(self, mode: str = "strict", k: int = 4):
+    def __init__(self, frame_ms: int = 25):
+        self.frame_ms = frame_ms
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, rms = [], [], []
+        for media_id, blob in zip(batch["media_id"], batch["data"]):
+            sr, pcm = decode_rawa(bytes(blob))
+            flen = max(1, (sr * self.frame_ms) // 1000)
+            n = len(pcm) // flen
+            if n == 0:
+                continue
+            frames = pcm[: n * flen].astype(np.float64).reshape(n, flen)
+            ids.append(np.full(n, media_id, np.int64))
+            idxs.append(np.arange(n, dtype=np.int32))
+            rms.append(np.sqrt((frames**2).mean(axis=1)))
+        if not ids:
+            return pd.DataFrame(
+                {"media_id": pd.Series([], dtype=np.int64),
+                 "frame_idx": pd.Series([], dtype=np.int32),
+                 "rms": pd.Series([], dtype=np.float64)}
+            )
+        return pd.DataFrame(
+            {
+                "media_id": np.concatenate(ids),
+                "frame_idx": np.concatenate(idxs),
+                "rms": np.concatenate(rms),
+            }
+        )
+
+
+class FrameSampler:
+    """video binary → K sampled frame descriptors (flat_map-shaped).
+
+    ``codec='rawi'`` is REAL: the blob is a sequence of RAWI frames;
+    K evenly spaced frames are decoded and feature-extracted.  Strict
+    mode without a real codec raises; fake mode emits deterministic
+    descriptors."""
+
+    def __init__(self, codec: str = "rawi", mode: str = "strict", k: int = 4):
+        assert codec in ("rawi", "compressed")
         assert mode in ("strict", "fake")
+        self.codec = codec
         self.mode = mode
         self.k = k
 
+    def _split_rawi_stream(self, blob: bytes) -> list[bytes]:
+        frames = []
+        off = 0
+        while off + _RAWI_HDR.size <= len(blob):
+            h, w, c, _ = _RAWI_HDR.unpack_from(blob, off)
+            end = off + _RAWI_HDR.size + h * w * c
+            frames.append(blob[off:end])
+            off = end
+        return frames
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if self.mode == "strict":
-            raise NotImplementedError(
-                "video decode unavailable — use mode='fake'"
+        if self.codec == "compressed":
+            if self.mode == "strict":
+                raise NotImplementedError(
+                    "compressed video decode unavailable — use codec='rawi' "
+                    "or mode='fake'"
+                )
+            ids = np.repeat(batch["media_id"].to_numpy(), self.k)
+            frame_idx = np.tile(np.arange(self.k, dtype=np.int32), len(batch))
+            sizes = np.repeat(batch["data"].map(len).to_numpy(np.int64), self.k)
+            return pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": frame_idx,
+                    "frame_mean": ((sizes * 2654435761 + frame_idx) % (1 << 31))
+                    .astype(np.float64),
+                }
             )
-        ids = np.repeat(batch["media_id"].to_numpy(), self.k)
-        frame_idx = np.tile(np.arange(self.k, dtype=np.int32), len(batch))
-        sizes = np.repeat(
-            batch["data"].map(len).to_numpy(np.int64), self.k
-        )
+        ids, idxs, means = [], [], []
+        for media_id, blob in zip(batch["media_id"], batch["data"]):
+            frames = self._split_rawi_stream(bytes(blob))
+            if not frames:
+                continue
+            sel = np.linspace(0, len(frames) - 1, min(self.k, len(frames))).astype(
+                np.int64
+            )
+            for j, fi in enumerate(np.unique(sel)):
+                img = decode_rawi(frames[fi])
+                ids.append(media_id)
+                idxs.append(j)
+                means.append(float(img.mean()))
         return pd.DataFrame(
             {
-                "media_id": ids,
-                "frame_idx": frame_idx,
-                "frame_hash": (sizes * 2654435761 + frame_idx) % (1 << 31),
+                "media_id": np.array(ids, np.int64),
+                "frame_idx": np.array(idxs, np.int32),
+                "frame_mean": np.array(means, np.float64),
             }
         )
 
@@ -91,7 +280,9 @@ class FrameSampler:
 def decode_images(
     media: ray.data.Dataset,
     *,
+    codec: str = "rawi",
     mode: str = "strict",
+    target: tuple[int, int] | None = None,
     concurrency: int = 2,
     batch_size: int = 64,
 ) -> ray.data.Dataset:
@@ -100,13 +291,30 @@ def decode_images(
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,
-        fn_constructor_kwargs={"mode": mode},
+        fn_constructor_kwargs={"codec": codec, "mode": mode, "target": target},
+    )
+
+
+def frame_audio(
+    media: ray.data.Dataset,
+    *,
+    frame_ms: int = 25,
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    return media.map_batches(
+        AudioFramer,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"frame_ms": frame_ms},
     )
 
 
 def sample_frames(
     media: ray.data.Dataset,
     *,
+    codec: str = "rawi",
     mode: str = "strict",
     k: int = 4,
     concurrency: int = 2,
@@ -117,12 +325,13 @@ def sample_frames(
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,
-        fn_constructor_kwargs={"mode": mode, "k": k},
+        fn_constructor_kwargs={"codec": codec, "mode": mode, "k": k},
     )
 
 
 def synth_media(n: int = 64, seed: int = 42) -> ray.data.Dataset:
-    """Deterministic fake media table (media_id, kind, data:binary)."""
+    """Deterministic fake media table (media_id, kind, data:binary) for
+    the COMPRESSED-codec path tests (opaque bytes)."""
     rng = np.random.default_rng(seed)
     rows = [
         {
@@ -132,4 +341,37 @@ def synth_media(n: int = 64, seed: int = 42) -> ray.data.Dataset:
         }
         for i in range(n)
     ]
+    return ray.data.from_items(rows)
+
+
+def synth_rawi_media(n: int = 32, seed: int = 42) -> ray.data.Dataset:
+    """Deterministic RAWI media table: even ids are single images, odd
+    ids are 6-frame videos (concatenated RAWI frames)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            h, w = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows.append({"media_id": i, "kind": "image", "data": encode_rawi(img)})
+        else:
+            frames = b"".join(
+                encode_rawi(
+                    rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+                )
+                for _ in range(6)
+            )
+            rows.append({"media_id": i, "kind": "video", "data": frames})
+    return ray.data.from_items(rows)
+
+
+def synth_rawa_media(n: int = 16, seed: int = 42) -> ray.data.Dataset:
+    """Deterministic RAWA audio table (1-2 s of int16 noise @16 kHz)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        pcm = (rng.normal(scale=3000, size=int(rng.integers(16000, 32000)))).astype(
+            np.int16
+        )
+        rows.append({"media_id": i, "kind": "audio", "data": encode_rawa(pcm)})
     return ray.data.from_items(rows)
