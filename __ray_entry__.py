@@ -391,9 +391,23 @@ def q_ngram_jaccard(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
+    """SRP near-dup over embeddings ∪ planted exact twins (each vector
+    re-appears under vec_id + 1_000_000).  Exact duplicates always share
+    an SRP bucket, so in this regime the approximate operator's output
+    equals the exact cosine ≥ 0.99 ground truth the DuckDB oracle
+    computes (the sf corpora top out near cosine 0.51 pairwise, so the
+    twins are the only qualifying pairs).  General near-threshold recall
+    is covered by the planted-noise pytest (tests/test_operators.py)."""
     from prase_ray.stages.dedup import embedding_neardup_pairs
 
-    out = embedding_neardup_pairs(_read(sf_dir, "embeddings"), threshold=0.9)
+    def twin(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["vec_id", "embedding"]].copy()
+        b["vec_id"] = b["vec_id"] + 1_000_000
+        return b
+
+    base = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    ds = base.union(base.map_batches(twin, batch_format="pandas"))
+    out = embedding_neardup_pairs(ds, threshold=0.99)
     out["cosine"] = out["cosine"].round(6)
     return out
 
@@ -1091,5 +1105,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        """,
+        # planted-exact-twin regime: SRP recall is 1.0 for identical
+        # vectors, so the approximate Ray result equals this exact scan
+        "embedding_neardup": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            u AS (
+                SELECT vec_id, v FROM e
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id, v FROM e
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.99
         """,
     }
