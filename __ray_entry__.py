@@ -412,6 +412,21 @@ def q_embedding_neardup(sf_dir: str):
     return out
 
 
+def q_media_pixel_stats(sf_dir: str):
+    """Multimodal binary-column path on the driver surface: documents →
+    deterministic 8x16x1 RAWI image blobs (codepoint%256 pixels,
+    zero-padded) → real actor-pool RAWI decode → EXACT integer pixel
+    stats.  Integer sums make the whole encode→decode→stats path
+    hash-checkable by the DuckDB oracle (which recomputes the stats
+    straight from the text codepoints)."""
+    from prase_ray.stages.multimodal import image_pixel_stats, text_to_rawi
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    media = text_to_rawi(docs, height=8, width=16)
+    out = image_pixel_stats(media, concurrency=2).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_cosine_pairs_exact(sf_dir: str):
     """Exact all-pairs cosine >= 0.4 (brute-force baseline for the SRP
     near-dup path; broadcast-matrix blockwise matmul)."""
@@ -561,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
         "cosine_pairs_exact": q_cosine_pairs_exact,
+        "media_pixel_stats": q_media_pixel_stats,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "connected_components": q_connected_components,
@@ -1105,6 +1121,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        """,
+        # recomputes the RAWI pixel stats straight from the text
+        # codepoints (pixel = codepoint % 256, zero-padded to 8*16,
+        # so padding never shifts the integer sums)
+        "media_pixel_stats": """
+            SELECT doc_id AS media_id,
+                   8::INTEGER AS height,
+                   16::INTEGER AS width,
+                   1::INTEGER AS channels,
+                   CAST(COALESCE(list_sum(list_transform(
+                       list_filter(string_split(left(COALESCE(text, ''), 128), ''),
+                                   x -> x <> ''),
+                       x -> unicode(x) % 256)), 0) AS BIGINT) AS px_sum,
+                   CAST(COALESCE(list_sum(list_transform(
+                       list_filter(string_split(left(COALESCE(text, ''), 128), ''),
+                                   x -> x <> ''),
+                       x -> (unicode(x) % 256) * (unicode(x) % 256))), 0) AS BIGINT)
+                       AS px_sqsum
+            FROM documents
+            ORDER BY media_id
         """,
         # planted-exact-twin regime: SRP recall is 1.0 for identical
         # vectors, so the approximate Ray result equals this exact scan

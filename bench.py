@@ -153,6 +153,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("window_tumbling", lambda: consume(em.q_window_tumbling(sf_dir)))
     timed("sessionize", lambda: consume(em.q_sessionize(sf_dir)))
     timed("pricing_summary", lambda: consume(em.q_pricing_summary(sf_dir)))
+    timed("simhash_candidates", lambda: consume(em.q_simhash_candidates(sf_dir)))
+    timed("embedding_neardup", lambda: consume(em.q_embedding_neardup(sf_dir)))
+    timed("cosine_pairs_exact", lambda: consume(em.q_cosine_pairs_exact(sf_dir)))
+    timed("knn_ivf", lambda: consume(em.q_knn_ivf(sf_dir)))
+    timed("connected_components", lambda: consume(em.q_connected_components(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -168,7 +173,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return result
 
 
-def run_extract_scaling(num_cpus: int, page_scale: int = 64) -> dict:
+def run_extract_scaling(num_cpus: int, page_scale: int = 256) -> dict:
     """Extraction-throughput scaling workload: synth pages → html→text →
     OpenIE triples (the north-rule's 'triples extracted/sec' headline
     stage).  Pure per-batch compute — no shuffle — so it isolates CPU
@@ -395,7 +400,10 @@ def main():
         reps = int(os.environ.get("RAY_GRAFT_SCALING_REPS", "3"))
         workloads = (
             ("host cpu capacity probe (pure compute, no data)", "cpu_probe"),
-            ("extract_triples throughput (64x pages, compute-only)", "extract"),
+            # 256x: the fused extraction kernel is fast enough that the
+            # old 64x workload finished in ~5s and fixed startup masked
+            # scaling; 256x keeps the 8-cpu run >20s (startup <10%)
+            ("extract_triples throughput (256x pages, compute-only)", "extract"),
             ("web_kg flagship end-to-end (16x pages)", "flagship"),
         )
         # interleave EVERYTHING (rep-major, then workload, then cpu level)
@@ -447,7 +455,7 @@ def main():
         return
 
     if "--scaling-extract" in sys.argv:
-        ps = int(os.environ.get("RAY_GRAFT_PAGE_SCALE", "64"))
+        ps = int(os.environ.get("RAY_GRAFT_PAGE_SCALE", "256"))
         print(json.dumps(run_extract_scaling(num_cpus, page_scale=ps)))
         return
 

@@ -495,14 +495,28 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int | None = None,
     seed: int = 5,
 ) -> pd.DataFrame:
     """Near-dup pairs by cosine ≥ threshold.  Scale path: random
     hyperplane (SRP) bucketing → exact cosine within buckets; pairs in
     different buckets with cosine ≥ threshold can be missed (documented
     approximation, mitigated by also checking 1-bit-flip neighbor
-    buckets)."""
+    buckets).
+
+    ``n_planes=None`` auto-sizes to ~log2(n)+3 planes so expected
+    bucket occupancy stays O(1) as the corpus grows — with a fixed
+    plane count the (n_planes+1)-way probe replication makes the bucket
+    self-join quadratic in corpus size.  Auto-sizing materializes the
+    input once for the count; at web scale pass an explicit n_planes
+    (computed from the catalog row count) to keep the pass streaming.
+    Exact duplicates always share a bucket at ANY plane count, so
+    recall for identical vectors stays 1.0; near-threshold recall is
+    the standard SRP probes-vs-planes trade."""
+    if n_planes is None:
+        embeddings = embeddings.materialize()
+        n = embeddings.count()
+        n_planes = min(20, max(8, int(np.ceil(np.log2(max(2, n)))) + 3))
     def bucketize(batch: pd.DataFrame):
         V = np.vstack(batch[vec_col].to_numpy()).astype(np.float64)
         planes = np.random.default_rng(seed).normal(size=(V.shape[1], n_planes))

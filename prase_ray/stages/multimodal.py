@@ -177,6 +177,83 @@ class ImageDecoder:
         )
 
 
+class ImagePixelStats:
+    """RAWI binary → exact integer pixel statistics (media_id, height,
+    width, channels, px_sum, px_sqsum).  Integer outputs make this
+    stage's full encode→decode path verifiable hash-exactly by an
+    external oracle (no float-rounding risk); the float feature path
+    (mean/std/histogram) is parity-tested in pytest instead."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["media_id"].to_numpy(np.int64)
+        hs, ws, cs, sums, sqs = [], [], [], [], []
+        for blob in batch["data"]:
+            img = decode_rawi(bytes(blob))
+            h, w, c = img.shape
+            p = img.astype(np.int64)
+            hs.append(h)
+            ws.append(w)
+            cs.append(c)
+            sums.append(int(p.sum()))
+            sqs.append(int((p * p).sum()))
+        return pd.DataFrame(
+            {
+                "media_id": ids,
+                "height": np.array(hs, np.int32),
+                "width": np.array(ws, np.int32),
+                "channels": np.array(cs, np.int32),
+                "px_sum": np.array(sums, np.int64),
+                "px_sqsum": np.array(sqs, np.int64),
+            }
+        )
+
+
+def text_to_rawi(
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    height: int = 8,
+    width: int = 16,
+) -> ray.data.Dataset:
+    """Deterministic text→image encoder: the first ``height*width``
+    codepoints of ``text_col`` (mod 256, zero-padded) become a 1-channel
+    RAWI image.  Gives every documents table a reproducible media column
+    so the binary-media stages run (and are oracle-checkable) without
+    external image data."""
+    npix = height * width
+
+    def enc(batch: pd.DataFrame) -> pd.DataFrame:
+        blobs = []
+        for t in batch[text_col].fillna(""):
+            px = np.zeros(npix, np.uint8)
+            if t:
+                codes = np.frombuffer(
+                    t[:npix].encode("utf-32-le"), np.uint32
+                ) & np.uint32(0xFF)
+                px[: len(codes)] = codes.astype(np.uint8)
+            blobs.append(encode_rawi(px.reshape(height, width, 1)))
+        return pd.DataFrame(
+            {"media_id": batch[id_col].to_numpy(np.int64), "data": blobs}
+        )
+
+    return docs.map_batches(enc, batch_format="pandas")
+
+
+def image_pixel_stats(
+    media: ray.data.Dataset,
+    *,
+    concurrency: int = 2,
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    return media.map_batches(
+        ImagePixelStats,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class AudioFramer:
     """RAWA binary → windowed RMS energy frames (flat_map-shaped: one
     row in, n_frames rows out).  Real: int16 PCM decode + vectorized

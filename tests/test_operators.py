@@ -438,6 +438,29 @@ def test_multimodal_rawi_real_path(ray_session):
     assert (af["rms"] > 0).all()
 
 
+def test_text_to_rawi_pixel_stats(ray_session):
+    """text→RAWI encoder + ImagePixelStats: exact integer stats match a
+    local recompute from codepoints, padding and empty text handled."""
+    from prase_ray.stages.multimodal import image_pixel_stats, text_to_rawi
+
+    texts = ["hello world", "", "ünïcødé ✓ text", "x" * 500]
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64), "text": texts})
+    )
+    out = (
+        image_pixel_stats(text_to_rawi(docs, height=8, width=16), concurrency=1)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert (out["height"] == 8).all() and (out["width"] == 16).all()
+    assert (out["channels"] == 1).all()
+    for i, t in enumerate(texts):
+        codes = [ord(c) % 256 for c in t[:128]]
+        assert out.loc[i, "px_sum"] == sum(codes)
+        assert out.loc[i, "px_sqsum"] == sum(c * c for c in codes)
+
+
 def test_cosine_pairs_exact_matches_numpy(ray_session):
     from prase_ray.stages.ann import cosine_pairs_exact
 
