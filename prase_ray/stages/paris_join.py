@@ -224,9 +224,8 @@ def run_half_iteration_join(
     )
 
     # THE two-hop expansion: hc ⋈ facts_r heads (PARIS.py:108-109)
-    facts_r = kg_r.facts.map_batches(lambda t: t, batch_format="pyarrow")
     e2 = e1.select_columns(["rel_id", "tail_id", "hc", "hp", "ec", "ep"]).join(
-        facts_r,
+        kg_r.facts,
         join_type="inner",
         num_partitions=n_parts_join,
         on=("hc",),
