@@ -632,7 +632,9 @@ def _sql_minhash_dedup() -> str:
     k-shingle rolling hashes → affine MinHash minima (constants from
     minhash_params, embedded) → per-band splitmix chain → bucket
     self-join → exact-jaccard verify → connected components as a
-    recursive closure (tiny at oracle scale)."""
+    recursive closure (tiny at oracle scale).  Heavy CTEs are marked
+    MATERIALIZED: the recursive closure otherwise re-derives the whole
+    signature chain per reference (98s → 12s at sf0.01)."""
     from prase_ray.functions.hashing import minhash_params
 
     a, b = minhash_params(64, 17)
@@ -670,7 +672,7 @@ def _sql_minhash_dedup() -> str:
             FROM tt
         ),
         wr AS (SELECT doc_id, unnest(ws) AS w FROM win),
-        sh AS (SELECT DISTINCT doc_id, {_sql_splitmix('w')} AS s FROM wr),
+        sh AS MATERIALIZED (SELECT DISTINCT doc_id, {_sql_splitmix('w')} AS s FROM wr),
         hf(j, a, b) AS (VALUES {hf_rows}),
         sig AS (
             SELECT d.doc_id, hf.j,
@@ -683,27 +685,27 @@ def _sql_minhash_dedup() -> str:
             SELECT doc_id, j // 4 AS band, list(v ORDER BY j) AS vs
             FROM sig GROUP BY doc_id, j // 4
         ),
-        bh AS (
+        bh AS MATERIALIZED (
             SELECT doc_id, band,
                    list_reduce(list_prepend(0::HUGEINT, vs),
                                (acc, s) -> {_sql_splitmix('xor(acc, s)')}) AS band_hash
             FROM bandv
         ),
-        cand AS (
+        cand AS MATERIALIZED (
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM bh l JOIN bh r
               ON l.band = r.band AND l.band_hash = r.band_hash
              AND l.doc_id < r.doc_id
         ),
         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
+        inter AS MATERIALIZED (
             SELECT c.a, c.b, count(*) AS i
             FROM cand c
             JOIN sh x ON x.doc_id = c.a
             JOIN sh y ON y.doc_id = c.b AND y.s = x.s
             GROUP BY c.a, c.b
         ),
-        ver AS (
+        ver AS MATERIALIZED (
             SELECT c.a, c.b FROM cand c
             JOIN sz sa ON sa.doc_id = c.a
             JOIN sz sb ON sb.doc_id = c.b
@@ -712,7 +714,7 @@ def _sql_minhash_dedup() -> str:
               AND CAST(coalesce(i.i, 0) AS DOUBLE)
                   / (sa.n + sb.n - coalesce(i.i, 0)) >= 0.6
         ),
-        und AS (SELECT a AS x, b AS y FROM ver UNION SELECT b, a FROM ver),
+        und AS MATERIALIZED (SELECT a AS x, b AS y FROM ver UNION SELECT b, a FROM ver),
         reach AS (
             WITH RECURSIVE r(x, y) AS (
                 SELECT x, x FROM (SELECT DISTINCT x FROM und)
