@@ -338,6 +338,9 @@ def encode_facts_join(
 # --------------------------------------------------------------------------
 
 _STATS_NPARTS = 32
+# facts threshold below which build_kg_pair runs the driver-side
+# intern fast path (global dedup rows fit one node trivially there)
+_PAIR_DRIVER_INTERN_MAX = 2_000_000
 
 
 def _stats_partials(batch: pd.DataFrame, n_parts: int = _STATS_NPARTS) -> pd.DataFrame:
@@ -397,19 +400,27 @@ def _stats_combine(part: pd.DataFrame) -> pd.DataFrame:
 def pred_stats(facts: ray.data.Dataset, preds_df: pd.DataFrame) -> pd.DataFrame:
     """Per-pred n_triples / n_distinct(head) / n_distinct(tail) → func,
     func_inv (objects/Relation.py:45-49): one P-way partitioned shuffle
-    with vectorized combine + one tiny final groupby over ≤ P×n_preds×3
-    partial rows."""
-    from ray.data.aggregate import Sum
-
+    with vectorized combine; the final reduction runs on the driver —
+    its input is ≤ P×n_preds×3 partial rows at ANY data scale, so a
+    second Dataset shuffle round would be pure orchestration latency."""
     tagged = facts.map_batches(_stats_partials, batch_format="pandas")
     partials = tagged.groupby("part").map_groups(
         _stats_combine, batch_format="pandas"
     )
-    per_rel = (
-        partials.groupby(["kind", "rel_id"])
-        .aggregate(Sum("v", alias_name="v"))
-        .to_pandas()
-    )
+    per_rel = partials.to_pandas().groupby(
+        ["kind", "rel_id"], as_index=False
+    )["v"].sum()
+    return _stats_finalize(per_rel, preds_df)
+
+
+def pred_stats_driver(fdf: pd.DataFrame, preds_df: pd.DataFrame) -> pd.DataFrame:
+    """Driver twin of pred_stats over an in-memory fact frame (size-gated
+    callers only): one partials pass + one global combine, same math."""
+    per_rel = _stats_combine(_stats_partials(fdf))
+    return _stats_finalize(per_rel, preds_df)
+
+
+def _stats_finalize(per_rel: pd.DataFrame, preds_df: pd.DataFrame) -> pd.DataFrame:
     piv = per_rel.pivot(index="rel_id", columns="kind", values="v").fillna(0)
     piv = piv.rename(columns={0: "n_heads", 1: "n_tails", 2: "n_triples"})
     for c in ("n_heads", "n_tails", "n_triples"):
@@ -434,9 +445,8 @@ def pred_stats(facts: ray.data.Dataset, preds_df: pd.DataFrame) -> pd.DataFrame:
 def functionality_by_pred(triples: ray.data.Dataset) -> pd.DataFrame:
     """A1 over raw string triples (subj, pred, obj) WITHOUT interning —
     per-pred n_triples / distinct heads / distinct tails → func ratios,
-    via the same single tagged partial stream + two grouped reductions
+    via the same single tagged partial stream + driver final reduction
     as pred_stats (exact distinct, strings as keys)."""
-    from ray.data.aggregate import Sum
 
     def partials(batch: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -484,9 +494,9 @@ def functionality_by_pred(triples: ray.data.Dataset) -> pd.DataFrame:
     per_pred = (
         tagged.groupby("part")
         .map_groups(combine, batch_format="pandas")
-        .groupby(["kind", "pred"])
-        .aggregate(Sum("v", alias_name="v"))
-        .to_pandas()
+        .to_pandas()  # ≤ P×n_preds×3 rows at any scale: driver-reduce
+        .groupby(["kind", "pred"], as_index=False)["v"]
+        .sum()
     )
     piv = per_pred.pivot(index="pred", columns="kind", values="v").fillna(0)
     piv = piv.rename(columns={0: "n_heads", 1: "n_tails", 2: "n_triples"})
@@ -759,16 +769,11 @@ def _pair_block_stats(tbl: pa.Table, class_col: str):
     )
 
 
-@ray.remote
-def _assign_pair_node_ids(tbl: pa.Table, offset: int, n_kg0: int) -> pa.Table:
+def _assign_pair_node_ids_local(
+    df: pd.DataFrame, offset: int, n_kg0: int
+) -> pd.DataFrame:
     """Dense per-KG ids from the global rank: sorted kg-first, so kg=1
     rows subtract the kg=0 total."""
-    df = tbl.to_pandas()
-    if df.empty:
-        return pa.schema(
-            [("kg", pa.int8()), ("ent_id", pa.int64()), ("name", pa.string()),
-             ("value", pa.string()), ("is_literal", pa.bool_())]
-        ).empty_table()
     ids = np.arange(offset, offset + len(df), dtype=np.int64)
     kg = df["kg"].to_numpy().astype(np.int8)
     ids = np.where(kg == 1, ids - n_kg0, ids)
@@ -779,11 +784,37 @@ def _assign_pair_node_ids(tbl: pa.Table, offset: int, n_kg0: int) -> pa.Table:
         value[~is_lit] = normalize_uri_series(names[~is_lit])
     if is_lit.any():
         value[is_lit] = normalize_literal_series(names[is_lit])
-    out = pd.DataFrame(
+    return pd.DataFrame(
         {"kg": kg, "ent_id": ids, "name": names,
          "value": value.astype(str), "is_literal": is_lit}
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+@ray.remote
+def _assign_pair_node_ids(tbl: pa.Table, offset: int, n_kg0: int) -> pa.Table:
+    df = tbl.to_pandas()
+    if df.empty:
+        return pa.schema(
+            [("kg", pa.int8()), ("ent_id", pa.int64()), ("name", pa.string()),
+             ("value", pa.string()), ("is_literal", pa.bool_())]
+        ).empty_table()
+    return pa.Table.from_pandas(
+        _assign_pair_node_ids_local(df, offset, n_kg0), preserve_index=False
+    )
+
+
+def _assign_pair_pred_ids_local(
+    df: pd.DataFrame, offset: int, n_kg0: int
+) -> pd.DataFrame:
+    ids = np.arange(offset, offset + len(df), dtype=np.int64)
+    kg = df["kg"].to_numpy().astype(np.int8)
+    ids = np.where(kg == 1, ids - n_kg0, ids)
+    names = df["name"].astype(str)
+    return pd.DataFrame(
+        {"kg": kg, "rel_id": ids, "name": names,
+         "value": normalize_uri_series(names).astype(str),
+         "is_attribute": df["is_attribute"].to_numpy(dtype=bool)}
+    )
 
 
 @ray.remote
@@ -794,16 +825,40 @@ def _assign_pair_pred_ids(tbl: pa.Table, offset: int, n_kg0: int) -> pa.Table:
             [("kg", pa.int8()), ("rel_id", pa.int64()), ("name", pa.string()),
              ("value", pa.string()), ("is_attribute", pa.bool_())]
         ).empty_table()
-    ids = np.arange(offset, offset + len(df), dtype=np.int64)
-    kg = df["kg"].to_numpy().astype(np.int8)
-    ids = np.where(kg == 1, ids - n_kg0, ids)
-    names = df["name"].astype(str)
-    out = pd.DataFrame(
-        {"kg": kg, "rel_id": ids, "name": names,
-         "value": normalize_uri_series(names).astype(str),
-         "is_attribute": df["is_attribute"].to_numpy(dtype=bool)}
+    return pa.Table.from_pandas(
+        _assign_pair_pred_ids_local(df, offset, n_kg0), preserve_index=False
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _rank_pair_driver(
+    names: ray.data.Dataset, class_col: str, assign_local
+) -> tuple[pd.DataFrame, dict]:
+    """Size-gated driver twin of _distinct_sorted_pair + _dense_rank_pair:
+    per-block dedup stays distributed (map_batches, no shuffle), the
+    global dedup/sort/rank runs on the driver.  Identical ids: pandas
+    sorts strings by codepoint and Arrow by UTF-8 bytes — the same total
+    order.  Used only below _PAIR_DRIVER_INTERN_MAX facts (conformance /
+    sandbox scale); the distributed path is the web-scale default."""
+    blocks = names.map_batches(
+        lambda g: g.drop_duplicates(["kg", class_col, "name"]).drop(
+            columns=["part"]
+        ),
+        batch_format="pandas",
+    )
+    df = (
+        blocks.to_pandas()
+        .drop_duplicates(["kg", class_col, "name"])
+        .sort_values(["kg", class_col, "name"], kind="stable")
+        .reset_index(drop=True)
+    )
+    kg = df["kg"].to_numpy()
+    fl = df[class_col].to_numpy(dtype=bool)
+    n_kg0 = int((kg == 0).sum())
+    per_kg = {
+        0: (n_kg0, int(fl[kg == 0].sum())),
+        1: (len(df) - n_kg0, int(fl[kg == 1].sum())),
+    }
+    return assign_local(df, 0, n_kg0), per_kg
 
 
 def _dense_rank_pair(sorted_ds: ray.data.Dataset, assign_remote, class_col: str):
@@ -891,25 +946,34 @@ def build_kg_pair(
     wall-clock at pair scale because every shuffle/materialization runs
     once over the union."""
     tinv = add_inverse_edges(tagged_triples).materialize()
+    driver_intern = tinv.count() <= _PAIR_DRIVER_INTERN_MAX
 
     node_names = tinv.map_batches(_pair_node_names_batch, batch_format="pandas")
-    nodes, node_kg = _dense_rank_pair(
-        _distinct_sorted_pair(node_names, "is_literal"),
-        _assign_pair_node_ids,
-        "is_literal",
-    )
-    nodes = nodes.materialize()
-
     pred_names = tinv.map_batches(_pair_pred_names_batch, batch_format="pandas")
-    preds, pred_kg = _dense_rank_pair(
-        _distinct_sorted_pair(pred_names, "is_attribute"),
-        _assign_pair_pred_ids,
-        "is_attribute",
-    )
-    preds = preds.materialize()
-
-    ndf_all = nodes.to_pandas()
-    pdf_all = preds.to_pandas()
+    if driver_intern:
+        # conformance/sandbox scale: global dedup+sort+rank on the
+        # driver skips two shuffle+materialize rounds per table whose
+        # fixed latency dominates at small inputs; ids are identical
+        ndf_all, node_kg = _rank_pair_driver(
+            node_names, "is_literal", _assign_pair_node_ids_local
+        )
+        pdf_all, pred_kg = _rank_pair_driver(
+            pred_names, "is_attribute", _assign_pair_pred_ids_local
+        )
+    else:
+        nodes, node_kg = _dense_rank_pair(
+            _distinct_sorted_pair(node_names, "is_literal"),
+            _assign_pair_node_ids,
+            "is_literal",
+        )
+        nodes = nodes.materialize()
+        preds, pred_kg = _dense_rank_pair(
+            _distinct_sorted_pair(pred_names, "is_attribute"),
+            _assign_pair_pred_ids,
+            "is_attribute",
+        )
+        ndf_all = nodes.to_pandas()
+        pdf_all = preds.materialize().to_pandas()
     maps = {}
     for k in (0, 1):
         ndf = ndf_all[ndf_all["kg"] == k]
@@ -925,13 +989,11 @@ def build_kg_pair(
             pdf["rel_id"].to_numpy(dtype=np.int64),
         )
     maps_ref = ray.put(maps)
-    facts = tinv.map_batches(
+    facts_enc = tinv.map_batches(
         _encode_pair_fn, batch_format="pandas", fn_kwargs={"maps_ref": maps_ref}
     )
-    # kg-first tail sort: per-KG slices stay globally tail-sorted
-    facts = facts.sort(["kg", "tail_id"]).repartition(target_blocks).materialize()
 
-    # A1 stats for both KGs in ONE shuffle: pack kg into the rel key
+    # A1 stats pack both KGs into one rel key space
     def _pack_rel(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
@@ -946,6 +1008,60 @@ def build_kg_pair(
     pdf_packed["rel_id"] = (
         pdf_packed["kg"].to_numpy().astype(np.int64) << 32
     ) | pdf_packed["rel_id"].to_numpy()
+
+    def _make_kg(k, name, kg_nodes, kg_facts, preds_df, n_facts_k):
+        n_nodes_k, n_lit_k = node_kg[k]
+        n_preds_k, n_attr_k = pred_kg[k]
+        return KGDataset(
+            name=name,
+            nodes=kg_nodes,
+            preds_df=preds_df,
+            facts=kg_facts,
+            n_entities=n_nodes_k - n_lit_k,
+            n_literals=n_lit_k,
+            n_relations=n_preds_k - n_attr_k,
+            n_attributes=n_attr_k,
+            n_facts=n_facts_k,
+            tail_sorted=True,
+        )
+
+    if driver_intern:
+        # gated driver finish: the encoded pair frame fits one node, so
+        # the kg-first tail sort (lexsort), the A1 stats combine and the
+        # per-KG split all run in-process — replacing a sample+range
+        # sort shuffle, a stats shuffle and four filter/materialize
+        # rounds whose fixed latency dominates at this scale
+        fdf = facts_enc.to_pandas()
+        order = np.lexsort((fdf["tail_id"].to_numpy(), fdf["kg"].to_numpy()))
+        fdf = fdf.iloc[order].reset_index(drop=True)
+        stats = pred_stats_driver(_pack_rel(fdf), pdf_packed)
+        stats["rel_id"] = stats["rel_id"].to_numpy() & 0xFFFFFFFF
+        out = []
+        nb = max(1, target_blocks // 2)
+        for k, name in zip((0, 1), names):
+            nk = ndf_all[ndf_all["kg"] == k].drop(columns=["kg"]).reset_index(
+                drop=True
+            )
+            fk = fdf[fdf["kg"] == k].drop(columns=["kg"]).reset_index(drop=True)
+            chunks = [c for c in np.array_split(fk, nb) if len(c)] or [fk]
+            preds_df = (
+                stats[stats["kg"] == k]
+                .drop(columns=["kg"])
+                .sort_values("rel_id")
+                .reset_index(drop=True)
+            )
+            out.append(
+                _make_kg(
+                    k, name,
+                    ray.data.from_pandas(nk),
+                    ray.data.from_pandas(chunks),
+                    preds_df, len(fk),
+                )
+            )
+        return out[0], out[1]
+
+    # kg-first tail sort: per-KG slices stay globally tail-sorted
+    facts = facts_enc.sort(["kg", "tail_id"]).repartition(target_blocks).materialize()
     stats = pred_stats(
         facts.map_batches(_pack_rel, batch_format="pandas"), pdf_packed
     )
@@ -966,20 +1082,5 @@ def build_kg_pair(
             .sort_values("rel_id")
             .reset_index(drop=True)
         )
-        n_nodes_k, n_lit_k = node_kg[k]
-        n_preds_k, n_attr_k = pred_kg[k]
-        out.append(
-            KGDataset(
-                name=name,
-                nodes=kg_nodes,
-                preds_df=preds_df,
-                facts=kg_facts,
-                n_entities=n_nodes_k - n_lit_k,
-                n_literals=n_lit_k,
-                n_relations=n_preds_k - n_attr_k,
-                n_attributes=n_attr_k,
-                n_facts=kg_facts.count(),
-                tail_sorted=True,
-            )
-        )
+        out.append(_make_kg(k, name, kg_nodes, kg_facts, preds_df, kg_facts.count()))
     return out[0], out[1]
