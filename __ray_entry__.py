@@ -427,6 +427,52 @@ def q_media_pixel_stats(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join: each click event matched to the user's most recent
+    purchase at or before it (one tagged-union shuffle, vectorized
+    per-partition sorted scan; DuckDB ASOF JOIN is the oracle)."""
+    from prase_ray.stages.relational import asof_join
+
+    ev = _read(sf_dir, "events")
+    clicks = ev.filter(expr="event_type == 'click'")
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    out = asof_join(clicks, purchases, on="user_id", ts_col="ts")
+    out["matched_value"] = out["matched_value"].round(6)
+    return out
+
+
+def q_group_topk(sf_dir: str):
+    """Group-wise top-k: 3 longest documents per source (partial top-k
+    per block bounds the shuffle at k x groups x blocks)."""
+    from prase_ray.stages.relational import group_topk
+
+    return group_topk(
+        _read(sf_dir, "documents").select_columns(
+            ["doc_id", "source", "n_chars"]
+        ),
+        group_col="source", order_col="n_chars", id_col="doc_id", k=3,
+    )
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic 10% sample of lineitem by splitmix64 row hash —
+    reproducible train/test splits with no shuffle and no state."""
+    from prase_ray.stages.relational import hash_sample
+
+    def key_fn(b: pd.DataFrame) -> np.ndarray:
+        return (b["l_orderkey"].to_numpy(np.uint64) << np.uint64(8)) ^ b[
+            "l_linenumber"
+        ].to_numpy(np.uint64)
+
+    out = hash_sample(
+        _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_linenumber", "l_quantity"]
+        ),
+        key_fn=key_fn, rate_pct=10,
+    ).to_pandas()
+    return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
 def q_cosine_pairs_exact(sf_dir: str):
     """Exact all-pairs cosine >= 0.4 (brute-force baseline for the SRP
     near-dup path; broadcast-matrix blockwise matmul)."""
@@ -577,6 +623,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "cosine_pairs_exact": q_cosine_pairs_exact,
         "media_pixel_stats": q_media_pixel_stats,
+        "asof_join": q_asof_join,
+        "group_topk": q_group_topk,
+        "hash_sample": q_hash_sample,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "connected_components": q_connected_components,
@@ -1160,5 +1209,53 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
             FROM u a JOIN u b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+        """,
+        # right ties per (user, ts) collapse to max event_id on BOTH
+        # sides, so the as-of pick is unique and deterministic
+        "asof_join": """
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ),
+            r0 AS (
+                SELECT user_id, ts, max(event_id) AS rid
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            ),
+            r AS (
+                SELECT r0.user_id, r0.ts, r0.rid, e.value
+                FROM r0 JOIN events e ON e.event_id = r0.rid
+            )
+            SELECT l.event_id,
+                   l.user_id,
+                   l.ts,
+                   CAST(COALESCE(r.rid, -1) AS BIGINT) AS matched_event_id,
+                   ROUND(COALESCE(r.value, 0.0), 6) AS matched_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
+            ORDER BY l.event_id
+        """,
+        "group_topk": """
+            SELECT source, doc_id, n_chars, CAST(rank AS BIGINT) AS rank
+            FROM (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id)
+                           AS rank
+                FROM documents
+            ) WHERE rank <= 3
+            ORDER BY source, rank
+        """,
+        # the engine's splitmix64 row hash restated in HUGEINT SQL
+        "hash_sample": f"""
+            WITH k AS (
+                SELECT l_orderkey, l_linenumber, l_quantity,
+                       CAST(xor(l_orderkey * 256,
+                                CAST(l_linenumber AS BIGINT)) AS HUGEINT) AS h
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM k WHERE ({_sql_splitmix('h')}) % 100 < 10
+            ORDER BY l_orderkey, l_linenumber
         """,
     }

@@ -158,6 +158,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("cosine_pairs_exact", lambda: consume(em.q_cosine_pairs_exact(sf_dir)))
     timed("knn_ivf", lambda: consume(em.q_knn_ivf(sf_dir)))
     timed("connected_components", lambda: consume(em.q_connected_components(sf_dir)))
+    timed("asof_join", lambda: consume(em.q_asof_join(sf_dir)))
+    timed("group_topk", lambda: consume(em.q_group_topk(sf_dir)))
+    timed("hash_sample", lambda: consume(em.q_hash_sample(sf_dir)))
+    timed("media_pixel_stats", lambda: consume(em.q_media_pixel_stats(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     result = {

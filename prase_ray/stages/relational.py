@@ -1,0 +1,182 @@
+"""Relational training-data operators beyond plain Dataset verbs:
+as-of join, group-wise top-k, deterministic hash sampling.
+
+All three are classic large-pipeline primitives the reference lacks
+(SURVEY.md §2.12); each is expressed Ray-Data-first — one hash-
+partitioned shuffle at most, vectorized per-partition kernels — and
+each has a DuckDB oracle on the driver surface (`__ray_entry__.py`).
+
+Partitioning assumptions:
+- `asof_join` co-locates both sides by the key column in ONE shuffle
+  (tagged union → groupby(part)); a single hot key concentrates its
+  rows in one partition — at web scale salt the key and replicate the
+  right side per salt (documented, not needed at current scales).
+- `group_topk` pre-reduces to ≤ k rows per (block, group) before the
+  single small shuffle, so the exchanged volume is bounded by
+  k × n_groups × n_blocks regardless of input size.
+- `hash_sample` is embarrassingly parallel (no shuffle): the
+  deterministic splitmix64 row hash makes train/test splits
+  reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from prase_ray.functions.hashing import splitmix64
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    left_cols: tuple[str, ...] = ("event_id",),
+    right_cols: tuple[str, ...] = ("event_id", "value"),
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """For each left row, the right row of the same `on` key with the
+    greatest ``ts <= left.ts`` (DuckDB/pandas ``ASOF JOIN`` semantics).
+    Ties on right ts are broken deterministically by keeping the max
+    first right column (e.g. event_id) per (key, ts) before the scan.
+
+    Shape: ONE shuffle — both sides tagged into a common frame,
+    hash-partitioned on the key, then a vectorized sorted scan per
+    partition (sort by key/ts with right rows first at equal ts,
+    forward-carry the last right row index, mask across key changes).
+    Unmatched lefts keep -1 / 0.0 (SQL: coalesce the outer join)."""
+    lc0 = left_cols[0]
+    rc0, rc1 = right_cols[0], right_cols[1]
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        key = b[on].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "part": (splitmix64(key.astype(np.uint64))
+                         % np.uint64(num_partitions)).astype(np.int32),
+                "side": np.int8(1),
+                "k": key,
+                "t": b[ts_col].to_numpy(),
+                "lid": b[lc0].to_numpy(np.int64),
+                "rid": np.int64(-1),
+                "rval": np.float64(0.0),
+            }
+        )
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        # dedupe ties per (key, ts): keep max rid so the scan (and the
+        # SQL oracle) pick a unique deterministic row
+        d = (
+            b[[on, ts_col, rc0, rc1]]
+            .sort_values([on, ts_col, rc0])
+            .groupby([on, ts_col], as_index=False)
+            .last()
+        )
+        key = d[on].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "part": (splitmix64(key.astype(np.uint64))
+                         % np.uint64(num_partitions)).astype(np.int32),
+                "side": np.int8(0),
+                "k": key,
+                "t": d[ts_col].to_numpy(),
+                "lid": np.int64(-1),
+                "rid": d[rc0].to_numpy(np.int64),
+                "rval": d[rc1].to_numpy(np.float64),
+            }
+        )
+
+    tagged = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas")
+    )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        # right rows sort before left rows at equal (k, t): side 0 < 1;
+        # rid as tertiary key so right ties that survived the per-batch
+        # dedup (duplicates across input blocks) still resolve to the
+        # max rid deterministically (the accumulate picks the last row)
+        g = g.sort_values(["k", "t", "side", "rid"], kind="stable").reset_index(
+            drop=True
+        )
+        side = g["side"].to_numpy()
+        k = g["k"].to_numpy()
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        last_right = np.maximum.accumulate(np.where(side == 0, idx, -1))
+        is_left = side == 1
+        li = idx[is_left]
+        lr = last_right[is_left]
+        # carried right row must belong to the same key
+        ok = (lr >= 0) & (k[np.maximum(lr, 0)] == k[li])
+        rid = np.where(ok, g["rid"].to_numpy()[np.maximum(lr, 0)], -1)
+        rval = np.where(ok, g["rval"].to_numpy()[np.maximum(lr, 0)], 0.0)
+        return pd.DataFrame(
+            {
+                "event_id": g["lid"].to_numpy()[li],
+                on: k[li],
+                ts_col: g["t"].to_numpy()[li],
+                "matched_event_id": rid.astype(np.int64),
+                "matched_value": rval.astype(np.float64),
+            }
+        )
+
+    out = (
+        tagged.groupby("part")
+        .map_groups(scan, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def group_topk(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    k: int = 3,
+) -> pd.DataFrame:
+    """Top-k rows per group by (order_col desc, id_col asc).  Shape:
+    per-block partial top-k (map_batches) bounds the shuffled volume at
+    k × n_groups × n_blocks; ONE small groupby finishes."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[[group_col, order_col, id_col]].sort_values(
+            [group_col, order_col, id_col], ascending=[True, False, True]
+        )
+        return s.groupby(group_col, as_index=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([order_col, id_col], ascending=[False, True]).head(k)
+        s = s.reset_index(drop=True)
+        s["rank"] = np.arange(1, len(s) + 1, dtype=np.int64)
+        return s
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values([group_col, "rank"]).reset_index(drop=True)
+
+
+def hash_sample(
+    ds: ray.data.Dataset,
+    *,
+    key_fn,
+    rate_pct: int,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic sample: keep rows whose splitmix64(key) % 100 <
+    rate_pct.  key_fn(batch) -> uint64 row keys.  No shuffle, no state,
+    reproducible across engines (the DuckDB oracle restates the mix)."""
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        h = splitmix64(key_fn(b) ^ np.uint64(seed))
+        return b[(h % np.uint64(100)) < rate_pct]
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -461,6 +461,91 @@ def test_text_to_rawi_pixel_stats(ray_session):
         assert out.loc[i, "px_sqsum"] == sum(c * c for c in codes)
 
 
+def test_asof_join_matches_pandas(ray_session):
+    """Distributed as-of join == pandas merge_asof on deduped rights,
+    including unmatched lefts and equal-timestamp ties."""
+    from prase_ray.stages.relational import asof_join
+
+    rng = np.random.default_rng(9)
+    n_l, n_r = 400, 150
+    lt = pd.DataFrame(
+        {
+            "event_id": np.arange(n_l, dtype=np.int64),
+            "user_id": rng.integers(0, 20, n_l),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, n_l), unit="s"),
+        }
+    )
+    rt = pd.DataFrame(
+        {
+            "event_id": np.arange(1000, 1000 + n_r, dtype=np.int64),
+            "user_id": rng.integers(0, 20, n_r),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, n_r), unit="s"),
+            "value": rng.normal(size=n_r),
+        }
+    )
+    # planted tie: two purchases at the same (user, ts) — max id wins
+    rt.loc[1, ["user_id", "ts"]] = rt.loc[0, ["user_id", "ts"]]
+
+    got = asof_join(
+        ray.data.from_pandas(lt), ray.data.from_pandas(rt),
+        on="user_id", ts_col="ts", num_partitions=8,
+    )
+
+    rd = (
+        rt.sort_values(["user_id", "ts", "event_id"])
+        .groupby(["user_id", "ts"], as_index=False)
+        .last()
+    )
+    want = pd.merge_asof(
+        lt.sort_values("ts"),
+        rd.sort_values("ts").rename(
+            columns={"event_id": "matched_event_id", "value": "matched_value"}
+        ),
+        on="ts", by="user_id", direction="backward",
+    ).sort_values("event_id").reset_index(drop=True)
+    want["matched_event_id"] = want["matched_event_id"].fillna(-1).astype(np.int64)
+    want["matched_value"] = want["matched_value"].fillna(0.0)
+    pd.testing.assert_frame_equal(
+        got, want[["event_id", "user_id", "ts", "matched_event_id",
+                   "matched_value"]],
+    )
+    assert (got["matched_event_id"] == -1).any()  # some lefts unmatched
+
+
+def test_group_topk_and_hash_sample(ray_session):
+    from prase_ray.stages.relational import group_topk, hash_sample
+    from prase_ray.functions.hashing import splitmix64
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "grp": np.repeat(np.arange(10), 20),
+            "score": np.tile(np.arange(20, dtype=np.int64), 10),
+        }
+    )
+    top = group_topk(
+        ray.data.from_pandas(df), group_col="grp", order_col="score",
+        id_col="doc_id", k=2,
+    )
+    assert len(top) == 20
+    # each group's rank-1 row has the max score; ties break by min id
+    assert (top[top["rank"] == 1]["score"] == 19).all()
+
+    ds = ray.data.from_pandas(df)
+    samp = hash_sample(
+        ds, key_fn=lambda b: b["doc_id"].to_numpy(np.uint64), rate_pct=25
+    ).to_pandas()
+    keep = (splitmix64(df["doc_id"].to_numpy(np.uint64)) % np.uint64(100)) < 25
+    assert set(samp["doc_id"]) == set(df["doc_id"][keep])
+    # deterministic across runs
+    samp2 = hash_sample(
+        ds, key_fn=lambda b: b["doc_id"].to_numpy(np.uint64), rate_pct=25
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        samp.reset_index(drop=True), samp2.reset_index(drop=True)
+    )
+
+
 def test_cosine_pairs_exact_matches_numpy(ray_session):
     from prase_ray.stages.ann import cosine_pairs_exact
 
