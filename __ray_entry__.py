@@ -265,6 +265,18 @@ def q_window_tumbling(sf_dir: str):
     ]
 
 
+def q_window_hopping(sf_dir: str):
+    """Hopping 1h windows every 15min per event_type — each event in
+    exactly 4 overlapping windows, replicated as partials not rows."""
+    from prase_ray.stages.windows import hopping_aggregate
+
+    agg = hopping_aggregate(_read(sf_dir, "events"), 3600, 900).to_pandas()
+    agg["sum_value"] = agg["sum_value"].round(6)
+    return agg[
+        ["event_type", "window_start", "n_events", "sum_value", "min_value", "max_value"]
+    ]
+
+
 def q_sessionize(sf_dir: str):
     """Session windows (600s gap) per user → per-session event counts."""
     from prase_ray.stages.windows import session_stats
@@ -626,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "group_topk": q_group_topk,
         "hash_sample": q_hash_sample,
+        "window_hopping": q_window_hopping,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "connected_components": q_connected_components,
@@ -933,6 +946,17 @@ def oracle_sql() -> dict[str, str]:
                    MIN(value) AS min_value,
                    MAX(value) AS max_value
             FROM events GROUP BY 1, 2
+        """,
+        # each event belongs to the 4 hop-aligned windows covering it
+        "window_hopping": """
+            SELECT event_type,
+                   (epoch_us(ts) // 1000000 // 900 - k) * 900 AS window_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM events CROSS JOIN generate_series(0, 3) t(k)
+            GROUP BY 1, 2
         """,
         "sessionize": """
             WITH e AS (

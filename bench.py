@@ -151,6 +151,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("token_stats", lambda: consume(em.q_token_stats(sf_dir)))
     timed("knn_bruteforce", lambda: consume(em.q_knn_bruteforce(sf_dir)))
     timed("window_tumbling", lambda: consume(em.q_window_tumbling(sf_dir)))
+    timed("window_hopping", lambda: consume(em.q_window_hopping(sf_dir)))
     timed("sessionize", lambda: consume(em.q_sessionize(sf_dir)))
     timed("pricing_summary", lambda: consume(em.q_pricing_summary(sf_dir)))
     timed("simhash_candidates", lambda: consume(em.q_simhash_candidates(sf_dir)))

@@ -74,6 +74,56 @@ def tumbling_aggregate(
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def hopping_aggregate(
+    events: ray.data.Dataset,
+    window_s: int,
+    hop_s: int,
+    key: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> ray.data.Dataset:
+    """Hopping (sliding) window grouped aggregate: overlapping windows
+    of ``window_s`` starting every ``hop_s`` (window_s % hop_s == 0).
+    Each event lands in exactly window_s/hop_s windows — replicated
+    vectorized inside the batch, then the SAME partial-agg shape as
+    tumbling_aggregate: the shuffle moves one partial row per
+    (key, window) per batch, never window_s/hop_s copies of the raw
+    events."""
+    assert window_s % hop_s == 0, "window must be a multiple of the hop"
+    reps = window_s // hop_s
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = (batch[ts_col].astype("int64") // 1_000_000).to_numpy()
+        base = (epoch // hop_s) * hop_s
+        k = np.tile(np.arange(reps, dtype=np.int64), len(batch))
+        w = np.repeat(base, reps) - k * hop_s
+        g = (
+            pd.DataFrame(
+                {
+                    key: np.repeat(batch[key].to_numpy(), reps),
+                    "window_start": w,
+                    "v": np.repeat(batch[value_col].to_numpy(), reps),
+                }
+            )
+            .groupby([key, "window_start"], as_index=False)
+            .agg(
+                n_events=("v", "size"),
+                sum_value=("v", "sum"),
+                min_value=("v", "min"),
+                max_value=("v", "max"),
+            )
+        )
+        return g
+
+    partials = events.map_batches(partial, batch_format="pandas")
+    return partials.groupby([key, "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+        Min("min_value", alias_name="min_value"),
+        Max("max_value", alias_name="max_value"),
+    )
+
+
 def sessionize(
     events: ray.data.Dataset,
     gap_s: int,

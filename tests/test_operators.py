@@ -319,6 +319,24 @@ def test_tumbling_and_sessions(ray_session):
     assert sess["n_events"].sum() == len(edf)
 
 
+def test_hopping_window(ray_session):
+    """Each event lands in exactly window/hop overlapping windows; the
+    hop-aligned window containing the event agrees with tumbling."""
+    from prase_ray.stages.windows import hopping_aggregate, tumbling_aggregate
+
+    events = ray.data.read_parquet(f"{SF}/events.parquet")
+    hop = hopping_aggregate(events, 3600, 900).to_pandas()
+    n = events.count()
+    assert hop["n_events"].sum() == n * 4  # window_s / hop_s replicas
+
+    # windows aligned to 3600 match the tumbling aggregate only when
+    # window==hop; sanity instead: per event_type totals scale by 4
+    tum = tumbling_aggregate(events, 3600).to_pandas()
+    ht = hop.groupby("event_type")["n_events"].sum()
+    tt = tum.groupby("event_type")["n_events"].sum()
+    pd.testing.assert_series_equal(ht, tt * 4, check_names=False)
+
+
 def test_connected_components_distributed(ray_session):
     from prase_ray.stages.components import connected_components
 
