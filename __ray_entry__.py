@@ -439,6 +439,19 @@ def q_media_pixel_stats(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_tfidf_topk(sf_dir: str):
+    """Top-3 TF-IDF terms per document (two shuffles, no join: df
+    computed inside term-hash partitions, per-partition pre-truncation
+    bounds the doc regroup at k x docs x partitions)."""
+    from prase_ray.stages.text import tfidf_topk
+
+    out = tfidf_topk(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]), k=3
+    )
+    out["score"] = out["score"].round(6)
+    return out
+
+
 def q_asof_join(sf_dir: str):
     """As-of join: each click event matched to the user's most recent
     purchase at or before it (one tagged-union shuffle, vectorized
@@ -639,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topk": q_group_topk,
         "hash_sample": q_hash_sample,
         "window_hopping": q_window_hopping,
+        "tfidf_topk": q_tfidf_topk,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "connected_components": q_connected_components,
@@ -1233,6 +1247,33 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
             FROM u a JOIN u b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+        """,
+        # same whitespace tokenizer as token_stats; identical doubles on
+        # ties (same tf, df) break by term, so the top-k is deterministic
+        "tfidf_topk": f"""
+            WITH t AS (
+                SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM t GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents),
+            s AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+                FROM tf JOIN df USING (term) CROSS JOIN n
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term
+                ) AS rank FROM s
+            )
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+                   tf, df, ROUND(score, 6) AS score
+            FROM r WHERE rank <= 3
+            ORDER BY doc_id, rank
         """,
         # right ties per (user, ts) collapse to max event_id on BOTH
         # sides, so the as-of pick is unique and deterministic

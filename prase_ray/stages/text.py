@@ -161,3 +161,79 @@ def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 def fingerprint(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(fingerprint_batch, batch_format="pandas")
+
+
+def tfidf_topk(
+    docs: ray.data.Dataset,
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Top-k TF-IDF terms per document (score = tf * ln(N/df)), the
+    classic corpus-weighted keyword extractor.
+
+    Shape: TWO shuffles, NO join.  (1) doc-term counts hash-partition by
+    term, so each partition holds every row of its terms and computes df
+    locally (a (doc, term) pair occurs once globally — each doc lives in
+    one input block — so df = row count per term); scored rows are
+    pre-truncated to the per-(partition, doc) top-k, bounding the second
+    exchange at k x docs x partitions.  (2) regroup by doc for the final
+    top-k.  N is a broadcast scalar.  Tokenization matches the
+    token_stats whitespace split (SQL-reproducible)."""
+    n_docs = docs.count()
+
+    def doc_terms(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[[id_col, text_col]].copy()
+        s["term"] = s[text_col].str.split()
+        e = s[[id_col, "term"]].explode("term").dropna(subset=["term"])
+        if e.empty:
+            return pd.DataFrame(
+                {"part": pd.Series([], dtype=np.int32),
+                 id_col: pd.Series([], dtype=np.int64),
+                 "term": pd.Series([], dtype=object),
+                 "tf": pd.Series([], dtype=np.int64)}
+            )
+        tf = e.groupby([id_col, "term"], as_index=False).size().rename(
+            columns={"size": "tf"}
+        )
+        part = (
+            pd.util.hash_array(tf["term"].to_numpy(dtype=object))
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        tf.insert(0, "part", part)
+        return tf
+
+    def score_part(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("term", as_index=False).size().rename(
+            columns={"size": "df"}
+        )
+        g = g.drop(columns=["part"]).merge(df, on="term")
+        g["score"] = g["tf"].to_numpy(np.float64) * np.log(
+            float(n_docs) / g["df"].to_numpy(np.float64)
+        )
+        # per-(partition, doc) pre-truncation: the global top-k per doc
+        # is a subset of the union of per-partition top-ks
+        g = g.sort_values(
+            ["score", "term"], ascending=[False, True], kind="stable"
+        )
+        return g.groupby(id_col, as_index=False).head(k)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(
+            ["score", "term"], ascending=[False, True], kind="stable"
+        ).head(k).reset_index(drop=True)
+        s["rank"] = np.arange(1, len(s) + 1, dtype=np.int64)
+        return s
+
+    out = (
+        docs.map_batches(doc_terms, batch_format="pandas")
+        .groupby("part")
+        .map_groups(score_part, batch_format="pandas")
+        .groupby(id_col)
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out[[id_col, "rank", "term", "tf", "df", "score"]]
+    return out.sort_values([id_col, "rank"]).reset_index(drop=True)

@@ -479,6 +479,45 @@ def test_text_to_rawi_pixel_stats(ray_session):
         assert out.loc[i, "px_sqsum"] == sum(c * c for c in codes)
 
 
+def test_tfidf_topk_matches_local(ray_session):
+    """Distributed TF-IDF top-k == a single-process recompute, including
+    the pre-truncation across term partitions."""
+    from prase_ray.stages.text import tfidf_topk
+
+    rng = np.random.default_rng(4)
+    vocab = np.array([f"w{i}" for i in range(50)], dtype=object)
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 40)))
+        for _ in range(120)
+    ] + [""]
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(121, dtype=np.int64), "text": texts}
+    )
+    got = tfidf_topk(
+        ray.data.from_pandas(docs).repartition(6), k=3, num_partitions=8
+    )
+
+    e = docs.assign(term=docs["text"].str.split()).explode("term").dropna(
+        subset=["term"]
+    )
+    tf = e.groupby(["doc_id", "term"], as_index=False).size().rename(
+        columns={"size": "tf"}
+    )
+    df = tf.groupby("term", as_index=False).size().rename(columns={"size": "df"})
+    s = tf.merge(df, on="term")
+    s["score"] = s["tf"] * np.log(121.0 / s["df"])
+    s = s.sort_values(["score", "term"], ascending=[False, True], kind="stable")
+    want = s.groupby("doc_id", as_index=False).head(3)
+    want["rank"] = want.groupby("doc_id").cumcount() + 1
+    want = (
+        want[["doc_id", "rank", "term", "tf", "df", "score"]]
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert 120 not in set(got["doc_id"])  # empty doc yields no terms
+
+
 def test_asof_join_matches_pandas(ray_session):
     """Distributed as-of join == pandas merge_asof on deduped rights,
     including unmatched lefts and equal-timestamp ties."""
