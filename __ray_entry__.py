@@ -439,6 +439,23 @@ def q_media_pixel_stats(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_group_quantiles(sf_dir: str):
+    """Exact per-flag quantiles of l_quantity via value-count partials
+    (one P-way combine; exchanged volume bounded by groups x distinct
+    values x blocks — the discrete-domain exact-quantile pattern)."""
+    from prase_ray.stages.relational import group_quantiles
+
+    out = group_quantiles(
+        _read(sf_dir, "lineitem").select_columns(
+            ["l_returnflag", "l_quantity"]
+        ),
+        group_col="l_returnflag", value_col="l_quantity",
+    )
+    for c in ("p50", "p90", "p99"):
+        out[c] = out[c].round(6)
+    return out
+
+
 def q_tfidf_topk(sf_dir: str):
     """Top-3 TF-IDF terms per document (two shuffles, no join: df
     computed inside term-hash partitions, per-partition pre-truncation
@@ -653,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": q_hash_sample,
         "window_hopping": q_window_hopping,
         "tfidf_topk": q_tfidf_topk,
+        "group_quantiles": q_group_quantiles,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "connected_components": q_connected_components,
@@ -1247,6 +1265,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
             FROM u a JOIN u b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+        """,
+        "group_quantiles": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
+                   ROUND(quantile_cont(l_quantity, 0.99), 6) AS p99
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         # same whitespace tokenizer as token_stats; identical doubles on
         # ties (same tf, df) break by term, so the top-k is deterministic

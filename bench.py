@@ -164,6 +164,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("hash_sample", lambda: consume(em.q_hash_sample(sf_dir)))
     timed("media_pixel_stats", lambda: consume(em.q_media_pixel_stats(sf_dir)))
     timed("tfidf_topk", lambda: consume(em.q_tfidf_topk(sf_dir)))
+    timed("group_quantiles", lambda: consume(em.q_group_quantiles(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     result = {

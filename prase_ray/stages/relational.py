@@ -180,3 +180,59 @@ def hash_sample(
         return b[(h % np.uint64(100)) < rate_pct]
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def group_quantiles(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """EXACT per-group quantiles (linear interpolation, numpy/DuckDB
+    ``quantile_cont`` type-7 semantics) via the value-count pattern:
+    per-block (group, value) counts → one P-way partial-combine shuffle
+    → driver interpolation over cumulative counts.  Exchanged volume is
+    bounded by groups × distinct values × blocks, so this is exact AND
+    scale-safe for discrete / low-cardinality value domains (quantize
+    first for continuous data — the classic histogram-quantile trade)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b.groupby([group_col, value_col], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+        key = pd.util.hash_array(
+            vc[group_col].to_numpy(dtype=object)
+        ) ^ pd.util.hash_array(vc[value_col].to_numpy())
+        vc.insert(0, "part", (key % np.uint64(num_partitions)).astype(np.int32))
+        return vc
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby([group_col, value_col], as_index=False)["cnt"].sum()
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+        .groupby([group_col, value_col], as_index=False)["cnt"]
+        .sum()
+        .sort_values([group_col, value_col])
+    )
+
+    rows = []
+    for grp, g in counts.groupby(group_col):
+        v = g[value_col].to_numpy(np.float64)
+        c = g["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = cum[-1]
+        row = {group_col: grp, "n": int(n)}
+        for q in qs:
+            h = (n - 1) * q
+            lo_i = int(np.searchsorted(cum, np.floor(h) + 1, side="left"))
+            hi_i = int(np.searchsorted(cum, np.ceil(h) + 1, side="left"))
+            lo, hi = v[lo_i], v[hi_i]
+            row[f"p{int(q * 100)}"] = lo + (h - np.floor(h)) * (hi - lo)
+        rows.append(row)
+    return pd.DataFrame(rows).sort_values(group_col).reset_index(drop=True)

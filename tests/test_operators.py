@@ -479,6 +479,31 @@ def test_text_to_rawi_pixel_stats(ray_session):
         assert out.loc[i, "px_sqsum"] == sum(c * c for c in codes)
 
 
+def test_group_quantiles_matches_numpy(ray_session):
+    """Distributed value-count quantiles == numpy percentile (type 7),
+    including interpolated (non-integer h) positions."""
+    from prase_ray.stages.relational import group_quantiles
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame(
+        {
+            "grp": rng.choice(["a", "b", "c"], 1000),
+            "val": rng.integers(0, 30, 1000).astype(np.float64),
+        }
+    )
+    got = group_quantiles(
+        ray.data.from_pandas(df).repartition(7),
+        group_col="grp", value_col="val", qs=(0.5, 0.9, 0.99),
+    )
+    for _, row in got.iterrows():
+        v = df[df["grp"] == row["grp"]]["val"].to_numpy()
+        assert row["n"] == len(v)
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            np.testing.assert_allclose(
+                row[col], np.percentile(v, q * 100), rtol=1e-12
+            )
+
+
 def test_tfidf_topk_matches_local(ray_session):
     """Distributed TF-IDF top-k == a single-process recompute, including
     the pre-truncation across term partitions."""
