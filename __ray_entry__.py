@@ -464,7 +464,7 @@ def q_tfidf_topk(sf_dir: str):
 
     out = tfidf_topk(
         _read(sf_dir, "documents").select_columns(["doc_id", "text"]), k=3
-    )
+    ).to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
     out["score"] = out["score"].round(6)
     return out
 
@@ -478,7 +478,12 @@ def q_asof_join(sf_dir: str):
     ev = _read(sf_dir, "events")
     clicks = ev.filter(expr="event_type == 'click'")
     purchases = ev.filter(expr="event_type == 'purchase'")
-    out = asof_join(clicks, purchases, on="user_id", ts_col="ts")
+    out = (
+        asof_join(clicks, purchases, on="user_id", ts_col="ts")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
     out["matched_value"] = out["matched_value"].round(6)
     return out
 

@@ -37,7 +37,7 @@ def asof_join(
     left_cols: tuple[str, ...] = ("event_id",),
     right_cols: tuple[str, ...] = ("event_id", "value"),
     num_partitions: int = 32,
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """For each left row, the right row of the same `on` key with the
     greatest ``ts <= left.ts`` (DuckDB/pandas ``ASOF JOIN`` semantics).
     Ties on right ts are broken deterministically by keeping the max
@@ -123,12 +123,9 @@ def asof_join(
             }
         )
 
-    out = (
-        tagged.groupby("part")
-        .map_groups(scan, batch_format="pandas")
-        .to_pandas()
-    )
-    return out.sort_values("event_id").reset_index(drop=True)
+    # stays a Dataset: the matched output is O(left rows) — consumers
+    # write or aggregate it; only tests/oracle queries pull it local
+    return tagged.groupby("part").map_groups(scan, batch_format="pandas")
 
 
 def group_topk(

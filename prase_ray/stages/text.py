@@ -170,7 +170,7 @@ def tfidf_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int = 32,
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """Top-k TF-IDF terms per document (score = tf * ln(N/df)), the
     classic corpus-weighted keyword extractor.
 
@@ -227,13 +227,13 @@ def tfidf_topk(
         s["rank"] = np.arange(1, len(s) + 1, dtype=np.int64)
         return s
 
-    out = (
+    # stays a Dataset: output is O(k x docs) rows — consumers write or
+    # aggregate it; only tests/oracle queries pull it local
+    return (
         docs.map_batches(doc_terms, batch_format="pandas")
         .groupby("part")
         .map_groups(score_part, batch_format="pandas")
         .groupby(id_col)
         .map_groups(final_topk, batch_format="pandas")
-        .to_pandas()
+        .select_columns([id_col, "rank", "term", "tf", "df", "score"])
     )
-    out = out[[id_col, "rank", "term", "tf", "df", "score"]]
-    return out.sort_values([id_col, "rank"]).reset_index(drop=True)

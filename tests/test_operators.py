@@ -518,8 +518,13 @@ def test_tfidf_topk_matches_local(ray_session):
     docs = pd.DataFrame(
         {"doc_id": np.arange(121, dtype=np.int64), "text": texts}
     )
-    got = tfidf_topk(
-        ray.data.from_pandas(docs).repartition(6), k=3, num_partitions=8
+    got = (
+        tfidf_topk(
+            ray.data.from_pandas(docs).repartition(6), k=3, num_partitions=8
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
     )
 
     e = docs.assign(term=docs["text"].str.split()).explode("term").dropna(
@@ -568,9 +573,14 @@ def test_asof_join_matches_pandas(ray_session):
     # planted tie: two purchases at the same (user, ts) — max id wins
     rt.loc[1, ["user_id", "ts"]] = rt.loc[0, ["user_id", "ts"]]
 
-    got = asof_join(
-        ray.data.from_pandas(lt), ray.data.from_pandas(rt),
-        on="user_id", ts_col="ts", num_partitions=8,
+    got = (
+        asof_join(
+            ray.data.from_pandas(lt), ray.data.from_pandas(rt),
+            on="user_id", ts_col="ts", num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
     )
 
     rd = (
