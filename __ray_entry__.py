@@ -579,6 +579,67 @@ def q_connected_components(sf_dir: str):
     return connected_components(edges, num_partitions=4)
 
 
+def q_paris_half_iteration(sf_dir: str):
+    """ONE PARIS init half-iteration (L→R, ent_align=True) on a KG pair
+    derived from the customer table — small enough that the propagation
+    kernel's closed form is restated in SQL, giving the CORE operator a
+    hash-exact oracle: literal seeds (prob 1.0) walk has_name-(INV) and
+    in_bucket-(INV) evidence; per-evidence factor
+    (1 - hp*theta*func_r/eps) * (1 - hp*theta*func_l/eps) with the
+    delta contribution filter (model/PARIS.py:56-78 semantics);
+    per-candidate product via sum-of-logs; per-entity argmax.  The full
+    iterative loop stays rows-only in q_prase_align (pytest golden +
+    P/R gate cover it)."""
+    from prase_ray.config import PrasConfig
+    from prase_ray.pipelines.prase import KGPair
+    from prase_ray.sources.triples import from_pandas_triples
+    from prase_ray.stages.kg_build import build_kg
+    from prase_ray.stages.paris import run_half_iteration
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+
+    def side_triples(prefix: str) -> pd.DataFrame:
+        ent = prefix + cust["c_custkey"].astype(str)
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {"subj": ent, "pred": "has_name",
+                     "obj": cust["c_name"].astype(str), "obj_is_literal": True}
+                ),
+                pd.DataFrame(
+                    {"subj": ent, "pred": "in_bucket",
+                     "obj": "b" + (cust["c_custkey"] % 150).astype(str),
+                     "obj_is_literal": True}
+                ),
+            ],
+            ignore_index=True,
+        )
+
+    kg1 = build_kg(from_pandas_triples(side_triples("c")), name="KG-L")
+    kg2 = build_kg(from_pandas_triples(side_triples("C")), name="KG-R")
+    cfg = PrasConfig(concurrency=2)
+    pair = KGPair(kg1, kg2, cfg)
+    st = pair.state
+    new_match, new_prob, _ = run_half_iteration(
+        kg1, kg2, st.sub_match, st.sub_prob,
+        st.rel_align_l, st.rel_align_r, cfg,
+        init=True, ent_align=True,
+    )
+    nE = kg1.n_entities
+    sel = np.nonzero(new_match[:nE] >= 0)[0]
+    names_l = kg1.nodes_df().set_index("ent_id")["name"]
+    names_r = kg2.nodes_df().set_index("ent_id")["name"]
+    return pd.DataFrame(
+        {
+            "name_l": names_l[sel].to_numpy(),
+            "name_r": names_r[new_match[sel]].to_numpy(),
+            "prob": np.round(new_prob[sel], 6),
+        }
+    ).sort_values("name_l").reset_index(drop=True)
+
+
 def q_prase_align(sf_dir: str):
     """Full PRASE loop on the deterministic two-KG fixture (the
     conformance pipeline; non-SQL — iterative/stateful)."""
@@ -676,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hopping": q_window_hopping,
         "tfidf_topk": q_tfidf_topk,
         "group_quantiles": q_group_quantiles,
+        "paris_half_iteration": q_paris_half_iteration,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "connected_components": q_connected_components,
@@ -1270,6 +1332,46 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
             FROM u a JOIN u b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+        """,
+        # closed form of one init half-iteration on the derived pair:
+        # func(has_name-INV) = dn/n, func(in_bucket-INV) = db/n; every
+        # entity c_k wins candidate C_k (name evidence is unique), score
+        # = 1 - exp(ln f_name + ln f_bucket) with per-evidence delta
+        # filter — exp/ln mirrors the engine's sum-of-logs float path
+        "paris_half_iteration": """
+            WITH c AS (
+                SELECT c_custkey AS k, c_name AS nm,
+                       'b' || CAST(c_custkey % 150 AS VARCHAR) AS bk
+                FROM customer
+            ),
+            s AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(count(DISTINCT nm) AS DOUBLE) AS dn,
+                       CAST(count(DISTINCT bk) AS DOUBLE) AS db
+                FROM c
+            ),
+            f AS (
+                SELECT
+                    (1 - 0.1 * ((dn / n) / 1.01))
+                        * (1 - 0.1 * ((dn / n) / 1.01)) AS f_name,
+                    (1 - 0.1 * ((db / n) / 1.01))
+                        * (1 - 0.1 * ((db / n) / 1.01)) AS f_bucket
+                FROM s
+            ),
+            kept AS (
+                SELECT CASE WHEN 1 - f_name > 0.01 THEN f_name
+                            ELSE 1 END AS kf_name,
+                       CASE WHEN 1 - f_bucket > 0.01 THEN f_bucket
+                            ELSE 1 END AS kf_bucket
+                FROM f
+            )
+            SELECT 'c' || CAST(c.k AS VARCHAR) AS name_l,
+                   'C' || CAST(c.k AS VARCHAR) AS name_r,
+                   ROUND(1 - exp(ln(kept.kf_name) + ln(kept.kf_bucket)), 6)
+                       AS prob
+            FROM c CROSS JOIN kept
+            WHERE 1 - kept.kf_name * kept.kf_bucket > 0
+            ORDER BY name_l
         """,
         "group_quantiles": """
             SELECT l_returnflag,
