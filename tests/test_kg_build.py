@@ -107,13 +107,21 @@ def test_csr(kg):
     assert deg == 3  # likes x2 + name x1 (E1 not a tail of anything fwd)
 
 
-def test_pair_build_matches_sequential(ray_session):
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_pair_build_matches_sequential(ray_session, monkeypatch, force_distributed):
     """build_kg_pair over tagged union == two build_kg calls: identical
-    node/pred id assignment, facts (as multisets), stats and counts."""
+    node/pred id assignment, facts (as multisets), stats and counts —
+    on BOTH the size-gated driver fast path and the distributed path
+    (fixtures sit below the gate, so the distributed branch is forced
+    by zeroing the gate)."""
     import ray.data
 
+    import prase_ray.stages.kg_build as kgb
     from prase_ray.sources.fixtures import make_two_kg_fixture
     from prase_ray.stages.kg_build import build_kg_pair
+
+    if force_distributed:
+        monkeypatch.setattr(kgb, "_PAIR_DRIVER_INTERN_MAX", 0)
 
     t1, t2, _ = make_two_kg_fixture(n_entities=50, seed=11)
     kg1s = build_kg(from_pandas_triples(t1), name="A")
