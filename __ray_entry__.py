@@ -439,6 +439,27 @@ def q_media_pixel_stats(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_broadcast_join(sf_dir: str):
+    """Broadcast hash join: customer (small side) ships once via
+    ray.put; each orders batch joins locally — zero shuffle.  The
+    engine's core small-side pattern as a first-class operator."""
+    from prase_ray.stages.relational import broadcast_join
+
+    cust = (
+        pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_mktsegment"],
+        )
+        .to_pandas()
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+    out = broadcast_join(
+        _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"]),
+        cust, on="o_custkey",
+    ).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q_group_quantiles(sf_dir: str):
     """Exact per-flag quantiles of l_quantity via value-count partials
     (one P-way combine; exchanged volume bounded by groups x distinct
@@ -738,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": q_tfidf_topk,
         "group_quantiles": q_group_quantiles,
         "paris_half_iteration": q_paris_half_iteration,
+        "broadcast_join": q_broadcast_join,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "connected_components": q_connected_components,
@@ -1372,6 +1394,11 @@ def oracle_sql() -> dict[str, str]:
             FROM c CROSS JOIN kept
             WHERE 1 - kept.kf_name * kept.kf_bucket > 0
             ORDER BY name_l
+        """,
+        "broadcast_join": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY o.o_orderkey
         """,
         "group_quantiles": """
             SELECT l_returnflag,

@@ -233,3 +233,36 @@ def group_quantiles(
             row[f"p{int(q * 100)}"] = lo + (h - np.floor(h)) * (hi - lo)
         rows.append(row)
     return pd.DataFrame(rows).sort_values(group_col).reset_index(drop=True)
+
+
+_BCAST_CACHE: dict = {}
+
+
+def broadcast_join(
+    left: ray.data.Dataset,
+    right: pd.DataFrame,
+    *,
+    on: str,
+    how: str = "inner",
+    suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Broadcast hash join: the small right side ships ONCE via ray.put
+    and every batch joins locally — NO shuffle.  This is the pattern the
+    engine uses internally for every small-side lookup (ent_align maps,
+    name→id indexes, query matrices, centroids), exposed as a
+    first-class operator.  The right side must fit a worker's heap; for
+    big-both-sides use Dataset.join (hash shuffle) instead.  Workers
+    fetch the broadcast frame zero-copy-ish once and cache it across
+    batches (keyed by object ref)."""
+    assert how in ("inner", "left")
+    ref = ray.put(right)
+
+    def fn(b: pd.DataFrame, *, ref) -> pd.DataFrame:
+        key = ref.hex()
+        r = _BCAST_CACHE.get(key)
+        if r is None:
+            _BCAST_CACHE.clear()
+            r = _BCAST_CACHE[key] = ray.get(ref)
+        return b.merge(r, on=on, how=how, suffixes=("", suffix))
+
+    return left.map_batches(fn, batch_format="pandas", fn_kwargs={"ref": ref})

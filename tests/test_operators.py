@@ -479,6 +479,32 @@ def test_text_to_rawi_pixel_stats(ray_session):
         assert out.loc[i, "px_sqsum"] == sum(c * c for c in codes)
 
 
+def test_broadcast_join_matches_merge(ray_session):
+    from prase_ray.stages.relational import broadcast_join
+
+    rng = np.random.default_rng(8)
+    big = pd.DataFrame(
+        {"id": np.arange(500, dtype=np.int64), "key": rng.integers(0, 30, 500)}
+    )
+    small = pd.DataFrame(
+        {"key": np.arange(0, 25, dtype=np.int64),
+         "label": [f"L{i}" for i in range(25)]}
+    )
+    got = (
+        broadcast_join(ray.data.from_pandas(big).repartition(5), small, on="key")
+        .to_pandas()
+        .sort_values(["id"])
+        .reset_index(drop=True)
+    )
+    want = big.merge(small, on="key").sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # left join keeps unmatched keys (25..29) with NaN labels
+    lg = broadcast_join(
+        ray.data.from_pandas(big), small, on="key", how="left"
+    ).to_pandas()
+    assert len(lg) == 500 and lg["label"].isna().any()
+
+
 def test_group_quantiles_matches_numpy(ray_session):
     """Distributed value-count quantiles == numpy percentile (type 7),
     including interpolated (non-integer h) positions."""
