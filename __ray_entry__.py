@@ -582,6 +582,26 @@ def q_knn_ivf(sf_dir: str):
     return out[["query_id", "rank", "neighbor_id"]]
 
 
+def q_knn_lsh_fullprobe(sf_dir: str):
+    """SRP-LSH with n_planes=1 is EXHAUSTIVE (the 1-bit probe covers
+    both buckets, so every corpus row scores against every query) —
+    the bucketed-scoring machinery is hash-checkable against the exact
+    brute-force oracle; the approximate regime (q_knn_lsh) stays
+    recall-tested."""
+    from prase_ray.stages.ann import knn_cosine_lsh
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    qdf = tbl[tbl["vec_id"] < 5].sort_values("vec_id")
+    Q = np.vstack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = knn_cosine_lsh(
+        _read(sf_dir, "embeddings"), Q, qdf["vec_id"].to_numpy(np.int64),
+        k=3, n_planes=1,
+    )
+    return out[["query_id", "rank", "neighbor_id"]]
+
+
 def q_knn_ivf_fullprobe(sf_dir: str):
     """IVF with nprobe = n_centroids is EXHAUSTIVE (every corpus row
     scores against every query), so the bucketed-scoring machinery is
@@ -782,6 +802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
+        "knn_lsh_fullprobe": q_knn_lsh_fullprobe,
         "connected_components": q_connected_components,
         "prase_align": q_prase_align,
         "web_extract": q_web_extract,
@@ -1080,6 +1101,24 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 3
         """,
         "knn_ivf_fullprobe": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5
+            ), s AS (
+                SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS c
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.qid
+            ), r AS (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id ORDER BY c DESC, neighbor_id
+                       ) AS rank
+                FROM s
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+            FROM r WHERE rank <= 3
+        """,
+        "knn_lsh_fullprobe": """
             WITH q AS (
                 SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5
             ), s AS (
