@@ -347,8 +347,21 @@ def q_top_customers(sf_dir: str):
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
-    agg = j.select_columns(["c_name", "n_orders", "total"]).to_pandas()
-    agg["total"] = agg["total"].round(2)
+    # bounded-shuffle top-k: per-block partial top-10 (the global top-10
+    # is a subset of the union of per-block top-10s), tiny final combine
+    # — never the full O(n_customers) result on the driver
+    def partial_top(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["total"] = batch["total"].round(2)
+        return batch.sort_values(
+            ["total", "c_name"], ascending=[False, True]
+        ).head(10)
+
+    agg = (
+        j.select_columns(["c_name", "n_orders", "total"])
+        .map_batches(partial_top, batch_format="pandas")
+        .to_pandas()
+    )
     return (
         agg.sort_values(["total", "c_name"], ascending=[False, True])
         .head(10)
@@ -407,9 +420,13 @@ def q_embedding_neardup(sf_dir: str):
     re-appears under vec_id + 1_000_000).  Exact duplicates always share
     an SRP bucket, so in this regime the approximate operator's output
     equals the exact cosine ≥ 0.99 ground truth the DuckDB oracle
-    computes (the sf corpora top out near cosine 0.51 pairwise, so the
-    twins are the only qualifying pairs).  General near-threshold recall
-    is covered by the planted-noise pytest (tests/test_operators.py)."""
+    computes.  The regime is GUARDED, not assumed: an exact brute-force
+    pass asserts no natural base-base pair reaches the threshold (such a
+    pair could sit >1 SRP bit apart and be missed by the approximate
+    engine while the exact oracle finds it).  General near-threshold
+    recall is covered by the planted-noise pytest
+    (tests/test_operators.py)."""
+    from prase_ray.stages.ann import cosine_pairs_exact
     from prase_ray.stages.dedup import embedding_neardup_pairs
 
     def twin(b: pd.DataFrame) -> pd.DataFrame:
@@ -418,10 +435,17 @@ def q_embedding_neardup(sf_dir: str):
         return b
 
     base = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    natural = cosine_pairs_exact(base, threshold=0.99)
+    if len(natural):
+        raise AssertionError(
+            f"planted-twin oracle regime violated: {len(natural)} natural "
+            "pairs with cosine >= 0.99 exist in this corpus; the SRP "
+            "operator may miss those the exact oracle finds"
+        )
     ds = base.union(base.map_batches(twin, batch_format="pandas"))
-    out = embedding_neardup_pairs(ds, threshold=0.99)
+    out = embedding_neardup_pairs(ds, threshold=0.99).to_pandas()
     out["cosine"] = out["cosine"].round(6)
-    return out
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def q_media_pixel_stats(sf_dir: str):

@@ -55,9 +55,15 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
-        # submitted job: attach to the hosting cluster; standalone: local
-        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
-                 ignore_reinit_error=True)
+        # submitted job: attach to the hosting cluster; standalone: fall
+        # back to a fresh local instance (address="auto" raises
+        # ConnectionError when no cluster is running and RAY_ADDRESS is
+        # unset, verified on Ray 2.49.2)
+        try:
+            ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                     ignore_reinit_error=True)
+        except ConnectionError:
+            ray.init(address="local", ignore_reinit_error=True)
 
     import ray.data
 

@@ -37,10 +37,27 @@ def _write_tsv(f, frame: pd.DataFrame, float_format: str | None) -> None:
 
     # QUOTE_NONE: names (incl. quoted literals like '"bob"') are written
     # raw, exactly as the reference's manual join does
-    frame.to_csv(
-        f, sep="\t", header=False, index=False,
-        float_format=float_format, quoting=csv.QUOTE_NONE,
-    )
+    try:
+        frame.to_csv(
+            f, sep="\t", header=False, index=False,
+            float_format=float_format, quoting=csv.QUOTE_NONE,
+        )
+    except csv.Error:
+        # to_csv refuses names containing \t/\n/\r under QUOTE_NONE with
+        # no escapechar.  Real-world KG literals routinely contain such
+        # characters; the reference's manual join emits them raw, so do
+        # the same: vectorized column-wise string concat, raw bytes out.
+        cols = []
+        for c in frame.columns:
+            s = frame[c]
+            if float_format is not None and s.dtype.kind == "f":
+                cols.append(s.map(lambda v: float_format % v))
+            else:
+                cols.append(s.astype(str))
+        line = cols[0].str.cat(cols[1:], sep="\t")
+        f.write("\n".join(line.tolist()))
+        if len(line):
+            f.write("\n")
 
 
 def save_results(pair, path: str, theta: float | None = None) -> None:

@@ -307,26 +307,39 @@ class KGPair:
         if func is not None:
             df["prob"] = func(df["prob"].to_numpy())
 
-        resolved = []
-        for name_l, name_r, prob in df[["name_l", "name_r", "prob"]].itertuples(
-            index=False
-        ):
-            lid, lcls = self.resolve_any(self.kg_l, str(name_l).strip())
-            rid, rcls = self.resolve_any(self.kg_r, str(name_r).strip())
-            if lid is None or rid is None:
-                continue
-            if lcls in ("attr", "rel") or rcls in ("attr", "rel"):
-                # reference would index ent arrays with a rel id here
-                # (objects/KGs.py:491,509) — we skip such rows instead.
-                continue
-            resolved.append((lid, rid, float(prob)))
+        # vectorized resolve_any (attr → rel → literal → entity priority,
+        # objects/KG.py:183-192) via the indexed name maps — no per-row
+        # lookups.  Rows resolving to an attr/rel on either side are
+        # skipped (the reference would index ent arrays with a rel id,
+        # objects/KGs.py:491,509).
+        def resolve_side(kg, names: pd.Series):
+            s = names.astype(str).str.strip()
+            m = self._maps(kg)
+            is_pred = (
+                m["attr"].reindex(s).notna().to_numpy()
+                | m["rel"].reindex(s).notna().to_numpy()
+            )
+            lit = m["lit"].reindex(s).to_numpy(dtype=np.float64)
+            ent = m["ent"].reindex(s).to_numpy(dtype=np.float64)
+            ids = np.where(np.isnan(lit), ent, lit)
+            ok = ~is_pred & ~np.isnan(ids)
+            return ids, ok
+
+        l_ids, l_ok = resolve_side(self.kg_l, df["name_l"])
+        r_ids, r_ok = resolve_side(self.kg_r, df["name_r"])
+        ok = l_ok & r_ok
+        lids = l_ids[ok].astype(np.int64)
+        rids = r_ids[ok].astype(np.int64)
+        probs = df["prob"].to_numpy(np.float64)[ok]
         if num is not None:
             rng = np.random.default_rng(self.cfg.seed if seed is None else seed)
-            idx = rng.integers(0, len(resolved), size=num)
-            resolved = [resolved[i] for i in idx]
+            idx = rng.integers(0, len(lids), size=num)
+            lids, rids, probs = lids[idx], rids[idx], probs[idx]
         st = self.state
         changed = 0
-        for lid, rid, prob in resolved:
+        # the merge stays sequential: within one load, later rows may
+        # overwrite earlier ones (reference insertion order semantics)
+        for lid, rid, prob in zip(lids, rids, probs):
             ok = True
             if force or prob >= st.sub_prob[lid]:
                 st.sub_match[lid], st.sub_prob[lid] = rid, prob

@@ -162,6 +162,12 @@ def cosine_pairs_exact(
         )
         .to_pandas()
     )
+    if out.empty:
+        # zero qualifying pairs: all-empty blocks drop their schema, so
+        # rebuild the typed empty frame instead of sorting missing cols
+        out = pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+            {"a": np.int64, "b": np.int64, "cosine": np.float64}
+        )
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 

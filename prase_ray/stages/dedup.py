@@ -326,8 +326,8 @@ def minhash_dedup_keep_ids(
     threshold: float = 0.7,
     seed: int = 17,
     concurrency: int = 4,
-) -> pd.DataFrame:
-    """Full near-dup pipeline → DataFrame(doc_id, keep_id): every doc
+) -> ray.data.Dataset:
+    """Full near-dup pipeline → Dataset(doc_id, keep_id): every doc
     mapped to the min id of its duplicate component (docs with no dup
     map to themselves only if present in a component; callers treat
     missing ids as kept)."""
@@ -348,8 +348,13 @@ def minhash_dedup_keep_ids(
         ray.data.from_pandas(verified[["a", "b"]])
         if len(verified)
         else ray.data.from_pandas(pd.DataFrame({"a": [], "b": []}, dtype=np.int64))
-    ).to_pandas()
-    return comp.rename(columns={"node": "doc_id", "label": "keep_id"})
+    )
+    def rename(t: pa.Table) -> pa.Table:
+        # pyarrow 16 rename_columns(dict) is a silent no-op; rename by
+        # position off the known (node, label) schema
+        return t.select(["node", "label"]).rename_columns(["doc_id", "keep_id"])
+
+    return comp.map_batches(rename, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -382,9 +387,12 @@ def simhash_candidates(
     concurrency: int = 4,
     max_bucket: int = 500,
     num_partitions: int = 8,
-) -> pd.DataFrame:
-    """SimHash near-dup pairs with hamming ≤ max_hamming, via 16-bit
-    band bucketing (self-join) + vectorized exact hamming check."""
+) -> ray.data.Dataset:
+    """SimHash near-dup pairs with hamming ≤ max_hamming → Dataset(a,
+    b, hamming), via 16-bit band bucketing (self-join) + vectorized
+    exact hamming check.  Pairs sharing several bands are deduplicated
+    with a hash-partitioned grouped pass (never a driver
+    drop_duplicates)."""
     from prase_ray.functions.hashing import hamming64
 
     sigs = docs.map_batches(simhash_sign_batch, batch_format="pandas")
@@ -398,28 +406,38 @@ def simhash_candidates(
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         if batch.empty:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
-                {"a": np.int64, "b": np.int64, "hamming": np.int64}
+            return pd.DataFrame(
+                {"part": [], "a": [], "b": [], "hamming": []}
+            ).astype(
+                {"part": np.int32, "a": np.int64, "b": np.int64,
+                 "hamming": np.int64}
             )
         hd = hamming64(
             batch["sig"].to_numpy(np.int64).astype(np.uint64),
             batch["sig_r"].to_numpy(np.int64).astype(np.uint64),
         )
         m = hd <= max_hamming
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "a": batch["doc_id"].to_numpy(np.int64)[m],
                 "b": batch["doc_id_r"].to_numpy(np.int64)[m],
-                "hamming": hd[m],
+                "hamming": hd[m].astype(np.int64),
             }
         ).drop_duplicates(["a", "b"])
+        key = pd.util.hash_array(
+            out["a"].to_numpy(np.uint64)
+        ) ^ pd.util.hash_array(out["b"].to_numpy(np.uint64))
+        out.insert(0, "part", (key % np.uint64(32)).astype(np.int32))
+        return out
 
-    out = _ensure_cols(
-        joined.map_batches(verify, batch_format="pandas").to_pandas(),
-        {"a": np.int64, "b": np.int64, "hamming": np.int64},
-    )
+    # pairs surfaced by multiple bands → one partitioned vectorized dedup
+    def dedup_part(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(["a", "b"])[["a", "b", "hamming"]]
+
     return (
-        out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+        joined.map_batches(verify, batch_format="pandas")
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pandas")
     )
 
 
@@ -489,6 +507,20 @@ def ngram_jaccard_pairs(
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
 
+def _normalized_vec_binary(Vn: np.ndarray) -> pa.Array:
+    """Normalized float64 matrix → one Arrow binary column built from
+    the matrix buffer (no per-row tobytes); plain binary because tensor
+    extension types are not joinable as non-key fields."""
+    n, d = Vn.shape
+    offsets = np.arange(n + 1, dtype=np.int32) * (d * 8)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(offsets.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(Vn).tobytes())],
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: ray.data.Dataset,
     *,
@@ -497,60 +529,101 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     n_planes: int | None = None,
     seed: int = 5,
-) -> pd.DataFrame:
-    """Near-dup pairs by cosine ≥ threshold.  Scale path: random
-    hyperplane (SRP) bucketing → exact cosine within buckets; pairs in
-    different buckets with cosine ≥ threshold can be missed (documented
-    approximation, mitigated by also checking 1-bit-flip neighbor
-    buckets).
+    max_bucket: int = 1000,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Near-dup pairs by cosine ≥ threshold → Dataset(a, b, cosine).
+    Scale path: random hyperplane (SRP) bucketing → exact cosine within
+    buckets; pairs whose signatures differ by >1 bit can be missed
+    (documented approximation — coverage is home bucket + all 1-bit
+    probes).
+
+    Shuffle shape (one-side probing): the PROBE stream carries only
+    (bucket, doc_id) — (n_planes+1) tiny rows per vector — while the
+    full float64 payload rides the HOME stream exactly once per vector
+    through the bucket join and once through the pair-side vector
+    fetch.  The earlier both-sides-probed formulation replicated every
+    vector (n_planes+1)× through the self-join; coverage is preserved:
+    a ≤1-bit pair (a, b) meets exactly once, via a's probe row landing
+    in b's home bucket (or the shared home bucket itself).
 
     ``n_planes=None`` auto-sizes to ~log2(n)+3 planes so expected
-    bucket occupancy stays O(1) as the corpus grows — with a fixed
-    plane count the (n_planes+1)-way probe replication makes the bucket
-    self-join quadratic in corpus size.  Auto-sizing materializes the
-    input once for the count; at web scale pass an explicit n_planes
-    (computed from the catalog row count) to keep the pass streaming.
-    Exact duplicates always share a bucket at ANY plane count, so
+    bucket occupancy stays O(1) as the corpus grows.  Auto-sizing
+    materializes the input once for the count; at web scale pass an
+    explicit n_planes (from the catalog row count) to keep the pass
+    streaming.  Exact duplicates share a bucket at ANY plane count, so
     recall for identical vectors stays 1.0; near-threshold recall is
     the standard SRP probes-vs-planes trade."""
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
     if n_planes is None:
         embeddings = embeddings.materialize()
         n = embeddings.count()
         n_planes = min(20, max(8, int(np.ceil(np.log2(max(2, n)))) + 3))
-    def bucketize(batch: pd.DataFrame):
+    num_partitions = ensure_join_cpu_budget(num_partitions)
+
+    def _buckets(batch: pd.DataFrame):
         V = np.vstack(batch[vec_col].to_numpy()).astype(np.float64)
         planes = np.random.default_rng(seed).normal(size=(V.shape[1], n_planes))
         bits = ((V @ planes) > 0).astype(np.int64)
         bucket = (bits << np.arange(n_planes)).sum(axis=1)
+        ids = batch[id_col].to_numpy(np.int64)
+        return V, bucket, ids
+
+    def bucketize_home(batch: pd.DataFrame) -> pa.Table:
+        V, bucket, ids = _buckets(batch)
         norms = np.linalg.norm(V, axis=1, keepdims=True)
         Vn = V / np.where(norms > 0, norms, 1.0)
-        n, d = Vn.shape
-        ids = batch[id_col].to_numpy(np.int64)
-        # bucket + all 1-bit probe buckets, as one flat table; the vec
-        # payload is a PLAIN Arrow list<float64> (tensor extension types
-        # are not joinable as non-key fields)
+        return pa.table(
+            {"bucket": bucket, "doc_id": ids, "vec": _normalized_vec_binary(Vn)}
+        )
+
+    def bucketize_probe(batch: pd.DataFrame) -> pa.Table:
+        V, bucket, ids = _buckets(batch)
         all_buckets = [bucket] + [bucket ^ (1 << b) for b in range(n_planes)]
         reps = len(all_buckets)
-        # vectors ride through the join as binary; build the whole
-        # column from the tiled matrix's buffer (no per-row tobytes)
-        tiled = np.ascontiguousarray(np.tile(Vn, (reps, 1)))
-        offsets = np.arange(n * reps + 1, dtype=np.int32) * (d * 8)
-        vec_arr = pa.Array.from_buffers(
-            pa.binary(),
-            n * reps,
-            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(tiled.tobytes())],
-        )
         return pa.table(
             {
                 "bucket": np.concatenate(all_buckets),
                 "doc_id": np.tile(ids, reps),
-                "vec": vec_arr,
             }
         )
 
-    sigs = embeddings.map_batches(bucketize, batch_format="pandas")
-    joined = _bucket_self_join(
-        sigs, ["bucket"], ["vec"], max_bucket=1000, num_partitions=8
+    # home stream: one payload row per vector; materialized because it
+    # feeds both the bucket join and the pair-side vector fetch
+    home_all = (
+        embeddings.map_batches(bucketize_home, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+    # degenerate buckets dropped on the HOME side only — probe rows
+    # pointing at a banned bucket then join nothing.  The vector-fetch
+    # table stays pre-drop so a doc in a banned bucket can still be the
+    # probe side of a pair.
+    home = drop_degenerate_buckets(home_all, ["bucket"], max_bucket).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    )
+    probe = embeddings.map_batches(bucketize_probe, batch_format="pandas").map_batches(
+        lambda t: t, batch_format="pyarrow"
+    )
+
+    cand = probe.join(
+        home.rename_columns({"doc_id": "doc_id_r", "vec": "vec_r"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("bucket",),
+    ).map_batches(
+        lambda t: t.filter(pa.compute.less(t["doc_id"], t["doc_id_r"])).select(
+            ["doc_id", "doc_id_r", "vec_r"]
+        ),
+        batch_format="pyarrow",
+    )
+    # fetch the left vector per candidate pair (pairs ≪ vectors·probes)
+    pairs = cand.join(
+        home_all.select_columns(["doc_id", "vec"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_id",),
     )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -569,15 +642,12 @@ def embedding_neardup_pairs(
                 "b": batch["doc_id_r"].to_numpy(np.int64)[m],
                 "cosine": cos[m],
             }
-        ).drop_duplicates(["a", "b"])
+        )
 
-    out = _ensure_cols(
-        joined.map_batches(verify, batch_format="pandas").to_pandas(),
-        {"a": np.int64, "b": np.int64, "cosine": np.float64},
-    )
-    return (
-        out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
-    )
+    # each qualifying pair appears exactly once (one probe row of a can
+    # equal home(b); the a<b filter kills the mirrored role) — no
+    # cross-bucket dedup shuffle needed
+    return pairs.map_batches(verify, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------

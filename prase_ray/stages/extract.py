@@ -56,12 +56,24 @@ _EMPTY_TRIPLES = pa.schema(
 
 
 def _content_from_html(html: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """html:binary → text:string (first <p>…</p> body, '' if absent)."""
+    """html:binary → text:string (first <p>…</p> body, '' if absent).
+
+    The regex runs on the BINARY payload (RE2 is byte-oriented), so
+    invalid UTF-8 outside the content region never crashes the stage;
+    only the extracted group is cast to string, with a lenient
+    replacement-decode fallback for junk inside the content itself."""
     if isinstance(html, pa.ChunkedArray):
         html = html.combine_chunks()
-    s = html.cast(pa.string())  # utf-8 validated cast
-    m = pc.extract_regex(s, pattern=_CONTENT_PATTERN)
-    return pc.fill_null(pc.struct_field(m, "c"), "")
+    m = pc.extract_regex(html, pattern=_CONTENT_PATTERN)
+    c = pc.fill_null(pc.struct_field(m, "c"), b"")
+    try:
+        return c.cast(pa.string())  # utf-8 validated cast of the group only
+    except pa.ArrowInvalid:
+        # rare path: invalid bytes inside the matched content
+        return pa.array(
+            [v.decode("utf-8", "replace") for v in c.to_pylist()],
+            type=pa.string(),
+        )
 
 
 def extract_text_batch(batch: pa.Table) -> pa.Table:

@@ -64,3 +64,30 @@ def test_web_to_kg_end_to_end(ray_session, tmp_path):
         r_names = names_r[pred["r_id"]].str.replace("K2_", "").to_numpy()
         acc = float(np.mean(l_names == r_names))
         assert acc >= 0.9, acc
+
+
+def test_extraction_lenient_utf8(ray_session):
+    """Pages with invalid UTF-8 bytes must not crash the fused stage:
+    junk OUTSIDE the content region extracts byte-exact (the regex runs
+    on binary); junk INSIDE decodes with replacement characters."""
+    import ray
+
+    rows = pd.DataFrame(
+        {
+            "url": ["u1", "u2", "u3"],
+            "html": [
+                b"\xff\xfe<header>\x80</header><p>alpha cites beta.</p>",
+                b"<p>bad\xffbyte mentions gamma.</p>",
+                b"\xff no content at all \xfe",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(rows)
+    out = extract_text(ds).to_pandas().set_index("url")["extracted_text"]
+    assert out["u1"] == "alpha cites beta."
+    assert out["u2"] == "bad�byte mentions gamma."
+    assert out["u3"] == ""
+    tri = extract_triples(ds, concurrency=1).to_pandas()
+    assert ("alpha", "cites", "beta") in set(
+        zip(tri["subj"], tri["pred"], tri["obj"])
+    )

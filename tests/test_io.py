@@ -129,3 +129,22 @@ def test_checkpoint_resume(ray_session, tmp_path):
     p3 = KGPair(kg1, kg2, PrasConfig(concurrency=2))
     p3.run(iterations=3, checkpoint_dir=chk)
     np.testing.assert_array_equal(p3.state.sub_match, final_match)
+
+
+def test_write_tsv_dirty_names(tmp_path):
+    """Names containing tab/newline must be written raw (reference's
+    manual join semantics), not crash to_csv's QUOTE_NONE path."""
+    import io
+
+    from prase_ray.io.writers import _write_tsv
+
+    f = io.StringIO()
+    df = pd.DataFrame(
+        {"a": ["x\ty", "clean"], "b": ["v\nw", "z"], "p": [0.5, 1.0]}
+    )
+    _write_tsv(f, df, "%.6f")
+    assert f.getvalue() == "x\ty\tv\nw\t0.500000\nclean\tz\t1.000000\n"
+    # clean frames keep the fast path byte-for-byte
+    f2 = io.StringIO()
+    _write_tsv(f2, pd.DataFrame({"a": ["ok"], "p": [0.25]}), "%.6f")
+    assert f2.getvalue() == "ok\t0.250000\n"

@@ -161,3 +161,19 @@ def test_info(kg):
     assert info["attribute_tuples"] == 2
     assert info["entities"] == 3
     assert len(info["top_rel_func"]) <= 10
+
+
+def test_nrows_rejects_ambiguous_flags(ray_session):
+    """_nrows must fail loudly on a table carrying BOTH class columns
+    (the old overwrite semantics silently counted only the last one)."""
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from prase_ray.stages.kg_build import _nrows
+
+    bad = pa.table({"is_literal": [True], "is_attribute": [False]})
+    with pytest.raises(ray.exceptions.RayTaskError):
+        ray.get(_nrows.remote(bad))
+    good = pa.table({"is_literal": [True, False, True]})
+    assert ray.get(_nrows.remote(good)) == (3, 2)

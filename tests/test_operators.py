@@ -161,7 +161,7 @@ def test_minhash_dedup_finds_planted_dups(ray_session):
         words[3] = "CHANGED"
         rows.append({"doc_id": 100 + j, "text": " ".join(words)})
     ds = ray.data.from_pandas(pd.DataFrame(rows))
-    comp = minhash_dedup_keep_ids(ds, threshold=0.6, concurrency=2)
+    comp = minhash_dedup_keep_ids(ds, threshold=0.6, concurrency=2).to_pandas()
     comp = comp.set_index("doc_id")["keep_id"]
     for j in range(5):
         assert comp.get(100 + j) == j, comp
@@ -182,7 +182,7 @@ def test_simhash_and_ngram_jaccard(ray_session):
         {"doc_id": 2, "text": other},
     ]
     ds = ray.data.from_pandas(pd.DataFrame(rows))
-    sh = simhash_candidates(ds, max_hamming=16, concurrency=1)
+    sh = simhash_candidates(ds, max_hamming=16, concurrency=1).to_pandas()
     assert (0, 1) in set(zip(sh["a"], sh["b"]))
     nj = ngram_jaccard_pairs(ds, k=2, threshold=0.3, concurrency=1)
     pairs = set(zip(nj["a"], nj["b"]))
@@ -201,7 +201,7 @@ def test_embedding_neardup(ray_session):
     )
     pairs = embedding_neardup_pairs(
         ray.data.from_pandas(df), threshold=0.98, n_planes=4
-    )
+    ).to_pandas()
     assert (0, 10) in set(zip(pairs["a"], pairs["b"]))
 
 
