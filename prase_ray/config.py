@@ -62,6 +62,22 @@ class PrasConfig:
     # broadcast to every node (~2.4 GB at the default; above it the
     # join path streams instead)
     broadcast_max_facts: int = 100_000_000
+    # Where the per-entity match state LIVES during iterations.  True
+    # (conformance default): driver numpy arrays, O(n_nodes).  False:
+    # a Ray Dataset end-to-end (state/align_ds.py) — the A7 max-merge
+    # and D4 mutual-best run as grouped Dataset ops, only the
+    # O(n_preds²) rel maps stay on the driver; requires the join
+    # formulation (forced for both passes).  Bit-equal outputs
+    # (tests/test_paris.py).
+    driver_align_state: bool = True
+    # Hot-counterpart salting for the join-path expansion (SURVEY §4
+    # skew): right-KG heads whose out-degree exceeds this budget have
+    # their facts split into ceil(degree/budget) salt buckets, with the
+    # matching left rows replicated per salt, so one celebrity
+    # counterpart no longer concentrates its fan-out in a single join
+    # partition.  0 disables.  The heavy-hitter pre-pass is computed
+    # once per KG and cached (degree is static across iterations).
+    salt_degree_budget: int = 1_000_000
 
     # --- determinism ---
     seed: int = 42

@@ -42,6 +42,9 @@ class KGPair:
         self._emb_r = None
         self.n_seeds = seed_literals(kg_l, kg_r, self.state)
         self._name_maps = {}
+        # Dataset-resident state (cfg.driver_align_state=False); created
+        # lazily at run() — None means the numpy arrays are authoritative
+        self._dstate = None
 
     # ------------------------------------------------------------------
     # name resolution (J6) — driver-side maps; at web scale these lookups
@@ -97,10 +100,27 @@ class KGPair:
         cfg = self.cfg
         evals = []
         start = 0
+        use_ds = not cfg.driver_align_state
+        if use_ds and self._dstate is None:
+            # conformance entry: seeds/loaded links were merged into the
+            # driver arrays; lift them into the Dataset state ONCE.  (A
+            # pure web-scale run would build the Dataset directly from
+            # the literal-equijoin, never touching arrays.)
+            from prase_ray.state.align_ds import DatasetAlignState
+
+            self._dstate = DatasetAlignState.from_align_state(self.state)
         if checkpoint_dir:
+            from prase_ray.state.align_ds import DatasetAlignState
+
             for i in range(iters - 1, -1, -1):
                 d = os.path.join(checkpoint_dir, f"iter_{i:03d}")
-                if AlignState.is_complete(d):
+                if use_ds and DatasetAlignState.is_complete(d):
+                    loaded = DatasetAlignState.load(d)
+                    loaded.has_load = self.state.has_load
+                    self._dstate = loaded
+                    start = i + 1
+                    break
+                if not use_ds and AlignState.is_complete(d):
                     loaded = AlignState.load(d)
                     loaded.has_load = self.state.has_load
                     self.state = loaded
@@ -108,7 +128,10 @@ class KGPair:
                     break
         for i in range(start, iters):
             init = (not self.state.has_load) and i <= 1
-            self._run_one_iteration(init)
+            if use_ds:
+                self._run_one_iteration_ds(init)
+            else:
+                self._run_one_iteration(init)
             if gold is not None:
                 ev = self.evaluate(gold)
                 evals.append(ev)
@@ -122,7 +145,25 @@ class KGPair:
                         )
             if checkpoint_dir:
                 d = os.path.join(checkpoint_dir, f"iter_{i:03d}")
-                self.state.save(d, meta={"iteration": i, "init": init})
+                if use_ds:
+                    self._dstate.save(d, meta={"iteration": i, "init": init})
+                else:
+                    self.state.save(d, meta={"iteration": i, "init": init})
+        if use_ds and (
+            self.kg_l.n_nodes + self.kg_r.n_nodes
+        ) <= cfg.driver_combine_max_nodes:
+            # conformance exit: small pairs sync the Dataset state back
+            # into the array API (tests, save_results); above the gate
+            # consumers read self._dstate / the Parquet checkpoints.
+            has_load = self.state.has_load
+            self.state = self._dstate.to_align_state(
+                self.kg_l.n_nodes, self.kg_r.n_nodes
+            )
+            self.state.has_load = has_load
+            # arrays are authoritative again: SE-feedback mutations
+            # (load_ent_links / reset_ent_align_prob) land there, and the
+            # next run() lifts them into a fresh Dataset state
+            self._dstate = None
         return evals
 
     def _half_fn(self, broadcast_side):
@@ -196,11 +237,67 @@ class KGPair:
         )
         st.rel_align_r = rel_r
 
+    def _run_one_iteration_ds(self, init: bool) -> None:
+        """One iteration with the align state as Datasets end-to-end
+        (state/align_ds.py): same pass structure as
+        ``_run_one_iteration`` — left→right evidence, A7 max-merge, D4
+        mutual-best, right→left rel pass — but the per-entity state
+        never lands on the driver; only the O(n_preds²) rel maps do."""
+        from prase_ray.stages.paris_join import run_half_iteration_join_ds
+        from prase_ray.state.align_ds import bipartite_match_ds, merge_max
+
+        ds = self._dstate
+        cfg = self.cfg
+        best, rel_l = run_half_iteration_join_ds(
+            self.kg_l, self.kg_r, ds.sub, ds.rel_align_l, ds.rel_align_r,
+            cfg, init=init, ent_align=True,
+            emb_l_ref=self.emb_l_ref, emb_r_ref=self.emb_r_ref,
+        )
+        ds.rel_align_l = rel_l
+        sub = merge_max(
+            ds.sub, best, ties_to_new=True, n_parts=cfg.evidence_num_partitions
+        )
+        ds.sub, ds.sup = bipartite_match_ds(
+            sub, ds.sup, self.kg_l.n_entities,
+            n_parts=cfg.evidence_num_partitions,
+        )
+        _, rel_r = run_half_iteration_join_ds(
+            self.kg_r, self.kg_l, ds.sup, ds.rel_align_r, ds.rel_align_l,
+            cfg, init=init, ent_align=False,
+        )
+        ds.rel_align_r = rel_r
+
     # ------------------------------------------------------------------
     # evaluation (A8, objects/KGs.py:281-331)
     # ------------------------------------------------------------------
 
     def predicted_pairs(self, threshold: float = 0.0) -> pd.DataFrame:
+        if self._dstate is not None:
+            # Dataset-state mode: the result IS the matched-entity rows
+            # (result-sized pull — the reference's own output contract)
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            nE = self.kg_l.n_entities
+
+            def f(t: pa.Table) -> pa.Table:
+                m = pc.and_(
+                    pc.less(t["ent_id"], nE),
+                    pc.greater_equal(t["cp_prob"], threshold),
+                )
+                return t.filter(m).select(
+                    ["ent_id", "cp_id", "cp_prob"]
+                ).rename_columns(["l_id", "r_id", "prob"])
+
+            out = (
+                self._dstate.sub.map_batches(f, batch_format="pyarrow")
+                .to_pandas()
+            )
+            if out.empty and "l_id" not in out.columns:
+                out = pd.DataFrame({"l_id": [], "r_id": [], "prob": []}).astype(
+                    {"l_id": np.int64, "r_id": np.int64, "prob": np.float64}
+                )
+            return out.sort_values("l_id").reset_index(drop=True)
         st = self.state
         nE = self.kg_l.n_entities
         m = (st.sub_match[:nE] >= 0) & (st.sub_prob[:nE] >= threshold)

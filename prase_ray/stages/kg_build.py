@@ -566,10 +566,67 @@ class KGDataset:
         default=None, repr=False
     )
     _nodes_df_cache: Optional[pd.DataFrame] = field(default=None, repr=False)
+    _hot_heads_cache: dict = field(default_factory=dict, repr=False)
 
     @property
     def n_nodes(self) -> int:
         return self.n_entities + self.n_literals
+
+    def hot_heads(self, degree_budget: int) -> tuple[np.ndarray, np.ndarray]:
+        """Heavy-hitter pre-pass for the join-formulated PARIS expansion
+        (SURVEY.md §4 skew note; the reference's skew source is
+        high-out-degree heads, model/PARIS.py:108-109): returns
+        (sorted head ids whose out-degree exceeds ``degree_budget``,
+        per-id salt counts ``ceil(degree / degree_budget)``).
+
+        Out-degree is static, so the result is computed ONCE per KG and
+        cached.  The pass is one bounded shuffle: per-batch partial
+        counts (O(#distinct heads per batch) rows), hash-partitioned,
+        vectorized combine, filter > budget — the hot set itself is tiny
+        by definition (few keys can exceed a large budget)."""
+        key = int(degree_budget)
+        cached = self._hot_heads_cache.get(key)
+        if cached is not None:
+            return cached
+
+        def partial(b: pa.Table) -> pd.DataFrame:
+            from prase_ray.stages.paris import _part_hash
+
+            u, c = np.unique(b["head_id"].to_numpy(), return_counts=True)
+            return pd.DataFrame(
+                {"part": _part_hash(u, 13, 32), "head_id": u,
+                 "cnt": c.astype(np.int64)}
+            )
+
+        def comb(g: pd.DataFrame) -> pd.DataFrame:
+            h = g["head_id"].to_numpy(np.int64)
+            c = g["cnt"].to_numpy(np.int64)
+            order = np.argsort(h, kind="stable")
+            h, c = h[order], c[order]
+            first = np.ones(len(h), bool)
+            first[1:] = h[1:] != h[:-1]
+            seg = np.cumsum(first) - 1
+            tot = np.bincount(seg, weights=c).astype(np.int64)
+            hh = h[first]
+            m = tot > degree_budget
+            return pd.DataFrame({"head_id": hh[m], "cnt": tot[m]})
+
+        hot = (
+            self.facts.map_batches(partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(comb, batch_format="pandas")
+            .to_pandas()
+        )
+        if hot.empty or "head_id" not in hot.columns:
+            ids = np.empty(0, np.int64)
+            salts = np.empty(0, np.int64)
+        else:
+            ids = hot["head_id"].to_numpy(np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            salts = -(-hot["cnt"].to_numpy(np.int64)[order] // degree_budget)
+        self._hot_heads_cache[key] = (ids, salts)
+        return ids, salts
 
     @property
     def n_preds(self) -> int:

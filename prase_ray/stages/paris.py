@@ -580,6 +580,22 @@ def run_half_iteration(
     return finalize_half_iteration(out, match, prob, cfg, ent_align=ent_align)
 
 
+def rel_align_from_out(out: pd.DataFrame, cfg: PrasConfig) -> PackedProbMap:
+    """A2/A3 → A4 rel-align normalization (objects/KGs.py:211-220) over
+    the combined evidence rows — O(n_preds²) state, always driver-sized."""
+    if out.empty and "kind" not in out.columns:
+        return PackedProbMap.empty()
+    norm = out[out["kind"] == KIND_NORM].set_index("a")["w"]
+    ongoing = out[out["kind"] == KIND_ONGOING]
+    if not len(ongoing):
+        return PackedProbMap.empty()
+    norms = norm.reindex(ongoing["a"]).fillna(1.0).to_numpy()
+    probs = ongoing["w"].to_numpy() / (cfg.const + norms)
+    return PackedProbMap.from_arrays(
+        ongoing["a"].to_numpy(), ongoing["b"].to_numpy(), probs
+    )
+
+
 def finalize_half_iteration(
     out: pd.DataFrame,
     match: np.ndarray,
@@ -596,17 +612,7 @@ def finalize_half_iteration(
             {"kind": [], "a": [], "b": [], "w": []}
         ).astype({"kind": np.int8, "a": np.int64, "b": np.int64, "w": np.float64})
 
-    # --- A2/A3 → A4: rel-align normalization (objects/KGs.py:211-220) ---
-    norm = out[out["kind"] == KIND_NORM].set_index("a")["w"]
-    ongoing = out[out["kind"] == KIND_ONGOING]
-    if len(ongoing):
-        norms = norm.reindex(ongoing["a"]).fillna(1.0).to_numpy()
-        probs = ongoing["w"].to_numpy() / (cfg.const + norms)
-        new_rel_align = PackedProbMap.from_arrays(
-            ongoing["a"].to_numpy(), ongoing["b"].to_numpy(), probs
-        )
-    else:
-        new_rel_align = PackedProbMap.empty()
+    new_rel_align = rel_align_from_out(out, cfg)
 
     if not ent_align:
         return match, prob, new_rel_align

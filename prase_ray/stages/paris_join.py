@@ -20,13 +20,14 @@ ships anywhere.  The match state rides as an ``ent_align`` Dataset.
 
 Partitioning assumptions (documented per SURVEY.md §4):
 
-- The expansion join hash-partitions on the counterpart id ``hc``; a
-  celebrity counterpart concentrates its fan-out in one aggregator
-  partition.  ``num_partitions`` must be sized so the largest single
-  key's expansion fits an aggregator (salting would break the
-  per-(e,cand) product semantics only if applied to the *candidate*
-  key — salting hc is possible by splitting facts_r rows per head into
-  S buckets; not needed at current scales and left documented).
+- The expansion join hash-partitions on (``hc``, ``salt``): heads whose
+  out-degree exceeds ``cfg.salt_degree_budget`` have their facts_r rows
+  hash-split into ceil(degree/budget) salt buckets with the matching
+  left rows replicated per salt (``_salt_left``/``_salt_right``), so a
+  celebrity counterpart's fan-out spreads across partitions.  Salting
+  ``hc`` is safe — only salting the *candidate* key would break A5's
+  per-(e,cand) product semantics.  The heavy-hitter set is found once
+  per KG (``KGDataset.hot_heads``, cached) and broadcast.
 - Embedding fusion still indexes broadcast per-entity matrices inside
   the combine (conformance path); the web-scale variant would join an
   embeddings Dataset instead.
@@ -85,6 +86,41 @@ def _ent_align_ds(match: np.ndarray, prob: np.ndarray, *, min_prob: float | None
         {"ent_id": ids, "cp_id": match[ids], "cp_prob": prob[ids]}
     )
     return ray.data.from_arrow(tbl).repartition(max(1, min(blocks, max(1, len(ids) // 4096))))
+
+
+def _hot_lookup(hot_ref, ids: np.ndarray) -> np.ndarray:
+    """Per-id salt count from the broadcast hot-head table (1 = not hot)."""
+    hi, hs = ray.get(hot_ref)  # zero-copy plasma read, cached per worker
+    if len(ids) == 0:
+        return np.empty(0, np.int64)
+    idx = np.minimum(np.searchsorted(hi, ids), len(hi) - 1)
+    return np.where(hi[idx] == ids, hs[idx], 1).astype(np.int64)
+
+
+def _salt_right(t: pa.Table, *, hot_ref) -> pa.Table:
+    """facts_r side: deterministic per-fact salt in [0, S_head) —
+    hash-balanced so each (head, salt) bucket holds ~degree/S facts."""
+    from prase_ray.functions.hashing import splitmix64
+
+    S = _hot_lookup(hot_ref, t["head_id"].to_numpy())
+    mix = splitmix64(
+        t["tail_id"].to_numpy().astype(np.uint64)
+        ^ (t["rel_id"].to_numpy().astype(np.uint64) << np.uint64(17))
+    )
+    salt = (mix % S.astype(np.uint64)).astype(np.int64)
+    return t.append_column("salt", pa.array(salt, pa.int64()))
+
+
+def _salt_left(t: pa.Table, *, hot_ref) -> pa.Table:
+    """e1 side: rows whose counterpart ``hc`` is hot are replicated once
+    per salt bucket (S ≪ degree, so the replication is tiny relative to
+    the expansion it balances); everyone else gets salt 0."""
+    from prase_ray.stages.paris import _segment_expand
+
+    S = _hot_lookup(hot_ref, t["hc"].to_numpy())
+    pos = np.repeat(np.arange(len(S), dtype=np.int64), S)
+    salt = _segment_expand(np.zeros(len(S), np.int64), S)
+    return t.take(pos).append_column("salt", pa.array(salt, pa.int64()))
 
 
 def _norm_fn(batch: pa.Table, *, n_parts: int) -> pd.DataFrame:
@@ -171,22 +207,23 @@ class _JoinEvidence:
         return pd.concat(frames, ignore_index=True) if frames else _EMPTY_TAGGED
 
 
-def run_half_iteration_join(
+def _tagged_evidence(
     kg_l: KGDataset,
     kg_r: KGDataset,
-    match: np.ndarray,
-    prob: np.ndarray,
+    ea_head: ray.data.Dataset,
+    ea_tail: ray.data.Dataset,
     rel_align_l: PackedProbMap,
     rel_align_r: PackedProbMap,
     cfg: PrasConfig,
     *,
     init: bool,
     ent_align: bool,
-    emb_l_ref=None,
-    emb_r_ref=None,
-):
-    """One directed pass (objects/KGs.py:110-174) as dataflow joins.
-    Same contract as paris.run_half_iteration; results identical."""
+) -> ray.data.Dataset:
+    """Shared join-formulated evidence pipeline: facts ⋈ ea_head ⋈
+    ea_tail ⋈ facts_r → tagged partials (kind/a/b/w, hash-partitioned).
+    ``ea_head``/``ea_tail`` are align Datasets — derived from driver
+    arrays on the conformance path, or the live Dataset state itself on
+    the web-scale path (state/align_ds.py)."""
     from prase_ray.rayctx import ensure_join_cpu_budget
 
     n_parts = cfg.evidence_num_partitions
@@ -194,17 +231,6 @@ def run_half_iteration_join(
     # chained joins deadlock small clusters on aggregator reservations)
     jp = ensure_join_cpu_budget(max(2, n_parts // 4))
     n_parts_join = ensure_join_cpu_budget(n_parts)
-
-    # head-side matches, θ-filtered (PARIS.py:102-103) — literals
-    # included (attribute-INV facts have literal heads; the prob-1.0
-    # literal seeds drive the first iteration)
-    ea_head = _ent_align_ds(match, prob, min_prob=cfg.theta, blocks=jp).rename_columns(
-        {"ent_id": "head_id", "cp_id": "hc", "cp_prob": "hp"}
-    )
-    # tail-side matches, unfiltered (nm = ec>=0 regardless of prob)
-    ea_tail = _ent_align_ds(match, prob, min_prob=None, blocks=jp).rename_columns(
-        {"ent_id": "tail_id", "cp_id": "ec", "cp_prob": "ep"}
-    )
 
     # only entities are scanned for alignment (objects/KG.py:233)
     nE_l = kg_l.n_entities
@@ -223,15 +249,45 @@ def run_half_iteration_join(
         _norm_fn, batch_format="pyarrow", fn_kwargs={"n_parts": n_parts}
     )
 
-    # THE two-hop expansion: hc ⋈ facts_r heads (PARIS.py:108-109)
-    e2 = e1.select_columns(["rel_id", "tail_id", "hc", "hp", "ec", "ep"]).join(
-        kg_r.facts,
-        join_type="inner",
-        num_partitions=n_parts_join,
-        on=("hc",),
-        right_on=("head_id",),
-        right_suffix="_r",
+    # THE two-hop expansion: hc ⋈ facts_r heads (PARIS.py:108-109).
+    # Hot-counterpart salting: a celebrity head would concentrate its
+    # whole fan-out in one hash partition; above cfg.salt_degree_budget
+    # its facts_r rows are split into S salt buckets (hash of the fact,
+    # balanced) and the matching LEFT rows are replicated per salt —
+    # candidate keys (e, t') are untouched, so A5's per-(e,cand) product
+    # semantics survive (partials from different salts sum in the
+    # combine exactly like partials from different batches).
+    e1_sel = e1.select_columns(["rel_id", "tail_id", "hc", "hp", "ec", "ep"])
+    hot_ids, hot_salts = (
+        kg_r.hot_heads(cfg.salt_degree_budget)
+        if cfg.salt_degree_budget
+        else (np.empty(0, np.int64), np.empty(0, np.int64))
     )
+    if len(hot_ids):
+        hot_ref = ray.put((hot_ids, hot_salts))
+        facts_r = kg_r.facts.map_batches(
+            _salt_right, batch_format="pyarrow", fn_kwargs={"hot_ref": hot_ref}
+        )
+        e1_exp = e1_sel.map_batches(
+            _salt_left, batch_format="pyarrow", fn_kwargs={"hot_ref": hot_ref}
+        )
+        e2 = e1_exp.join(
+            facts_r,
+            join_type="inner",
+            num_partitions=n_parts_join,
+            on=("hc", "salt"),
+            right_on=("head_id", "salt"),
+            right_suffix="_r",
+        )
+    else:
+        e2 = e1_sel.join(
+            kg_r.facts,
+            join_type="inner",
+            num_partitions=n_parts_join,
+            on=("hc",),
+            right_on=("head_id",),
+            right_suffix="_r",
+        )
 
     small_ref = ray.put(
         (
@@ -248,10 +304,46 @@ def run_half_iteration_join(
 
         return _cached(_JoinEvidence, small_ref)(batch)
 
-    tagged = e2.map_batches(
+    return e2.map_batches(
         ev_fn, batch_format="pyarrow", fn_kwargs={"small_ref": small_ref}
     ).union(norm_tagged)
 
+
+def run_half_iteration_join(
+    kg_l: KGDataset,
+    kg_r: KGDataset,
+    match: np.ndarray,
+    prob: np.ndarray,
+    rel_align_l: PackedProbMap,
+    rel_align_r: PackedProbMap,
+    cfg: PrasConfig,
+    *,
+    init: bool,
+    ent_align: bool,
+    emb_l_ref=None,
+    emb_r_ref=None,
+):
+    """One directed pass (objects/KGs.py:110-174) as dataflow joins.
+    Same contract as paris.run_half_iteration; results identical.  The
+    align state arrives as driver arrays (conformance surface); the
+    Dataset-state variant below never touches them."""
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    jp = ensure_join_cpu_budget(max(2, cfg.evidence_num_partitions // 4))
+    # head-side matches, θ-filtered (PARIS.py:102-103) — literals
+    # included (attribute-INV facts have literal heads; the prob-1.0
+    # literal seeds drive the first iteration)
+    ea_head = _ent_align_ds(match, prob, min_prob=cfg.theta, blocks=jp).rename_columns(
+        {"ent_id": "head_id", "cp_id": "hc", "cp_prob": "hp"}
+    )
+    # tail-side matches, unfiltered (nm = ec>=0 regardless of prob)
+    ea_tail = _ent_align_ds(match, prob, min_prob=None, blocks=jp).rename_columns(
+        {"ent_id": "tail_id", "cp_id": "ec", "cp_prob": "ep"}
+    )
+    tagged = _tagged_evidence(
+        kg_l, kg_r, ea_head, ea_tail, rel_align_l, rel_align_r, cfg,
+        init=init, ent_align=ent_align,
+    )
     combine = functools.partial(
         _combine_partition,
         emb_l_ref=emb_l_ref,
@@ -261,3 +353,81 @@ def run_half_iteration_join(
     )
     out = tagged.groupby("part").map_groups(combine, batch_format="pandas").to_pandas()
     return finalize_half_iteration(out, match, prob, cfg, ent_align=ent_align)
+
+
+def run_half_iteration_join_ds(
+    kg_l: KGDataset,
+    kg_r: KGDataset,
+    ea_sub: ray.data.Dataset,
+    rel_align_l: PackedProbMap,
+    rel_align_r: PackedProbMap,
+    cfg: PrasConfig,
+    *,
+    init: bool,
+    ent_align: bool,
+    emb_l_ref=None,
+    emb_r_ref=None,
+):
+    """One directed pass with the align state as a DATASET end-to-end
+    (state/align_ds.py): ``ea_sub`` is the streamed side's live
+    (ent_id, cp_id, cp_prob) Dataset; no O(n_nodes) driver array exists
+    anywhere on this path.  Returns ``(best_ds | None, new_rel_align)``:
+    per-entity argmax rows stay a Dataset for the grouped A7 max-merge;
+    only the O(n_preds²) rel aggregates land on the driver (A4)."""
+    from prase_ray.stages.paris import KIND_BEST, rel_align_from_out
+
+    theta = cfg.theta
+
+    def head_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["cp_prob"], theta))
+        return t.select(["ent_id", "cp_id", "cp_prob"]).rename_columns(
+            ["head_id", "hc", "hp"]
+        )
+
+    ea_head = ea_sub.map_batches(head_rows, batch_format="pyarrow")
+    ea_tail = ea_sub.map_batches(
+        lambda t: t.select(["ent_id", "cp_id", "cp_prob"]).rename_columns(
+            ["tail_id", "ec", "ep"]
+        ),
+        batch_format="pyarrow",
+    )
+    tagged = _tagged_evidence(
+        kg_l, kg_r, ea_head, ea_tail, rel_align_l, rel_align_r, cfg,
+        init=init, ent_align=ent_align,
+    )
+    combine = functools.partial(
+        _combine_partition,
+        emb_l_ref=emb_l_ref,
+        emb_r_ref=emb_r_ref,
+        fusion_func=cfg.fusion_func,
+        init=init,
+    )
+    combined = (
+        tagged.groupby("part")
+        .map_groups(combine, batch_format="pandas")
+        .materialize()  # consumed twice: rel aggregates + BEST rows
+    )
+
+    # A4 input: kinds 0/1 only — O(n_preds²) rows, driver-sized at any
+    # corpus scale (the per-ENTITY rows below never leave the cluster)
+    rel_pd = combined.map_batches(
+        lambda b: b[b["kind"] != KIND_BEST], batch_format="pandas"
+    ).to_pandas()
+    if rel_pd.empty and "kind" not in rel_pd.columns:
+        rel_pd = _EMPTY_TAGGED[["kind", "a", "b", "w"]]
+    new_rel_align = rel_align_from_out(rel_pd, cfg)
+    if not ent_align:
+        return None, new_rel_align
+
+    def best_rows(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["kind"] == KIND_BEST]
+        return pd.DataFrame(
+            {
+                "ent_id": b["a"].to_numpy(np.int64),
+                "cp_id": b["b"].to_numpy(np.int64),
+                # clip AFTER argmax, as PARIS.py:49-52
+                "cp_prob": np.clip(b["w"].to_numpy(np.float64), 0.0, 1.0),
+            }
+        )
+
+    return combined.map_batches(best_rows, batch_format="pandas"), new_rel_align

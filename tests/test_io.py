@@ -131,6 +131,30 @@ def test_checkpoint_resume(ray_session, tmp_path):
     np.testing.assert_array_equal(p3.state.sub_match, final_match)
 
 
+def test_checkpoint_resume_dataset_state(ray_session, tmp_path):
+    """Dataset-resident align state (driver_align_state=False) writes
+    sharded-Parquet checkpoints and resumes from them, matching the
+    uninterrupted run bit-for-bit."""
+    t1, t2, _ = make_two_kg_fixture(n_entities=30, seed=9)
+    kg1 = build_kg(from_pandas_triples(t1), name="KG1")
+    kg2 = build_kg(from_pandas_triples(t2), name="KG2")
+    chk = str(tmp_path / "chk_ds")
+    cfg = dict(concurrency=2, paris_mode="join", driver_align_state=False)
+
+    p1 = KGPair(kg1, kg2, PrasConfig(**cfg))
+    p1.run(iterations=3, checkpoint_dir=chk)
+    final_match = p1.state.sub_match.copy()
+    final_prob = p1.state.sub_prob.copy()
+
+    import shutil
+
+    shutil.rmtree(os.path.join(chk, "iter_002"))
+    p2 = KGPair(kg1, kg2, PrasConfig(**cfg))
+    p2.run(iterations=3, checkpoint_dir=chk)
+    np.testing.assert_array_equal(p2.state.sub_match, final_match)
+    np.testing.assert_allclose(p2.state.sub_prob, final_prob, rtol=1e-12)
+
+
 def test_write_tsv_dirty_names(tmp_path):
     """Names containing tab/newline must be written raw (reference's
     manual join semantics), not crash to_csv's QUOTE_NONE path."""

@@ -143,11 +143,14 @@ def test_join_path_matches_broadcast(ray_session):
         )
 
     b = run("broadcast")
-    # distributed final combine (gate forced off) and the join path must
-    # both reproduce the driver-combine broadcast result
+    # distributed final combine (gate forced off), the join path, and
+    # the join path with DATASET-resident align state (no O(n_nodes)
+    # driver arrays during iterations, state/align_ds.py) must all
+    # reproduce the driver-combine broadcast result
     for other in (
         run("broadcast", driver_combine_max_nodes=0),
         run("join"),
+        run("join", driver_align_state=False),
     ):
         np.testing.assert_array_equal(b[0], other[0])
         np.testing.assert_allclose(b[1], other[1], rtol=1e-12)
@@ -278,3 +281,91 @@ def test_auto_mode_selects_by_broadcast_side_size():
         KGPair._half_fn(SimpleNamespace(cfg=forced), SimpleNamespace(n_facts=1))
         is run_half_iteration_join
     )
+
+
+def test_hot_counterpart_salting(ray_session):
+    """A celebrity counterpart (out-degree 100k inside a ~1M-fact right
+    KG) must (a) be found by the heavy-hitter pre-pass, (b) have its
+    facts_r rows split into bounded salt buckets, and (c) leave the
+    join-path half-iteration output identical to the unsalted join
+    (VERDICT r2 #2 done-criterion)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from prase_ray.stages.paris_join import _salt_right, run_half_iteration_join
+    from prase_ray.state.alignment import PackedProbMap
+
+    t1, t2, _ = make_two_kg_fixture(n_entities=60, seed=7)
+    D, PAD, BUDGET = 100_000, 400_000, 4096
+    hub = pd.DataFrame(
+        {
+            "subj": "http://kg2.org/res/HUB",
+            "pred": "http://kg2.org/ont/links",
+            "obj": [f"http://kg2.org/res/T{i}" for i in range(D)],
+            "obj_is_literal": False,
+        }
+    )
+    pad = pd.DataFrame(
+        {
+            "subj": [f"http://kg2.org/res/P{i}" for i in range(PAD)],
+            "pred": "http://kg2.org/ont/pad",
+            "obj": [f"http://kg2.org/res/P{(i * 7 + 1) % PAD}" for i in range(PAD)],
+            "obj_is_literal": False,
+        }
+    )
+    kg1 = build_kg(from_pandas_triples(t1), name="KG1")
+    kg2 = build_kg(
+        from_pandas_triples(pd.concat([t2, hub, pad], ignore_index=True)),
+        name="KG2",
+    )
+    assert kg2.n_facts >= 1_000_000
+
+    ndf1, ndf2 = kg1.nodes_df(), kg2.nodes_df()
+    hub_id = int(ndf2[ndf2["name"] == "http://kg2.org/res/HUB"]["ent_id"].iloc[0])
+
+    # (a) heavy-hitter pre-pass finds exactly the hub, S = ceil(D/budget)
+    ids, salts = kg2.hot_heads(BUDGET)
+    assert hub_id in set(ids.tolist())
+    s_hub = int(salts[np.searchsorted(ids, hub_id)])
+    assert s_hub == -(-D // BUDGET)
+
+    # (b) per-(head, salt) bucket sizes are bounded (hash-balanced)
+    hot_ref = ray.put((ids, salts))
+    per = (
+        kg2.facts.map_batches(
+            _salt_right, batch_format="pyarrow", fn_kwargs={"hot_ref": hot_ref}
+        )
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["head_id"], hub_id)).select(["salt"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("salt")
+        .size()
+    )
+    assert len(per) == s_hub
+    assert per.max() <= 2 * BUDGET, per.max()
+
+    # (c) half-iteration with 5 left heads matched to the hub: salted
+    # output == unsalted output (match ids exact, probs/rel to 1e-12)
+    heads = ndf1[ndf1["name"].str.contains(r"res/E[0-4]$")]["ent_id"].to_numpy()
+    match = np.full(kg1.n_nodes, -1, np.int64)
+    prob = np.zeros(kg1.n_nodes)
+    match[heads] = hub_id
+    prob[heads] = 1.0
+
+    def run(budget):
+        cfg = PrasConfig(concurrency=2, salt_degree_budget=budget)
+        return run_half_iteration_join(
+            kg1, kg2, match, prob,
+            PackedProbMap.empty(), PackedProbMap.empty(),
+            cfg, init=True, ent_align=True,
+        )
+
+    m0, p0, r0 = run(0)
+    m1, p1, r1 = run(BUDGET)
+    assert np.sum(m1 >= 0) > len(heads)  # the expansion really ran
+    np.testing.assert_array_equal(m0, m1)
+    np.testing.assert_allclose(p0, p1, rtol=1e-12)
+    np.testing.assert_array_equal(r0.keys, r1.keys)
+    np.testing.assert_allclose(r0.vals, r1.vals, rtol=1e-12)
