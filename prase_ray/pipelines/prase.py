@@ -45,6 +45,7 @@ class KGPair:
         # Dataset-resident state (cfg.driver_align_state=False); created
         # lazily at run() — None means the numpy arrays are authoritative
         self._dstate = None
+        self._emb_ds = None  # per-KG embedding Datasets (fusion dataflow)
 
     # ------------------------------------------------------------------
     # name resolution (J6) — driver-side maps; at web scale these lookups
@@ -248,10 +249,23 @@ class KGPair:
 
         ds = self._dstate
         cfg = self.cfg
+        emb_l_ds = emb_r_ds = None
+        if cfg.fusion_func is not None and self._emb_l is not None:
+            if self._emb_ds is None:
+                # conformance entry: lift the dense matrices into
+                # embedding Datasets ONCE (web scale reads the
+                # embeddings Parquet table directly, SURVEY §7.1 7d)
+                from prase_ray.stages.paris_join import emb_ds_from_matrix
+
+                self._emb_ds = (
+                    emb_ds_from_matrix(self._emb_l).materialize(),
+                    emb_ds_from_matrix(self._emb_r).materialize(),
+                )
+            emb_l_ds, emb_r_ds = self._emb_ds
         best, rel_l = run_half_iteration_join_ds(
             self.kg_l, self.kg_r, ds.sub, ds.rel_align_l, ds.rel_align_r,
             cfg, init=init, ent_align=True,
-            emb_l_ref=self.emb_l_ref, emb_r_ref=self.emb_r_ref,
+            emb_l_ds=emb_l_ds, emb_r_ds=emb_r_ds,
         )
         ds.rel_align_l = rel_l
         sub = merge_max(
@@ -473,11 +487,13 @@ class KGPair:
         self._emb_r = build(self.kg_r, kg_r_mapping)
         self.emb_l_ref = ray.put(self._emb_l)
         self.emb_r_ref = ray.put(self._emb_r)
+        self._emb_ds = None
 
     def set_embeddings(self, emb_l: np.ndarray, emb_r: np.ndarray) -> None:
         self._emb_l, self._emb_r = emb_l, emb_r
         self.emb_l_ref = ray.put(emb_l)
         self.emb_r_ref = ray.put(emb_r)
+        self._emb_ds = None  # rebuilt lazily for the dataflow-fusion path
 
     def reset_ent_align_prob(self, func) -> None:
         """M5 (objects/KGs.py:514-520): transform stored probs of

@@ -381,18 +381,10 @@ def _grouped_sum(a, b, w):
     )
 
 
-def _finalize_candidates(ent, cand, logw, emb_l, emb_r, fusion_func, init):
-    """A5 finalize + T2/T3 fusion + A6 argmax over grouped (ent, cand)
-    log-sums → (ent, best_cand, raw fused val); ties → min cand.
-
-    REQUIRES rows sorted by (ent, cand) — the _grouped_sum postcondition
-    — enabling an O(n) per-segment argmax instead of a 3-key lexsort
+def _segment_argmax(ent, cand, val):
+    """A6 per-entity argmax with min-cand tie-break; REQUIRES rows
+    sorted by (ent, cand) — O(n) reduceat instead of a 3-key lexsort
     (~40x faster at millions of candidate rows)."""
-    if len(ent) == 0:
-        return ent, cand, np.empty(0, np.float64)
-    val = 1.0 - np.exp(logw)
-    if not init and emb_l is not None and emb_r is not None and fusion_func is not None:
-        val = fusion_func(val, emb_l[ent], emb_r[cand])
     change = np.concatenate(([True], ent[1:] != ent[:-1]))
     starts = np.flatnonzero(change)
     seg_id = np.cumsum(change) - 1
@@ -405,10 +397,25 @@ def _finalize_candidates(ent, cand, logw, emb_l, emb_r, fusion_func, init):
     return ent[bi], cand[bi], val[bi]
 
 
+def _finalize_candidates(ent, cand, logw, emb_l, emb_r, fusion_func, init):
+    """A5 finalize + T2/T3 fusion + A6 argmax over grouped (ent, cand)
+    log-sums → (ent, best_cand, raw fused val); ties → min cand.
+    Sorted-by-(ent, cand) precondition as _segment_argmax."""
+    if len(ent) == 0:
+        return ent, cand, np.empty(0, np.float64)
+    val = 1.0 - np.exp(logw)
+    if not init and emb_l is not None and emb_r is not None and fusion_func is not None:
+        val = fusion_func(val, emb_l[ent], emb_r[cand])
+    return _segment_argmax(ent, cand, val)
+
+
 _EMB_CACHE: dict = {}
 
 
-def _combine_partition(part: pd.DataFrame, *, emb_l_ref, emb_r_ref, fusion_func, init):
+def _combine_partition(
+    part: pd.DataFrame, *, emb_l_ref, emb_r_ref, fusion_func, init,
+    emit_cand: bool = False,
+):
     """Vectorized per-partition combine of tagged evidence partials:
 
     - kinds 0/1 (rel norm/ongoing): grouped sums (A2/A3) — final, since
@@ -419,6 +426,10 @@ def _combine_partition(part: pd.DataFrame, *, emb_l_ref, emb_r_ref, fusion_func,
       is dict-order-dependent) → emitted as kind 3 rows (a=ent, b=cand,
       w=raw fused val — clipped AFTER argmax by the caller, matching
       PARIS.py:49-52).
+    - ``emit_cand=True`` (fusion-as-dataflow mode, paris_join): the
+      per-(ent, cand) A5 values are emitted as kind-2 rows INSTEAD of
+      fusing+argmaxing here — the caller joins them against embedding
+      Datasets and argmaxes in a later grouped pass.
     """
     kinds = part["kind"].to_numpy()
     a = part["a"].to_numpy(np.int64)
@@ -435,7 +446,19 @@ def _combine_partition(part: pd.DataFrame, *, emb_l_ref, emb_r_ref, fusion_func,
                 )
             )
     m = kinds == KIND_CAND
-    if m.any():
+    if m.any() and emit_cand:
+        ent, cand, logw = _grouped_sum(a[m], b[m], w[m])
+        frames.append(
+            pd.DataFrame(
+                {
+                    "kind": np.int8(KIND_CAND),
+                    "a": ent,
+                    "b": cand,
+                    "w": 1.0 - np.exp(logw),  # A5 value, pre-fusion
+                }
+            )
+        )
+    elif m.any():
         ent, cand, logw = _grouped_sum(a[m], b[m], w[m])
         if (
             not init

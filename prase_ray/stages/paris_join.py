@@ -88,6 +88,37 @@ def _ent_align_ds(match: np.ndarray, prob: np.ndarray, *, min_prob: float | None
     return ray.data.from_arrow(tbl).repartition(max(1, min(blocks, max(1, len(ids) // 4096))))
 
 
+def emb_ds_from_matrix(M: np.ndarray, *, blocks: int = 8) -> ray.data.Dataset:
+    """Dense per-entity embedding matrix → Dataset(ent_id, emb) with the
+    vector as a plain BINARY column (raw little-endian float64 bytes;
+    tensor/list extension payloads are not joinable as non-key fields).
+    Conformance-surface helper — the web-scale path reads an embeddings
+    Parquet table and converts with the same layout."""
+    M = np.ascontiguousarray(M, dtype=np.float64)
+    n, d = M.shape
+    offsets = np.arange(n + 1, dtype=np.int32) * (d * 8)
+    emb = pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(M.tobytes())],
+    )
+    tbl = pa.table({"ent_id": np.arange(n, dtype=np.int64), "emb": emb})
+    return ray.data.from_arrow(tbl).repartition(max(1, min(blocks, max(1, n // 4096))))
+
+
+def _decode_emb(col, d: int) -> np.ndarray:
+    """binary column of uniform d·8-byte rows → (n, d) float64 matrix,
+    zero-copy gather off the Arrow buffers (no per-row tobytes)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, d), np.float64)
+    off = np.frombuffer(col.buffers()[1], np.int32, n + 1, offset=col.offset * 4)
+    flat = np.frombuffer(col.buffers()[2], np.float64)
+    idx = (off[:-1].astype(np.int64) // 8)[:, None] + np.arange(d)[None, :]
+    return flat[idx]
+
+
 def _hot_lookup(hot_ref, ids: np.ndarray) -> np.ndarray:
     """Per-id salt count from the broadcast hot-head table (1 = not hot)."""
     hi, hs = ray.get(hot_ref)  # zero-copy plasma read, cached per worker
@@ -365,15 +396,22 @@ def run_half_iteration_join_ds(
     *,
     init: bool,
     ent_align: bool,
-    emb_l_ref=None,
-    emb_r_ref=None,
+    emb_l_ds: ray.data.Dataset | None = None,
+    emb_r_ds: ray.data.Dataset | None = None,
 ):
     """One directed pass with the align state as a DATASET end-to-end
     (state/align_ds.py): ``ea_sub`` is the streamed side's live
     (ent_id, cp_id, cp_prob) Dataset; no O(n_nodes) driver array exists
     anywhere on this path.  Returns ``(best_ds | None, new_rel_align)``:
     per-entity argmax rows stay a Dataset for the grouped A7 max-merge;
-    only the O(n_preds²) rel aggregates land on the driver (A4)."""
+    only the O(n_preds²) rel aggregates land on the driver (A4).
+
+    Embedding fusion (T2/T3, model/PARIS.py:44-48) is DATAFLOW here:
+    the per-(ent, cand) A5 values are joined against the per-KG
+    embedding Datasets (``emb_ds_from_matrix`` layout) and the A6
+    argmax runs as a final grouped pass — no per-entity matrix is ever
+    broadcast.  Requires the embedding Datasets to cover every entity
+    id (build_kg's dense ids make that a range guarantee)."""
     from prase_ray.stages.paris import KIND_BEST, rel_align_from_out
 
     theta = cfg.theta
@@ -395,29 +433,41 @@ def run_half_iteration_join_ds(
         kg_l, kg_r, ea_head, ea_tail, rel_align_l, rel_align_r, cfg,
         init=init, ent_align=ent_align,
     )
+    fusion_dataflow = (
+        not init
+        and ent_align
+        and cfg.fusion_func is not None
+        and emb_l_ds is not None
+        and emb_r_ds is not None
+    )
     combine = functools.partial(
         _combine_partition,
-        emb_l_ref=emb_l_ref,
-        emb_r_ref=emb_r_ref,
+        emb_l_ref=None,
+        emb_r_ref=None,
         fusion_func=cfg.fusion_func,
         init=init,
+        emit_cand=fusion_dataflow,
     )
     combined = (
         tagged.groupby("part")
         .map_groups(combine, batch_format="pandas")
-        .materialize()  # consumed twice: rel aggregates + BEST rows
+        .materialize()  # consumed twice: rel aggregates + BEST/CAND rows
     )
 
     # A4 input: kinds 0/1 only — O(n_preds²) rows, driver-sized at any
     # corpus scale (the per-ENTITY rows below never leave the cluster)
     rel_pd = combined.map_batches(
-        lambda b: b[b["kind"] != KIND_BEST], batch_format="pandas"
+        lambda b: b[b["kind"] <= 1], batch_format="pandas"
     ).to_pandas()
     if rel_pd.empty and "kind" not in rel_pd.columns:
         rel_pd = _EMPTY_TAGGED[["kind", "a", "b", "w"]]
     new_rel_align = rel_align_from_out(rel_pd, cfg)
     if not ent_align:
         return None, new_rel_align
+
+    if fusion_dataflow:
+        best_ds = _fuse_and_argmax(combined, emb_l_ds, emb_r_ds, cfg)
+        return best_ds, new_rel_align
 
     def best_rows(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["kind"] == KIND_BEST]
@@ -431,3 +481,86 @@ def run_half_iteration_join_ds(
         )
 
     return combined.map_batches(best_rows, batch_format="pandas"), new_rel_align
+
+
+def _fuse_and_argmax(
+    combined: ray.data.Dataset,
+    emb_l_ds: ray.data.Dataset,
+    emb_r_ds: ray.data.Dataset,
+    cfg: PrasConfig,
+) -> ray.data.Dataset:
+    """T2/T3 fusion + A6 argmax as dataflow: per-(ent, cand) A5 values
+    ⋈ emb_l(ent) ⋈ emb_r(cand) → fused value → hash-partitioned
+    per-entity argmax (min-cand tie, identical to the broadcast
+    kernel's _finalize_candidates)."""
+    from prase_ray.rayctx import ensure_join_cpu_budget
+    from prase_ray.stages.paris import KIND_CAND, _part_hash, _segment_argmax
+
+    jp = ensure_join_cpu_budget(max(2, cfg.evidence_num_partitions // 4))
+    n_parts = cfg.evidence_num_partitions
+
+    def cand_rows(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["kind"] == KIND_CAND]
+        return pd.DataFrame(
+            {
+                "ent_id": b["a"].to_numpy(np.int64),
+                "cp_id": b["b"].to_numpy(np.int64),
+                "val": b["w"].to_numpy(np.float64),
+            }
+        )
+
+    cand = combined.map_batches(cand_rows, batch_format="pandas")
+    j = cand.join(
+        emb_l_ds, join_type="inner", num_partitions=jp, on=("ent_id",)
+    ).join(
+        emb_r_ds.rename_columns({"ent_id": "cp_id", "emb": "emb_r"}),
+        join_type="inner",
+        num_partitions=jp,
+        on=("cp_id",),
+    )
+
+    fusion_func = cfg.fusion_func
+
+    def fuse(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {"part": np.empty(0, np.int32),
+                 "ent_id": np.empty(0, np.int64),
+                 "cp_id": np.empty(0, np.int64),
+                 "val": np.empty(0, np.float64)}
+            )
+        val = t["val"].to_numpy()
+        ent = t["ent_id"].to_numpy()
+        d = len(t["emb"][0].as_py()) // 8 if t.num_rows else 0
+        X = _decode_emb(t["emb"], d)
+        Y = _decode_emb(t["emb_r"], d)
+        fused = fusion_func(val, X, Y)
+        return pd.DataFrame(
+            {
+                "part": _part_hash(ent, 3, n_parts),
+                "ent_id": ent,
+                "cp_id": t["cp_id"].to_numpy(),
+                "val": fused,
+            }
+        )
+
+    def argmax_group(g: pd.DataFrame) -> pd.DataFrame:
+        e = g["ent_id"].to_numpy(np.int64)
+        c = g["cp_id"].to_numpy(np.int64)
+        v = g["val"].to_numpy(np.float64)
+        order = np.lexsort((c, e))
+        be, bc, bv = _segment_argmax(e[order], c[order], v[order])
+        return pd.DataFrame(
+            {
+                "ent_id": be,
+                "cp_id": bc,
+                # clip AFTER argmax, as PARIS.py:49-52
+                "cp_prob": np.clip(bv, 0.0, 1.0),
+            }
+        )
+
+    return (
+        j.map_batches(fuse, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(argmax_group, batch_format="pandas")
+    )
