@@ -277,11 +277,34 @@ def q_window_hopping(sf_dir: str):
     ]
 
 
+def q_window_hopping_5m(sf_dir: str):
+    """Second hopping parameterization (30min windows every 5min —
+    6 overlapping windows per event): guards the window/hop arithmetic
+    against constants baked for the 1h/15min case."""
+    from prase_ray.stages.windows import hopping_aggregate
+
+    agg = hopping_aggregate(_read(sf_dir, "events"), 1800, 300).to_pandas()
+    agg["sum_value"] = agg["sum_value"].round(6)
+    return agg[
+        ["event_type", "window_start", "n_events", "sum_value", "min_value", "max_value"]
+    ]
+
+
 def q_sessionize(sf_dir: str):
     """Session windows (600s gap) per user → per-session event counts."""
     from prase_ray.stages.windows import session_stats
 
     out = session_stats(_read(sf_dir, "events"), gap_s=600).to_pandas()
+    return out[["user_id", "session_idx", "n_events"]]
+
+
+def q_sessionize_30m(sf_dir: str):
+    """Second sessionize parameterization (1800s gap) — coarser gap
+    merges sessions, exercising the gaps-and-islands boundary logic at
+    a different granularity."""
+    from prase_ray.stages.windows import session_stats
+
+    out = session_stats(_read(sf_dir, "events"), gap_s=1800).to_pandas()
     return out[["user_id", "session_idx", "n_events"]]
 
 
@@ -663,6 +686,28 @@ def q_connected_components(sf_dir: str):
     return connected_components(edges, num_partitions=4)
 
 
+def q_cc_distributed(sf_dir: str):
+    """Same component problem FORCED through the distributed min-label
+    propagation + pointer-jumping path (the sf-scale edge counts
+    otherwise take the driver union-find branch, components.py:45) —
+    oracle-checks the web-scale code path itself."""
+    from prase_ray.stages.components import connected_components
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    a = ev["event_id"].to_numpy(np.int64)[:-1]
+    b = ev["event_id"].to_numpy(np.int64)[1:]
+    same = ev["user_id"].to_numpy()[:-1] == ev["user_id"].to_numpy()[1:]
+    import ray.data
+
+    edges = ray.data.from_pandas(pd.DataFrame({"a": a[same], "b": b[same]}))
+    return connected_components(
+        edges, num_partitions=4, force_distributed=True
+    )
+
+
 def q_paris_half_iteration(sf_dir: str):
     """ONE PARIS init half-iteration (L→R, ent_align=True) on a KG pair
     derived from the customer table — small enough that the propagation
@@ -819,6 +864,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topk": q_group_topk,
         "hash_sample": q_hash_sample,
         "window_hopping": q_window_hopping,
+        "window_hopping_5m": q_window_hopping_5m,
+        "sessionize_30m": q_sessionize_30m,
         "tfidf_topk": q_tfidf_topk,
         "group_quantiles": q_group_quantiles,
         "paris_half_iteration": q_paris_half_iteration,
@@ -828,6 +875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
         "knn_lsh_fullprobe": q_knn_lsh_fullprobe,
         "connected_components": q_connected_components,
+        "cc_distributed": q_cc_distributed,
         "prase_align": q_prase_align,
         "web_extract": q_web_extract,
     }
@@ -1180,6 +1228,41 @@ def oracle_sql() -> dict[str, str]:
             FROM events CROSS JOIN generate_series(0, 3) t(k)
             GROUP BY 1, 2
         """,
+        # 30min windows hopping every 5min → 6 windows per event
+        "window_hopping_5m": """
+            SELECT event_type,
+                   (epoch_us(ts) // 1000000 // 300 - k) * 300 AS window_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM events CROSS JOIN generate_series(0, 5) t(k)
+            GROUP BY 1, 2
+        """,
+        "sessionize_30m": """
+            WITH e AS (
+                SELECT user_id, event_id, ts,
+                       epoch_us(ts) // 1000000 AS es
+                FROM events
+            ), d AS (
+                SELECT user_id, event_id, es,
+                       CASE WHEN lag(es) OVER w IS NULL
+                                 OR es - lag(es) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, event_id,
+                       SUM(new_s) OVER (
+                           PARTITION BY user_id ORDER BY es, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_idx
+                FROM d
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY 1, 2
+        """,
         "sessionize": """
             WITH e AS (
                 SELECT user_id, event_id, ts,
@@ -1285,6 +1368,16 @@ def oracle_sql() -> dict[str, str]:
         # >= 2 events forms exactly one component labeled by their min
         # event id
         "connected_components": """
+            SELECT CAST(event_id AS BIGINT) AS node,
+                   CAST(MIN(event_id) OVER (PARTITION BY user_id) AS BIGINT) AS label
+            FROM events
+            WHERE user_id IN (
+                SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) >= 2
+            )
+        """,
+        # identical ground truth; the engine side runs the distributed
+        # label-propagation path (force_distributed=True)
+        "cc_distributed": """
             SELECT CAST(event_id AS BIGINT) AS node,
                    CAST(MIN(event_id) OVER (PARTITION BY user_id) AS BIGINT) AS label
             FROM events
