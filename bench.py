@@ -105,6 +105,24 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             sj["n_triples"] / timings["web_kg_flagship_joinpath"], 1
         )
 
+        # join path + DATASET-resident align state: zero O(n_nodes)
+        # driver arrays during iterations (state/align_ds.py) — the
+        # full web-scale configuration, benched for honest path cost
+        def flagship_dspath():
+            pages = synth_web_pages(
+                n_pages=n_pages, n_entities=n_entities, seed=42,
+                parallelism=num_cpus * 4,
+            )
+            cfg = PrasConfig(concurrency=conc, batch_size=131072,
+                             paris_mode="join", driver_align_state=False)
+            return web_to_kg(pages, iterations=2, cfg=cfg, out_dir=None,
+                             verify_extraction=False)
+
+        sd = timed("web_kg_flagship_dspath", flagship_dspath)
+        extras["triples_per_sec_dspath"] = round(
+            sd["n_triples"] / timings["web_kg_flagship_dspath"], 1
+        )
+
         # 10x-scale flagship row: makes round-over-round SCALE
         # regressions visible (a change that only hurts at volume shows
         # up here, not in the sandbox-scale row)

@@ -448,11 +448,10 @@ def run_half_iteration_join_ds(
         init=init,
         emit_cand=fusion_dataflow,
     )
-    combined = (
-        tagged.groupby("part")
-        .map_groups(combine, batch_format="pandas")
-        .materialize()  # consumed twice: rel aggregates + BEST/CAND rows
-    )
+    combined = tagged.groupby("part").map_groups(combine, batch_format="pandas")
+    if ent_align:
+        # consumed twice below: rel aggregates + BEST/CAND rows
+        combined = combined.materialize()
 
     # A4 input: kinds 0/1 only — O(n_preds²) rows, driver-sized at any
     # corpus scale (the per-ENTITY rows below never leave the cluster)

@@ -159,18 +159,38 @@ def bipartite_match_ds(
         batch_format="pyarrow",
     )
 
-    # pass 1: per-counterpart winner, hash-partitioned by cp_id
-    def part_by_cp(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[["ent_id", "cp_id", "cp_prob"]].copy()
-        b.insert(
-            0, "part", _part_hash(b["cp_id"].to_numpy(np.int64), 11, n_parts)
+    # pass 1 FUSED: the per-counterpart winner selection and the strict
+    # sup-side merge share the same key space (a claim's cp_id IS the
+    # sup row's ent_id), so both happen in ONE grouped shuffle — claims
+    # partitioned by cp_id, sup rows by ent_id, same hash.
+    def part_claims(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "part": _part_hash(b["cp_id"].to_numpy(np.int64), 11, n_parts),
+                "ent_id": b["ent_id"].to_numpy(np.int64),
+                "cp_id": b["cp_id"].to_numpy(np.int64),
+                "cp_prob": b["cp_prob"].to_numpy(np.float64),
+                "src": np.full(len(b), 1, np.int8),  # claim
+            }
         )
-        return b
 
-    def win(g: pd.DataFrame) -> pd.DataFrame:
-        c = g["cp_id"].to_numpy(np.int64)
-        e = g["ent_id"].to_numpy(np.int64)
-        p = g["cp_prob"].to_numpy(np.float64)
+    def part_sup(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "part": _part_hash(b["ent_id"].to_numpy(np.int64), 11, n_parts),
+                "ent_id": b["ent_id"].to_numpy(np.int64),
+                "cp_id": b["cp_id"].to_numpy(np.int64),
+                "cp_prob": b["cp_prob"].to_numpy(np.float64),
+                "src": np.full(len(b), 0, np.int8),  # incumbent
+            }
+        )
+
+    def winners_merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["src"].to_numpy(np.int8)
+        cm = s == 1
+        c = g["cp_id"].to_numpy(np.int64)[cm]
+        e = g["ent_id"].to_numpy(np.int64)[cm]
+        p = g["cp_prob"].to_numpy(np.float64)[cm]
         order = np.lexsort((e, -p, c))  # per cp: max prob, tie min ent
         c_s = c[order]
         first = np.ones(len(c_s), bool)
@@ -178,19 +198,35 @@ def bipartite_match_ds(
         idx = order[first]
         keep = p[idx] > 0.0  # zero-prob winners never beat an absent row
         idx = idx[keep]
-        # relabeled as sup-side rows: ent_id = counterpart, cp_id = winner
+        # winners relabeled as sup rows: ent_id = counterpart, cp_id = winner
+        we, wc, wp = c[idx], e[idx], p[idx]
+        # strict merge with incumbents (ties → incumbent), as the numpy
+        # bipartite_match's `bp > new_sup_prob[bc]`
+        pe = g["ent_id"].to_numpy(np.int64)[~cm]
+        pc_ = g["cp_id"].to_numpy(np.int64)[~cm]
+        pp = g["cp_prob"].to_numpy(np.float64)[~cm]
+        me = np.concatenate([pe, we])
+        mc = np.concatenate([pc_, wc])
+        mp = np.concatenate([pp, wp])
+        tb = np.concatenate(
+            [np.ones(len(pe), np.int8), np.zeros(len(we), np.int8)]
+        )  # incumbent wins ties
+        order = np.lexsort((tb, mp, me))
+        e_s = me[order]
+        last = np.ones(len(e_s), bool)
+        last[:-1] = e_s[1:] != e_s[:-1]
+        idx = order[last]
         return pd.DataFrame(
-            {"ent_id": c[idx], "cp_id": e[idx], "cp_prob": p[idx]}
+            {"ent_id": me[idx], "cp_id": mc[idx], "cp_prob": mp[idx]}
         )
 
-    winners = (
-        ents.map_batches(part_by_cp, batch_format="pandas")
+    new_sup = (
+        ents.map_batches(part_claims, batch_format="pandas")
+        .union(sup.map_batches(part_sup, batch_format="pandas"))
         .groupby("part")
-        .map_groups(win, batch_format="pandas")
+        .map_groups(winners_merge, batch_format="pandas")
+        .materialize()
     )
-    new_sup = merge_max(
-        sup, winners, ties_to_new=False, n_parts=n_parts
-    ).materialize()
 
     # pass 2: back-pointer join — drop claims the counterpart rejected
     back = new_sup.map_batches(
