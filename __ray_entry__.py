@@ -588,6 +588,61 @@ def q_hash_sample(sf_dir: str):
     return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (emails → <EMAIL>, phone runs → <PHONE>) with
+    per-doc counts.  The sf corpora contain no natural PII, so both
+    sides PLANT a deterministic email + phone per doc (derived from
+    doc_id) before scrubbing — every row exercises both RE2 automatons,
+    and pyarrow/DuckDB share the regex engine for byte parity."""
+    from prase_ray.stages.text import pii_scrub
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        i = b["doc_id"].astype(str)
+        b["text"] = (
+            b["text"] + " contact user" + i + "@mail-sf" + i
+            + ".example.org or call +1 (555) 000-" + i + "9 now"
+        )
+        return b
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = pii_scrub(docs.map_batches(plant, batch_format="pandas")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style per-doc repetition fingerprints (token count,
+    distinct tokens, top-token count) — integer outputs for an exact
+    oracle compare; dup/top ratios are derived downstream."""
+    from prase_ray.stages.text import repetition_stats
+
+    out = repetition_stats(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_STRAT_RATES = {f"src{i}": (i * 53) % 1000 for i in range(20)}
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-source sampling (source-weighted corpus mixing):
+    keep rows where splitmix64(doc_id·knuth ^ seed) % 1000 falls under
+    the source's permille rate."""
+    from prase_ray.stages.relational import stratified_sample
+
+    out = stratified_sample(
+        _read(sf_dir, "documents").select_columns(["doc_id", "source"]),
+        key_fn=lambda b: b["doc_id"].to_numpy(np.uint64)
+        * np.uint64(2654435761),
+        group_col="source",
+        rates_permille=_STRAT_RATES,
+        default_permille=500,
+        seed=7,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_cosine_pairs_exact(sf_dir: str):
     """Exact all-pairs cosine >= 0.4 (brute-force baseline for the SRP
     near-dup path; broadcast-matrix blockwise matmul)."""
@@ -863,6 +918,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "group_topk": q_group_topk,
         "hash_sample": q_hash_sample,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "stratified_sample": q_stratified_sample,
         "window_hopping": q_window_hopping,
         "window_hopping_5m": q_window_hopping_5m,
         "sessionize_30m": q_sessionize_30m,
@@ -885,6 +943,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # The engine's token hash is FNV-1a 64 over codepoints (first 128), chosen
 # precisely so DuckDB can reproduce it (prase_ray/functions/hashing.py).
 _U64 = "18446744073709551616::HUGEINT"
+
+from prase_ray.stages.text import (  # noqa: E402 (regex shared with oracle)
+    PII_EMAIL_RE as _PII_EMAIL_SQL,
+    PII_PHONE_RE as _PII_PHONE_SQL,
+)
+
+_STRAT_RATES_SQL = " ".join(
+    f"WHEN '{s}' THEN {r}" for s, r in _STRAT_RATES.items()
+)
 
 
 def _sql_mul64(a: str, b: str) -> str:
@@ -1676,5 +1743,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_quantity
             FROM k WHERE ({_sql_splitmix('h')}) % 100 < 10
             ORDER BY l_orderkey, l_linenumber
+        """,
+        # same planted-PII transform as the engine side; DuckDB and
+        # pyarrow both run RE2, so replace/count are byte-identical
+        "pii_scrub": f"""
+            WITH p AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id || '@mail-sf'
+                            || doc_id || '.example.org or call +1 (555) 000-'
+                            || doc_id || '9 now' AS text
+                FROM documents
+            ), e AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_PII_EMAIL_SQL}')) AS n_emails,
+                       regexp_replace(text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g') AS t1
+                FROM p
+            )
+            SELECT doc_id,
+                   regexp_replace(t1, '{_PII_PHONE_SQL}', '<PHONE>', 'g') AS clean_text,
+                   n_emails,
+                   len(regexp_extract_all(t1, '{_PII_PHONE_SQL}')) AS n_phones
+            FROM e ORDER BY doc_id
+        """,
+        "repetition_stats": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\S+')) AS n_tokens
+                FROM documents
+            ), u AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                FROM documents
+            ), g AS (
+                SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY 1, 2
+            ), a AS (
+                SELECT doc_id, COUNT(*) AS n_distinct, MAX(c) AS top_cnt
+                FROM g GROUP BY 1
+            )
+            SELECT n.doc_id, n.n_tokens,
+                   COALESCE(a.n_distinct, 0) AS n_distinct,
+                   COALESCE(a.top_cnt, 0) AS top_cnt
+            FROM n LEFT JOIN a USING (doc_id)
+            ORDER BY n.doc_id
+        """,
+        "stratified_sample": f"""
+            WITH k AS (
+                SELECT doc_id, source,
+                       xor(CAST(doc_id AS HUGEINT) * 2654435761 % {_U64},
+                           7::HUGEINT) AS h
+                FROM documents
+            )
+            SELECT doc_id, source
+            FROM k
+            WHERE ({_sql_splitmix('h')}) % 1000 <
+                  CASE source {_STRAT_RATES_SQL} ELSE 500 END
+            ORDER BY doc_id
         """,
     }

@@ -179,6 +179,35 @@ def hash_sample(
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def stratified_sample(
+    ds: ray.data.Dataset,
+    *,
+    key_fn,
+    group_col: str,
+    rates_permille: dict,
+    default_permille: int = 0,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic PER-GROUP sampling: keep rows whose
+    splitmix64(key) % 1000 < rate_permille[group] — the standard
+    source-weighted corpus-mixing knob of a training-data pipeline.
+    Like hash_sample, no shuffle and no state (the rate table is a tiny
+    driver dict captured in the closure); reproducible across engines
+    (DuckDB oracle restates the mix)."""
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        h = splitmix64(key_fn(b) ^ np.uint64(seed))
+        lim = (
+            b[group_col]
+            .map(rates_permille)
+            .fillna(default_permille)
+            .to_numpy(np.uint64)
+        )
+        return b[(h % np.uint64(1000)) < lim]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def group_quantiles(
     ds: ray.data.Dataset,
     *,

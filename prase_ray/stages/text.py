@@ -163,6 +163,72 @@ def fingerprint(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(fingerprint_batch, batch_format="pandas")
 
 
+# PII patterns, restricted to RE2 constructs shared by pyarrow and
+# DuckDB so the oracle applies the IDENTICAL automaton: emails, then
+# international-format phone runs (emails first — local parts may
+# contain digits the phone pattern would otherwise eat).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def pii_scrub_batch(t) -> "pa.Table":
+    """Redact emails → <EMAIL> and phone runs → <PHONE>, with per-doc
+    redaction counts.  Arrow-native RE2 kernels (count + replace), one
+    pass per pattern, zero Python per row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    txt = t["text"]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    n_email = pc.count_substring_regex(txt, PII_EMAIL_RE).cast(pa.int64())
+    clean = pc.replace_substring_regex(txt, PII_EMAIL_RE, "<EMAIL>")
+    n_phone = pc.count_substring_regex(clean, PII_PHONE_RE).cast(pa.int64())
+    clean = pc.replace_substring_regex(clean, PII_PHONE_RE, "<PHONE>")
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "clean_text": clean,
+            "n_emails": n_email,
+            "n_phones": n_phone,
+        }
+    )
+
+
+def pii_scrub(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(pii_scrub_batch, batch_format="pyarrow")
+
+
+def repetition_stats_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style repetition fingerprints per doc: token count,
+    distinct-token count, and the most frequent token's count (integer
+    outputs so the oracle compare is exact; dup_ratio = 1 - distinct/n
+    and top_frac = top/n are derived).  Tokens = \\S+ runs (matches
+    DuckDB regexp_extract_all)."""
+    toks = b["text"].str.split()
+    n = toks.str.len().fillna(0).astype(np.int64)
+    e = b[["doc_id"]].copy()
+    e["tok"] = toks
+    ex = e.explode("tok").dropna(subset=["tok"])
+    if len(ex):
+        grp = ex.groupby(["doc_id", "tok"], as_index=False).size()
+        agg = grp.groupby("doc_id").agg(
+            n_distinct=("tok", "size"), top_cnt=("size", "max")
+        )
+    else:
+        agg = pd.DataFrame(columns=["n_distinct", "top_cnt"])
+    out = b[["doc_id"]].copy()
+    out["n_tokens"] = n.to_numpy()
+    j = out.join(agg, on="doc_id")
+    out["n_distinct"] = j["n_distinct"].fillna(0).astype(np.int64).to_numpy()
+    out["top_cnt"] = j["top_cnt"].fillna(0).astype(np.int64).to_numpy()
+    return out
+
+
+def repetition_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(repetition_stats_batch, batch_format="pandas")
+
+
 def tfidf_topk(
     docs: ray.data.Dataset,
     *,

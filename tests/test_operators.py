@@ -695,3 +695,89 @@ def test_cosine_pairs_exact_matches_numpy(ray_session):
         .to_numpy(),
         S[a, b], rtol=1e-12,
     )
+
+
+def test_pii_scrub(ray_session):
+    """Emails and phone runs are redacted with correct counts; clean
+    text is untouched."""
+    import ray
+
+    from prase_ray.stages.text import pii_scrub
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "mail a.b-c%d@sub.example.org or x@y.io now",
+                "call +1 (555) 123-4567 today",
+                "nothing to hide here",
+            ],
+        }
+    )
+    out = (
+        pii_scrub(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "clean_text"] == "mail <EMAIL> or <EMAIL> now"
+    assert out.loc[0, "n_emails"] == 2 and out.loc[0, "n_phones"] == 0
+    assert out.loc[1, "clean_text"] == "call <PHONE> today"
+    assert out.loc[1, "n_phones"] == 1
+    assert out.loc[2, "clean_text"] == "nothing to hide here"
+    assert out.loc[2, "n_emails"] == 0 and out.loc[2, "n_phones"] == 0
+
+
+def test_repetition_stats(ray_session):
+    import ray
+
+    from prase_ray.stages.text import repetition_stats
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["a a a b", "w x y z", ""],
+        }
+    )
+    out = (
+        repetition_stats(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert tuple(out.loc[0]) == (4, 2, 3)  # n_tokens, n_distinct, top_cnt
+    assert tuple(out.loc[1]) == (4, 4, 1)
+    assert tuple(out.loc[2]) == (0, 0, 0)
+
+
+def test_stratified_sample(ray_session):
+    """Per-group permille rates hold: rate-0 groups vanish, rate-1000
+    groups survive intact, and the same seed reproduces the sample."""
+    import ray
+
+    from prase_ray.stages.relational import stratified_sample
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3000, dtype=np.int64),
+            "source": np.repeat(["keep", "drop", "half"], 1000),
+        }
+    )
+
+    def run():
+        return stratified_sample(
+            ray.data.from_pandas(df),
+            key_fn=lambda b: b["doc_id"].to_numpy(np.uint64),
+            group_col="source",
+            rates_permille={"keep": 1000, "drop": 0, "half": 500},
+            seed=3,
+        ).to_pandas()
+
+    out = run()
+    by = out.groupby("source").size()
+    assert by.get("keep", 0) == 1000
+    assert by.get("drop", 0) == 0
+    assert 380 <= by.get("half", 0) <= 620
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), run().reset_index(drop=True)
+    )
