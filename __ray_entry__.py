@@ -643,6 +643,37 @@ def q_stratified_sample(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters over events.user_id (>30 events): per-batch
+    partial counts, one bounded combine — the generic form of the PARIS
+    hot-counterpart pre-pass."""
+    from prase_ray.stages.relational import heavy_hitters
+
+    out = heavy_hitters(
+        _read(sf_dir, "events").select_columns(["user_id"]),
+        col="user_id", min_count=30,
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_group_quantiles_approx(sf_dir: str):
+    """Quantize-first quantiles of the CONTINUOUS l_extendedprice
+    (resolution 10.0) — the scale path for domains where exact
+    value-counts would carry too many distinct values."""
+    from prase_ray.stages.relational import group_quantiles_approx
+
+    out = group_quantiles_approx(
+        _read(sf_dir, "lineitem").select_columns(
+            ["l_returnflag", "l_extendedprice"]
+        ),
+        group_col="l_returnflag", value_col="l_extendedprice",
+        resolution=10.0,
+    )
+    for c in ("p50", "p90", "p99"):
+        out[c] = out[c].round(6)
+    return out
+
+
 def q_cosine_pairs_exact(sf_dir: str):
     """Exact all-pairs cosine >= 0.4 (brute-force baseline for the SRP
     near-dup path; broadcast-matrix blockwise matmul)."""
@@ -921,6 +952,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
+        "heavy_hitters": q_heavy_hitters,
+        "group_quantiles_approx": q_group_quantiles_approx,
         "window_hopping": q_window_hopping,
         "window_hopping_5m": q_window_hopping_5m,
         "sessionize_30m": q_sessionize_30m,
@@ -1668,6 +1701,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
                    ROUND(quantile_cont(l_quantity, 0.99), 6) AS p99
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # identical floor-grid quantization on both sides → the quantile
+        # OF the quantized distribution is bit-reproducible
+        "group_quantiles_approx": """
+            WITH g AS (
+                SELECT l_returnflag,
+                       FLOOR(l_extendedprice / 10.0) * 10.0 AS v
+                FROM lineitem
+            )
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   ROUND(quantile_cont(v, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(v, 0.9), 6) AS p90,
+                   ROUND(quantile_cont(v, 0.99), 6) AS p99
+            FROM g GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "heavy_hitters": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY user_id HAVING COUNT(*) > 30
+            ORDER BY user_id
         """,
         # same whitespace tokenizer as token_stats; identical doubles on
         # ties (same tf, df) break by term, so the top-k is deterministic

@@ -264,6 +264,75 @@ def group_quantiles(
     return pd.DataFrame(rows).sort_values(group_col).reset_index(drop=True)
 
 
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    *,
+    col: str,
+    min_count: int,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """EXACT heavy hitters: keys of ``col`` occurring more than
+    ``min_count`` times, with their counts.  Same shape as the PARIS
+    hot-head pre-pass (KGDataset.hot_heads), generalized to any column:
+    per-batch partial counts (the shuffle carries O(#distinct keys per
+    batch) rows, not raw rows) → one P-way hash-partitioned vectorized
+    combine → threshold filter.  The result is tiny by definition (few
+    keys can exceed a large budget), ready to broadcast as a skew
+    guard, blocklist, or mixing diagnostic."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b.groupby(col, as_index=False).size().rename(columns={"size": "cnt"})
+        vc["cnt"] = vc["cnt"].astype(np.int64)
+        key = pd.util.hash_array(vc[col].to_numpy())
+        vc.insert(0, "part", (key % np.uint64(num_partitions)).astype(np.int32))
+        return vc
+
+    def comb(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(col, as_index=False)["cnt"].sum()
+        return s[s["cnt"] > min_count]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(comb, batch_format="pandas")
+    )
+
+
+def group_quantiles_approx(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    resolution: float = 1.0,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Quantize-first quantiles for CONTINUOUS value domains — the
+    documented scale path of ``group_quantiles``: floor-quantize values
+    to a ``resolution`` grid (per-value error < resolution, exact
+    quantile OF the quantized distribution), then run the exact
+    value-count machinery.  Shuffle volume is bounded by groups ×
+    (value_range / resolution) × blocks REGARDLESS of row count — the
+    classic histogram-quantile trade.  floor() is used (not round) so
+    the DuckDB oracle reproduces the grid bit-exactly."""
+
+    def quant(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[group_col, value_col]].copy()
+        out[value_col] = (
+            np.floor(out[value_col].to_numpy(np.float64) / resolution)
+            * resolution
+        )
+        return out
+
+    return group_quantiles(
+        ds.map_batches(quant, batch_format="pandas"),
+        group_col=group_col,
+        value_col=value_col,
+        qs=qs,
+        num_partitions=num_partitions,
+    )
+
+
 _BCAST_CACHE: dict = {}
 
 

@@ -781,3 +781,50 @@ def test_stratified_sample(ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), run().reset_index(drop=True)
     )
+
+
+def test_heavy_hitters(ray_session):
+    """Keys above the threshold are found with exact counts even when
+    their occurrences are spread across many blocks."""
+    import ray
+
+    from prase_ray.stages.relational import heavy_hitters
+
+    df = pd.DataFrame({"k": np.r_[np.repeat([7, 9], 50), np.arange(100)]})
+    out = (
+        heavy_hitters(
+            ray.data.from_pandas([d for _, d in df.groupby(df.index // 10)]),
+            col="k", min_count=30,
+        )
+        .to_pandas()
+        .set_index("k")["cnt"]
+        .sort_index()
+    )
+    # 7 and 9 appear 51x (50 + once in arange); everything else <= 1-2
+    assert dict(out) == {7: 51, 9: 51}
+
+
+def test_group_quantiles_approx(ray_session):
+    """Quantized quantiles land within one resolution step of the exact
+    numpy quantiles on a continuous distribution."""
+    import ray
+
+    from prase_ray.stages.relational import group_quantiles_approx
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b"], 5000),
+            "v": np.r_[rng.normal(100, 25, 5000), rng.exponential(40, 5000)],
+        }
+    )
+    res = 2.0
+    out = group_quantiles_approx(
+        ray.data.from_pandas(df), group_col="g", value_col="v",
+        resolution=res,
+    ).set_index("g")
+    for g in ("a", "b"):
+        v = df[df["g"] == g]["v"].to_numpy()
+        for q, c in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            exact = np.quantile(v, q)
+            assert abs(out.loc[g, c] - exact) <= res, (g, c)
