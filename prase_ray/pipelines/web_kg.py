@@ -88,6 +88,15 @@ def materialize_canonical_graph(
     map_ref = ray.put(r_to_canon)
 
     os.makedirs(out_dir, exist_ok=True)
+    # crash-resume safety: an incomplete previous attempt leaves partial
+    # UUID-named parquet files; writing next to them would DUPLICATE
+    # rows on read.  No complete manifest ⇒ clear both table dirs first.
+    import shutil
+
+    for sub in ("nodes", "facts"):
+        p = os.path.join(out_dir, sub)
+        if os.path.exists(p):
+            shutil.rmtree(p)
 
     def nodes_l_fn(b: pd.DataFrame) -> pd.DataFrame:
         out = b.rename(columns={"ent_id": "canonical_id"}).copy()

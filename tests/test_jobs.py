@@ -47,3 +47,30 @@ def test_job_entrypoint_runs_and_resumes(ray_session, tmp_path, monkeypatch, fla
         s2 = json.load(f)
     assert s2["n_aligned"] == s1["n_aligned"]
     assert s2["stage_seconds"]["paris"] < 1.0  # resumed from checkpoint
+
+
+def test_canonical_graph_crash_resume_no_duplicates(
+    ray_session, tmp_path, monkeypatch, flagship_main
+):
+    """A rerun after a mid-write crash (manifest missing, partial
+    parquet present) must not duplicate rows: stale table dirs are
+    cleared before rewriting."""
+    out = str(tmp_path / "kg")
+    argv = ["run_flagship.py", "--synthetic", "800", "--out", out,
+            "--iterations", "2", "--concurrency", "2"]
+    monkeypatch.setattr(sys, "argv", argv)
+    assert flagship_main() == 0
+    with open(os.path.join(out, "manifest.json")) as f:
+        n_facts = json.load(f)["n_facts"]
+
+    # simulate the crash: manifest gone, partial files still on disk
+    os.remove(os.path.join(out, "manifest.json"))
+    assert flagship_main() == 0
+    with open(os.path.join(out, "manifest.json")) as f:
+        mf2 = json.load(f)
+    assert mf2["n_facts"] == n_facts
+
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_table(os.path.join(out, "facts")).num_rows
+    assert n_rows == n_facts, (n_rows, n_facts)
