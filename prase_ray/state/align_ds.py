@@ -303,14 +303,18 @@ class DatasetAlignState:
     # ---- checkpoint I/O (same resumability contract as AlignState) ----
 
     def save(self, out_dir: str, meta: dict | None = None) -> None:
+        import shutil
+
         os.makedirs(out_dir, exist_ok=True)
         for name, ds in (("ent_align_sub", self.sub), ("ent_align_sup", self.sup)):
             tmp = os.path.join(out_dir, name + ".tmp")
+            if os.path.exists(tmp):
+                # a crashed attempt's partial files would otherwise be
+                # appended to (duplicate rows on load)
+                shutil.rmtree(tmp)
             ds.write_parquet(tmp)
             final = os.path.join(out_dir, name)
             if os.path.exists(final):
-                import shutil
-
                 shutil.rmtree(final)
             os.replace(tmp, final)
         rel = AlignState.rel_align_frame(self)  # only reads rel_align_l/r

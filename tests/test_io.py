@@ -172,3 +172,33 @@ def test_write_tsv_dirty_names(tmp_path):
     f2 = io.StringIO()
     _write_tsv(f2, pd.DataFrame({"a": ["ok"], "p": [0.25]}), "%.6f")
     assert f2.getvalue() == "ok\t0.250000\n"
+
+
+def test_dataset_state_save_overwrites_stale_tmp(ray_session, tmp_path):
+    """A crashed save attempt's partial .tmp files must not be appended
+    to on the next save (duplicate rows on load otherwise)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from prase_ray.state.align_ds import DatasetAlignState
+
+    sub = ray.data.from_arrow(
+        pa.table({"ent_id": [1, 2], "cp_id": [5, 6], "cp_prob": [0.5, 0.9]})
+    )
+    sup = ray.data.from_arrow(
+        pa.table({"ent_id": [5], "cp_id": [1], "cp_prob": [0.5]})
+    )
+    st = DatasetAlignState(sub=sub, sup=sup)
+    d = str(tmp_path / "chk")
+    # simulate the crash: stale partial file in the tmp dir
+    stale = os.path.join(d, "ent_align_sub.tmp")
+    os.makedirs(stale)
+    pq.write_table(
+        pa.table({"ent_id": [99], "cp_id": [99], "cp_prob": [1.0]}),
+        os.path.join(stale, "stale.parquet"),
+    )
+    st.save(d)
+    loaded = DatasetAlignState.load(d)
+    got = loaded.sub.to_pandas().sort_values("ent_id").reset_index(drop=True)
+    assert list(got["ent_id"]) == [1, 2]
