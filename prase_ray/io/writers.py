@@ -34,12 +34,18 @@ def _flag_array(df: pd.DataFrame, id_col: str, flag_col: str, n: int) -> np.ndar
 
 def _write_tsv(f, frame: pd.DataFrame, float_format: str | None) -> None:
     import csv
+    import io
 
     # QUOTE_NONE: names (incl. quoted literals like '"bob"') are written
-    # raw, exactly as the reference's manual join does
+    # raw, exactly as the reference's manual join does.  Rendered into a
+    # BUFFER first: to_csv streams rows to the handle as it goes, so a
+    # csv.Error raised mid-frame (dirty name in a late row) would leave
+    # the already-written prefix behind and the fallback would duplicate
+    # it — render fully, then emit once.
+    buf = io.StringIO()
     try:
         frame.to_csv(
-            f, sep="\t", header=False, index=False,
+            buf, sep="\t", header=False, index=False,
             float_format=float_format, quoting=csv.QUOTE_NONE,
         )
     except csv.Error:
@@ -58,6 +64,8 @@ def _write_tsv(f, frame: pd.DataFrame, float_format: str | None) -> None:
         f.write("\n".join(line.tolist()))
         if len(line):
             f.write("\n")
+        return
+    f.write(buf.getvalue())
 
 
 def save_results(pair, path: str, theta: float | None = None) -> None:

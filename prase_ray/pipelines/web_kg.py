@@ -90,9 +90,14 @@ def materialize_canonical_graph(
     os.makedirs(out_dir, exist_ok=True)
     # crash-resume safety: an incomplete previous attempt leaves partial
     # UUID-named parquet files; writing next to them would DUPLICATE
-    # rows on read.  No complete manifest ⇒ clear both table dirs first.
+    # rows on read.  Clear both table dirs first — and drop any stale
+    # manifest BEFORE touching the data: a crash between rmtree and the
+    # new manifest must not leave a 'complete' manifest validating
+    # deleted/partial data (e.g. rerun at a different threshold).
     import shutil
 
+    if os.path.exists(mf):
+        os.remove(mf)
     for sub in ("nodes", "facts"):
         p = os.path.join(out_dir, sub)
         if os.path.exists(p):

@@ -531,21 +531,25 @@ def embedding_neardup_pairs(
     seed: int = 5,
     max_bucket: int = 1000,
     num_partitions: int = 8,
+    probe_bits: int = 1,
 ) -> ray.data.Dataset:
     """Near-dup pairs by cosine ≥ threshold → Dataset(a, b, cosine).
     Scale path: random hyperplane (SRP) bucketing → exact cosine within
-    buckets; pairs whose signatures differ by >1 bit can be missed
-    (documented approximation — coverage is home bucket + all 1-bit
-    probes).
+    buckets; pairs whose signatures differ by more than ``probe_bits``
+    can be missed (documented approximation — coverage is the home
+    bucket + all ≤probe_bits-flip probes).
 
     Shuffle shape (one-side probing): the PROBE stream carries only
-    (bucket, doc_id) — (n_planes+1) tiny rows per vector — while the
-    full float64 payload rides the HOME stream exactly once per vector
-    through the bucket join and once through the pair-side vector
-    fetch.  The earlier both-sides-probed formulation replicated every
-    vector (n_planes+1)× through the self-join; coverage is preserved:
-    a ≤1-bit pair (a, b) meets exactly once, via a's probe row landing
-    in b's home bucket (or the shared home bucket itself).
+    (bucket, doc_id) — O(n_planes^probe_bits) tiny rows per vector —
+    while the full float64 payload rides the HOME stream exactly once
+    per vector through the bucket join and once through the pair-side
+    vector fetch.  The earlier both-sides-probed formulation replicated
+    every vector (n_planes+1)× through the self-join; its 1-bit probes
+    on BOTH sides gave an incidental ≤2-bit effective radius — match
+    that explicitly with ``probe_bits=2`` (probe rows stay tiny; the
+    payload stream is unchanged).  A pair within the radius meets
+    EXACTLY once — the single probe x = sig_a ^ sig_b lands in b's home
+    bucket — so no dedup shuffle is needed at any probe_bits.
 
     ``n_planes=None`` auto-sizes to ~log2(n)+3 planes so expected
     bucket occupancy stays O(1) as the corpus grows.  Auto-sizing
@@ -581,6 +585,12 @@ def embedding_neardup_pairs(
     def bucketize_probe(batch: pd.DataFrame) -> pa.Table:
         V, bucket, ids = _buckets(batch)
         all_buckets = [bucket] + [bucket ^ (1 << b) for b in range(n_planes)]
+        if probe_bits >= 2:
+            all_buckets += [
+                bucket ^ (1 << i) ^ (1 << j)
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            ]
         reps = len(all_buckets)
         return pa.table(
             {

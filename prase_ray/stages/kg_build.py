@@ -85,8 +85,10 @@ def add_inverse_edges(triples: ray.data.Dataset) -> ray.data.Dataset:
 def _nrows(tbl: pa.Table) -> tuple:
     present = [c for c in ("is_literal", "is_attribute") if c in tbl.column_names]
     # exactly one class column may be counted: with both present, the
-    # old overwrite semantics would silently report only the last one
-    assert len(present) <= 1, f"ambiguous class flags in table: {present}"
+    # old overwrite semantics would silently report only the last one.
+    # ValueError (not assert): the guard must survive python -O
+    if len(present) > 1:
+        raise ValueError(f"ambiguous class flags in table: {present}")
     flags = int(pa.compute.sum(tbl[present[0]]).as_py() or 0) if present else 0
     return tbl.num_rows, flags
 

@@ -90,15 +90,17 @@ def _ent_align_ds(match: np.ndarray, prob: np.ndarray, *, min_prob: float | None
 
 def emb_ds_from_matrix(M: np.ndarray, *, blocks: int = 8) -> ray.data.Dataset:
     """Dense per-entity embedding matrix → Dataset(ent_id, emb) with the
-    vector as a plain BINARY column (raw little-endian float64 bytes;
-    tensor/list extension payloads are not joinable as non-key fields).
+    vector as a plain LARGE_BINARY column (raw little-endian float64
+    bytes; tensor/list extension payloads are not joinable as non-key
+    fields).  64-bit offsets: with int32, n·d·8 > 2^31 (≈2M entities at
+    d=128) would wrap SILENTLY in numpy and gather garbage embeddings.
     Conformance-surface helper — the web-scale path reads an embeddings
     Parquet table and converts with the same layout."""
     M = np.ascontiguousarray(M, dtype=np.float64)
     n, d = M.shape
-    offsets = np.arange(n + 1, dtype=np.int32) * (d * 8)
+    offsets = np.arange(n + 1, dtype=np.int64) * (d * 8)
     emb = pa.Array.from_buffers(
-        pa.binary(), n,
+        pa.large_binary(), n,
         [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(M.tobytes())],
     )
     tbl = pa.table({"ent_id": np.arange(n, dtype=np.int64), "emb": emb})
@@ -106,14 +108,17 @@ def emb_ds_from_matrix(M: np.ndarray, *, blocks: int = 8) -> ray.data.Dataset:
 
 
 def _decode_emb(col, d: int) -> np.ndarray:
-    """binary column of uniform d·8-byte rows → (n, d) float64 matrix,
-    zero-copy gather off the Arrow buffers (no per-row tobytes)."""
+    """binary/large_binary column of uniform d·8-byte rows → (n, d)
+    float64 matrix, zero-copy gather off the Arrow buffers (no per-row
+    tobytes)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
     if n == 0:
         return np.empty((0, d), np.float64)
-    off = np.frombuffer(col.buffers()[1], np.int32, n + 1, offset=col.offset * 4)
+    wide = pa.types.is_large_binary(col.type)
+    odt, ow = (np.int64, 8) if wide else (np.int32, 4)
+    off = np.frombuffer(col.buffers()[1], odt, n + 1, offset=col.offset * ow)
     flat = np.frombuffer(col.buffers()[2], np.float64)
     idx = (off[:-1].astype(np.int64) // 8)[:, None] + np.arange(d)[None, :]
     return flat[idx]

@@ -203,9 +203,13 @@ def repetition_stats_batch(b: pd.DataFrame) -> pd.DataFrame:
     """Gopher-style repetition fingerprints per doc: token count,
     distinct-token count, and the most frequent token's count (integer
     outputs so the oracle compare is exact; dup_ratio = 1 - distinct/n
-    and top_frac = top/n are derived).  Tokens = \\S+ runs (matches
-    DuckDB regexp_extract_all)."""
-    toks = b["text"].str.split()
+    and top_frac = top/n are derived).  Tokens = ASCII \\S+ runs via
+    re.ASCII — DuckDB's RE2 \\S is ASCII-only, while pandas str.split
+    (and Python's default \\S) split on Unicode whitespace like U+00A0,
+    which would silently break oracle parity on scraped web text."""
+    import re
+
+    toks = b["text"].str.findall(r"\S+", flags=re.ASCII)
     n = toks.str.len().fillna(0).astype(np.int64)
     e = b[["doc_id"]].copy()
     e["tok"] = toks
@@ -251,8 +255,12 @@ def tfidf_topk(
     n_docs = docs.count()
 
     def doc_terms(b: pd.DataFrame) -> pd.DataFrame:
+        import re
+
         s = b[[id_col, text_col]].copy()
-        s["term"] = s[text_col].str.split()
+        # ASCII \S+ (re.ASCII): DuckDB's RE2 split is ASCII-only, while
+        # pandas str.split would also break on Unicode whitespace
+        s["term"] = s[text_col].str.findall(r"\S+", flags=re.ASCII)
         e = s[[id_col, "term"]].explode("term").dropna(subset=["term"])
         if e.empty:
             return pd.DataFrame(

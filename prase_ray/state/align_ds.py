@@ -39,7 +39,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from prase_ray.state.alignment import AlignState, PackedProbMap
+from prase_ray.state.alignment import AlignState, PackedProbMap, rel_align_frame
 
 _ALIGN_SCHEMA = pa.schema(
     [("ent_id", pa.int64()), ("cp_id", pa.int64()), ("cp_prob", pa.float64())]
@@ -317,7 +317,7 @@ class DatasetAlignState:
             if os.path.exists(final):
                 shutil.rmtree(final)
             os.replace(tmp, final)
-        rel = AlignState.rel_align_frame(self)  # only reads rel_align_l/r
+        rel = rel_align_frame(self.rel_align_l, self.rel_align_r)
         pq.write_table(
             pa.Table.from_pandas(rel, preserve_index=False),
             os.path.join(out_dir, "rel_align.parquet"),

@@ -71,6 +71,18 @@ class PackedProbMap:
         )
 
 
+def rel_align_frame(
+    rel_align_l: PackedProbMap, rel_align_r: PackedProbMap
+) -> pd.DataFrame:
+    """Both directions' rel maps as one sided frame (checkpoint layout,
+    shared by the array- and Dataset-resident state classes)."""
+    l = rel_align_l.to_frame()
+    l.insert(0, "side", np.int8(0))
+    r = rel_align_r.to_frame()
+    r.insert(0, "side", np.int8(1))
+    return pd.concat([l, r], ignore_index=True)
+
+
 @dataclass
 class AlignState:
     """Entity match arrays for both directions + per-direction rel maps."""
@@ -114,11 +126,7 @@ class AlignState:
         return pd.concat(frames, ignore_index=True)
 
     def rel_align_frame(self) -> pd.DataFrame:
-        l = self.rel_align_l.to_frame()
-        l.insert(0, "side", np.int8(0))
-        r = self.rel_align_r.to_frame()
-        r.insert(0, "side", np.int8(1))
-        return pd.concat([l, r], ignore_index=True)
+        return rel_align_frame(self.rel_align_l, self.rel_align_r)
 
     def save(self, out_dir: str, meta: dict | None = None) -> None:
         os.makedirs(out_dir, exist_ok=True)
@@ -150,7 +158,11 @@ class AlignState:
         if not os.path.exists(mf):
             return False
         with open(mf) as f:
-            return bool(json.load(f).get("complete"))
+            m = json.load(f)
+        # a Dataset-state checkpoint (align_ds.py, format: "dataset")
+        # has a different layout — loading it here would KeyError; each
+        # representation resumes only from its own format
+        return bool(m.get("complete")) and m.get("format", "arrays") != "dataset"
 
     @staticmethod
     def load(out_dir: str) -> "AlignState":

@@ -172,6 +172,19 @@ def test_write_tsv_dirty_names(tmp_path):
     f2 = io.StringIO()
     _write_tsv(f2, pd.DataFrame({"a": ["ok"], "p": [0.25]}), "%.6f")
     assert f2.getvalue() == "ok\t0.250000\n"
+    # dirty name in a LATE row: to_csv streams rows before raising, so a
+    # naive fallback would duplicate the clean prefix — every clean row
+    # must appear exactly once
+    f3 = io.StringIO()
+    many = pd.DataFrame(
+        {"a": [f"r{i}" for i in range(150)] + ["bad\tname"],
+         "p": [1.0] * 151}
+    )
+    _write_tsv(f3, many, "%.6f")
+    lines = f3.getvalue().splitlines()
+    assert len(lines) == 151
+    assert lines[0] == "r0\t1.000000"
+    assert lines[-1] == "bad\tname\t1.000000"
 
 
 def test_dataset_state_save_overwrites_stale_tmp(ray_session, tmp_path):

@@ -828,3 +828,48 @@ def test_group_quantiles_approx(ray_session):
         for q, c in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
             exact = np.quantile(v, q)
             assert abs(out.loc[g, c] - exact) <= res, (g, c)
+
+
+def test_embedding_neardup_probe_bits(ray_session):
+    """probe_bits=2 restores the both-sides-probed formulation's
+    effective ≤2-bit radius: twins whose signatures differ by exactly 2
+    bits are found at probe_bits=2 and are a strict superset of the
+    1-bit result (seeded regime verified to contain such pairs)."""
+    import ray
+
+    from prase_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    d, n, n_planes, seed, thr = 8, 120, 12, 5, 0.98
+    base = rng.normal(size=(n, d))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    twin = base + 0.10 * rng.normal(size=(n, d))
+    V = np.vstack([base, twin])
+    # engine's signature formula, recomputed here: the fixed seed yields
+    # true pairs at hamming 0/1/2/3 (7 pairs at exactly 2)
+    planes = np.random.default_rng(seed).normal(size=(d, n_planes))
+    bits = ((V @ planes) > 0).astype(np.int64)
+    sig = (bits << np.arange(n_planes)).sum(axis=1)
+    cos = (base * (twin / np.linalg.norm(twin, axis=1, keepdims=True))).sum(1)
+    ham = np.array(
+        [bin(int(sig[i] ^ sig[n + i])).count("1") for i in range(n)]
+    )
+    two_bit = set(np.nonzero((cos >= thr) & (ham == 2))[0].tolist())
+    assert two_bit, "seeded regime must contain 2-bit-apart true pairs"
+
+    df = pd.DataFrame(
+        {"vec_id": np.arange(2 * n, dtype=np.int64), "embedding": list(V)}
+    )
+
+    def pairs(pb):
+        out = embedding_neardup_pairs(
+            ray.data.from_pandas(df), threshold=thr, n_planes=n_planes,
+            seed=seed, probe_bits=pb,
+        ).to_pandas()
+        return set(zip(out["a"], out["b"]))
+
+    p1, p2 = pairs(1), pairs(2)
+    assert p1 <= p2
+    for i in two_bit:
+        assert (i, n + i) in p2, i       # radius-2 pair found at pb=2
+        assert (i, n + i) not in p1, i   # and correctly absent at pb=1
