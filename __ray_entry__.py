@@ -16,6 +16,7 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 SVO_PATTERN = r"([a-z]+) (join|merge|sort) ([a-z]+)"
@@ -794,22 +795,13 @@ def q_cc_distributed(sf_dir: str):
     )
 
 
-def q_paris_half_iteration(sf_dir: str):
-    """ONE PARIS init half-iteration (L→R, ent_align=True) on a KG pair
-    derived from the customer table — small enough that the propagation
-    kernel's closed form is restated in SQL, giving the CORE operator a
-    hash-exact oracle: literal seeds (prob 1.0) walk has_name-(INV) and
-    in_bucket-(INV) evidence; per-evidence factor
-    (1 - hp*theta*func_r/eps) * (1 - hp*theta*func_l/eps) with the
-    delta contribution filter (model/PARIS.py:56-78 semantics);
-    per-candidate product via sum-of-logs; per-entity argmax.  The full
-    iterative loop stays rows-only in q_prase_align (pytest golden +
-    P/R gate cover it)."""
+def _paris_half_setup(sf_dir: str):
+    """Shared fixture for the half-iteration oracle family: a KG pair
+    derived from the customer table + a fresh literal-seeded pair."""
     from prase_ray.config import PrasConfig
     from prase_ray.pipelines.prase import KGPair
     from prase_ray.sources.triples import from_pandas_triples
     from prase_ray.stages.kg_build import build_kg
-    from prase_ray.stages.paris import run_half_iteration
 
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
@@ -836,12 +828,10 @@ def q_paris_half_iteration(sf_dir: str):
     kg2 = build_kg(from_pandas_triples(side_triples("C")), name="KG-R")
     cfg = PrasConfig(concurrency=2)
     pair = KGPair(kg1, kg2, cfg)
-    st = pair.state
-    new_match, new_prob, _ = run_half_iteration(
-        kg1, kg2, st.sub_match, st.sub_prob,
-        st.rel_align_l, st.rel_align_r, cfg,
-        init=True, ent_align=True,
-    )
+    return kg1, kg2, cfg, pair
+
+
+def _paris_half_output(kg1, kg2, new_match, new_prob) -> pd.DataFrame:
     nE = kg1.n_entities
     sel = np.nonzero(new_match[:nE] >= 0)[0]
     names_l = kg1.nodes_df().set_index("ent_id")["name"]
@@ -851,6 +841,79 @@ def q_paris_half_iteration(sf_dir: str):
             "name_l": names_l[sel].to_numpy(),
             "name_r": names_r[new_match[sel]].to_numpy(),
             "prob": np.round(new_prob[sel], 6),
+        }
+    ).sort_values("name_l").reset_index(drop=True)
+
+
+def q_paris_half_iteration(sf_dir: str):
+    """ONE PARIS init half-iteration (L→R, ent_align=True) on a KG pair
+    derived from the customer table — small enough that the propagation
+    kernel's closed form is restated in SQL, giving the CORE operator a
+    hash-exact oracle: literal seeds (prob 1.0) walk has_name-(INV) and
+    in_bucket-(INV) evidence; per-evidence factor
+    (1 - hp*theta*func_r/eps) * (1 - hp*theta*func_l/eps) with the
+    delta contribution filter (model/PARIS.py:56-78 semantics);
+    per-candidate product via sum-of-logs; per-entity argmax.  The full
+    iterative loop stays rows-only in q_prase_align (pytest golden +
+    P/R gate cover it)."""
+    from prase_ray.stages.paris import run_half_iteration
+
+    kg1, kg2, cfg, pair = _paris_half_setup(sf_dir)
+    st = pair.state
+    new_match, new_prob, _ = run_half_iteration(
+        kg1, kg2, st.sub_match, st.sub_prob,
+        st.rel_align_l, st.rel_align_r, cfg,
+        init=True, ent_align=True,
+    )
+    return _paris_half_output(kg1, kg2, new_match, new_prob)
+
+
+def q_paris_half_iteration_join(sf_dir: str):
+    """The SAME half-iteration through the join-formulated dataflow
+    (facts ⋈ ent_align ⋈ facts, paris_join.py) — the web-scale path
+    oracle-checked against the identical closed-form SQL, not just the
+    broadcast≡join pytest."""
+    from prase_ray.stages.paris_join import run_half_iteration_join
+
+    kg1, kg2, cfg, pair = _paris_half_setup(sf_dir)
+    st = pair.state
+    new_match, new_prob, _ = run_half_iteration_join(
+        kg1, kg2, st.sub_match, st.sub_prob,
+        st.rel_align_l, st.rel_align_r, cfg,
+        init=True, ent_align=True,
+    )
+    return _paris_half_output(kg1, kg2, new_match, new_prob)
+
+
+def q_paris_half_iteration_ds(sf_dir: str):
+    """The SAME half-iteration with the align state as a DATASET
+    end-to-end (state/align_ds.py): seeds lifted into an align Dataset,
+    evidence + A7 max-merge as grouped Dataset ops, matched entity rows
+    read back only as the result — the full web-scale configuration
+    under the closed-form oracle."""
+    from prase_ray.stages.paris_join import run_half_iteration_join_ds
+    from prase_ray.state.align_ds import align_ds_from_arrays, merge_max
+
+    kg1, kg2, cfg, pair = _paris_half_setup(sf_dir)
+    st = pair.state
+    ea = align_ds_from_arrays(st.sub_match, st.sub_prob)
+    best_ds, _ = run_half_iteration_join_ds(
+        kg1, kg2, ea, st.rel_align_l, st.rel_align_r, cfg,
+        init=True, ent_align=True,
+    )
+    merged = merge_max(ea, best_ds, ties_to_new=True)
+    nE = kg1.n_entities
+    rows = merged.map_batches(
+        lambda t: t.filter(pa.compute.less(t["ent_id"], nE)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    names_l = kg1.nodes_df().set_index("ent_id")["name"]
+    names_r = kg2.nodes_df().set_index("ent_id")["name"]
+    return pd.DataFrame(
+        {
+            "name_l": names_l[rows["ent_id"].to_numpy()].to_numpy(),
+            "name_r": names_r[rows["cp_id"].to_numpy()].to_numpy(),
+            "prob": np.round(rows["cp_prob"].to_numpy(), 6),
         }
     ).sort_values("name_l").reset_index(drop=True)
 
@@ -868,6 +931,39 @@ def q_prase_align(sf_dir: str):
     kg1 = build_kg(from_pandas_triples(t1), name="KG1")
     kg2 = build_kg(from_pandas_triples(t2), name="KG2")
     pair = KGPair(kg1, kg2, PrasConfig(concurrency=2))
+    pair.run(iterations=3, verbose=False)
+    pred = pair.predicted_pairs(0.1)
+    names_l = kg1.nodes_df().set_index("ent_id")["name"]
+    names_r = kg2.nodes_df().set_index("ent_id")["name"]
+    return pd.DataFrame(
+        {
+            "name_l": names_l[pred["l_id"]].to_numpy(),
+            "name_r": names_r[pred["r_id"]].to_numpy(),
+            "prob": pred["prob"].round(6).to_numpy(),
+        }
+    ).sort_values("name_l").reset_index(drop=True)
+
+
+def q_prase_align_dspath(sf_dir: str):
+    """The same full PRASE loop in the WEB-SCALE configuration — join
+    formulation + Dataset-resident align state (no O(n_nodes) driver
+    arrays during iterations).  Bit-equal to q_prase_align by the
+    equivalence pytests; exercised through the driver contract so the
+    scale path itself is part of the graded surface (rows-only: the
+    iterative loop is non-SQL)."""
+    from prase_ray.config import PrasConfig
+    from prase_ray.pipelines.prase import KGPair
+    from prase_ray.sources.fixtures import make_two_kg_fixture
+    from prase_ray.sources.triples import from_pandas_triples
+    from prase_ray.stages.kg_build import build_kg
+
+    t1, t2, gold = make_two_kg_fixture(n_entities=120, seed=42)
+    kg1 = build_kg(from_pandas_triples(t1), name="KG1")
+    kg2 = build_kg(from_pandas_triples(t2), name="KG2")
+    pair = KGPair(
+        kg1, kg2,
+        PrasConfig(concurrency=2, paris_mode="join", driver_align_state=False),
+    )
     pair.run(iterations=3, verbose=False)
     pred = pair.predicted_pairs(0.1)
     names_l = kg1.nodes_df().set_index("ent_id")["name"]
@@ -960,6 +1056,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": q_tfidf_topk,
         "group_quantiles": q_group_quantiles,
         "paris_half_iteration": q_paris_half_iteration,
+        "paris_half_iteration_join": q_paris_half_iteration_join,
+        "paris_half_iteration_ds": q_paris_half_iteration_ds,
         "broadcast_join": q_broadcast_join,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -968,6 +1066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q_connected_components,
         "cc_distributed": q_cc_distributed,
         "prase_align": q_prase_align,
+        "prase_align_dspath": q_prase_align_dspath,
         "web_extract": q_web_extract,
     }
 
@@ -1125,6 +1224,16 @@ def _sql_minhash_dedup() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # the three PARIS half-iteration formulations (broadcast kernel,
+    # join dataflow, Dataset-resident state) are bit-equal by design —
+    # each is independently checked against the SAME closed-form SQL
+    d["paris_half_iteration_join"] = d["paris_half_iteration"]
+    d["paris_half_iteration_ds"] = d["paris_half_iteration"]
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     svo = SVO_PATTERN
     return {
         "extract_triples_docs": f"""
