@@ -40,6 +40,19 @@ class KGPair:
         self.emb_r_ref = None
         self._emb_l = None
         self._emb_r = None
+        # warm the broadcast-side CSR builds NOW: csr_by_head_ref only
+        # launches its Ray task on first call, and that call otherwise
+        # happens when the evidence stage starts — ds.stats() showed
+        # every evidence task blocked ~3s (wall 92s vs 2.6s cpu at 16x)
+        # waiting on it.  Started here, the build overlaps the literal
+        # seeding below.  Join-only configs skip it (never needed).
+        if self.cfg.paris_mode in ("auto", "broadcast") and self.cfg.driver_align_state:
+            for kg in (kg_r, kg_l):
+                if (
+                    self.cfg.paris_mode == "broadcast"
+                    or kg.n_facts <= self.cfg.broadcast_max_facts
+                ):
+                    kg.csr_by_head_ref()
         self.n_seeds = seed_literals(kg_l, kg_r, self.state)
         self._name_maps = {}
         # Dataset-resident state (cfg.driver_align_state=False); created
