@@ -215,3 +215,26 @@ def test_dataset_state_save_overwrites_stale_tmp(ray_session, tmp_path):
     loaded = DatasetAlignState.load(d)
     got = loaded.sub.to_pandas().sort_values("ent_id").reset_index(drop=True)
     assert list(got["ent_id"]) == [1, 2]
+
+
+def test_checkpoint_format_isolation(ray_session, tmp_path):
+    """A Dataset-state checkpoint dir must not be mistaken for an
+    array-state checkpoint: an array-mode run over the same dir
+    recomputes (and overwrites) instead of crashing in AlignState.load
+    with a KeyError on the foreign manifest."""
+    t1, t2, _ = make_two_kg_fixture(n_entities=30, seed=9)
+    kg1 = build_kg(from_pandas_triples(t1), name="KG1")
+    kg2 = build_kg(from_pandas_triples(t2), name="KG2")
+    chk = str(tmp_path / "chk_mixed")
+
+    p1 = KGPair(
+        kg1, kg2,
+        PrasConfig(concurrency=2, paris_mode="join", driver_align_state=False),
+    )
+    p1.run(iterations=1, checkpoint_dir=chk)
+    final_match = p1.state.sub_match.copy()
+
+    # array-mode resume over the ds-format checkpoint: must recompute
+    p2 = KGPair(kg1, kg2, PrasConfig(concurrency=2))
+    p2.run(iterations=1, checkpoint_dir=chk)
+    np.testing.assert_array_equal(p2.state.sub_match, final_match)
