@@ -68,15 +68,12 @@ def _write_tsv(f, frame: pd.DataFrame, float_format: str | None) -> None:
     f.write(buf.getvalue())
 
 
-def save_results(pair, path: str, theta: float | None = None) -> None:
-    """K1 (objects/KGs.py:373-409): sectioned TSV — attribute /
-    relation / literal / entity alignment; rel/attr rows carry
-    [prob_l→r, prob_r→l] filtered at prob > theta.  Fully vectorized:
-    name gathers + merged rel frames + one to_csv per section."""
-    theta = pair.cfg.theta if theta is None else theta
+def _rel_sections(pair, theta: float) -> pd.DataFrame:
+    """Relation/attribute alignment rows: L map gives prob_l→r, R map
+    prob_r→l, outer-merged on the (name_l, name_r) key (dict semantics
+    of objects/KGs.py:383-400).  O(n_preds²) — driver-sized at any
+    corpus scale."""
     st = pair.state
-    names_l = _name_array(pair.kg_l.nodes_df(), "ent_id", pair.kg_l.n_nodes)
-    names_r = _name_array(pair.kg_r.nodes_df(), "ent_id", pair.kg_r.n_nodes)
     pnames_l = _name_array(pair.kg_l.preds_df, "rel_id", pair.kg_l.n_preds)
     pnames_r = _name_array(pair.kg_r.preds_df, "rel_id", pair.kg_r.n_preds)
     pattr_l = _flag_array(
@@ -85,21 +82,6 @@ def save_results(pair, path: str, theta: float | None = None) -> None:
     pattr_r = _flag_array(
         pair.kg_r.preds_df, "rel_id", "is_attribute", pair.kg_r.n_preds
     )
-
-    # entity/literal sections (reference iterates kg_l objects only)
-    ids = np.nonzero(st.sub_match >= 0)[0]
-    node_frame = pd.DataFrame(
-        {
-            "nl": names_l[ids],
-            "nr": names_r[st.sub_match[ids]],
-            "p": st.sub_prob[ids],
-        }
-    )
-    is_lit = ids >= pair.kg_l.n_entities  # dense class-ordered ids
-
-    # relation/attribute rows: L map gives prob_l→r, R map prob_r→l,
-    # outer-merged on the (name_l, name_r) key (dict semantics of
-    # objects/KGs.py:383-400)
     lf = st.rel_align_l.to_frame()
     lf = lf[lf["prob"] > theta]
     lf = pd.DataFrame(
@@ -124,6 +106,31 @@ def save_results(pair, path: str, theta: float | None = None) -> None:
     merged["p_lr"] = merged["p_lr"].fillna(0.0)
     merged["p_rl"] = merged["p_rl"].fillna(0.0)
     merged["attr"] = merged["attr"].fillna(merged["attr_r"]).astype(bool)
+    return merged
+
+
+def save_results(pair, path: str, theta: float | None = None) -> None:
+    """K1 (objects/KGs.py:373-409): sectioned TSV — attribute /
+    relation / literal / entity alignment; rel/attr rows carry
+    [prob_l→r, prob_r→l] filtered at prob > theta.  Fully vectorized:
+    name gathers + merged rel frames + one to_csv per section."""
+    theta = pair.cfg.theta if theta is None else theta
+    st = pair.state
+    names_l = _name_array(pair.kg_l.nodes_df(), "ent_id", pair.kg_l.n_nodes)
+    names_r = _name_array(pair.kg_r.nodes_df(), "ent_id", pair.kg_r.n_nodes)
+
+    # entity/literal sections (reference iterates kg_l objects only)
+    ids = np.nonzero(st.sub_match >= 0)[0]
+    node_frame = pd.DataFrame(
+        {
+            "nl": names_l[ids],
+            "nr": names_r[st.sub_match[ids]],
+            "p": st.sub_prob[ids],
+        }
+    )
+    is_lit = ids >= pair.kg_l.n_entities  # dense class-ordered ids
+
+    merged = _rel_sections(pair, theta)
 
     base = os.path.dirname(path)
     if base:
@@ -138,6 +145,109 @@ def save_results(pair, path: str, theta: float | None = None) -> None:
             f.write("--- " + title + " ---\n\n")
             _write_tsv(f, frame, float_format="%.6f")
             f.write("\n")
+
+
+def save_results_ds(
+    pair, out_dir: str, theta: float | None = None, num_partitions: int = 8
+) -> dict:
+    """K1 at web scale: the entity/literal alignment sections as
+    hash-partitioned Parquet Datasets — matched rows joined against the
+    per-KG node-name Datasets, never an O(n_nodes) driver gather — plus
+    the rel/attr sections as the reference-format TSV (O(n_preds²),
+    driver-sized at any corpus).  Same semantics as ``save_results``
+    (objects/KGs.py:373-409); output layout:
+
+        out_dir/entity_align/part=K/*.parquet   (name_l, name_r, prob)
+        out_dir/literal_align/part=K/*.parquet
+        out_dir/rel_attr_align.tsv              (sectioned TSV)
+        out_dir/manifest.json
+    """
+    import json
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    theta = pair.cfg.theta if theta is None else theta
+    jp = ensure_join_cpu_budget(num_partitions)
+
+    if getattr(pair, "_dstate", None) is not None:
+        sub = pair._dstate.sub
+    else:
+        from prase_ray.state.align_ds import align_ds_from_arrays
+
+        sub = align_ds_from_arrays(pair.state.sub_match, pair.state.sub_prob)
+
+    names_l = pair.kg_l.nodes.map_batches(
+        lambda t: t.select(["ent_id", "name"]), batch_format="pyarrow"
+    )
+    names_r = pair.kg_r.nodes.map_batches(
+        lambda t: t.select(["ent_id", "name"]).rename_columns(
+            ["cp_id", "name_r"]
+        ),
+        batch_format="pyarrow",
+    )
+    j = sub.join(
+        names_l, join_type="inner", num_partitions=jp, on=("ent_id",)
+    ).join(names_r, join_type="inner", num_partitions=jp, on=("cp_id",))
+
+    nE = pair.kg_l.n_entities
+
+    def fmt(t: pa.Table) -> pa.Table:
+        part = pa.array(
+            (t["ent_id"].to_numpy() % num_partitions).astype(np.int32)
+        )
+        return pa.table(
+            {
+                "part": part,
+                "is_lit": pc.greater_equal(t["ent_id"], nE),
+                "name_l": t["name"],
+                "name_r": t["name_r"],
+                "prob": t["cp_prob"],
+            }
+        )
+
+    rows = j.map_batches(fmt, batch_format="pyarrow").materialize()
+
+    os.makedirs(out_dir, exist_ok=True)
+    mf_path = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(mf_path):
+        os.remove(mf_path)  # stale manifest must not validate partials
+    for section, want_lit in (("entity_align", False), ("literal_align", True)):
+        p = os.path.join(out_dir, section)
+        if os.path.exists(p):
+            shutil.rmtree(p)  # crash-resume: never append to partials
+        rows.map_batches(
+            lambda t, w=want_lit: t.filter(
+                pc.equal(t["is_lit"], w)
+            ).drop_columns(["is_lit"]),
+            batch_format="pyarrow",
+        ).write_parquet(p, partition_cols=["part"])
+
+    merged = _rel_sections(pair, theta)
+    with open(os.path.join(out_dir, "rel_attr_align.tsv"), "w",
+              encoding="utf-8") as f:
+        for title, frame in (
+            ("Attribute Alignment",
+             merged[merged["attr"]][["nl", "nr", "p_lr", "p_rl"]]),
+            ("Relation Alignment",
+             merged[~merged["attr"]][["nl", "nr", "p_lr", "p_rl"]]),
+        ):
+            f.write(f"--- {title} ---\n")
+            _write_tsv(f, frame, "%.6f")
+
+    manifest = {
+        "complete": True,
+        "theta": theta,
+        "num_partitions": num_partitions,
+        "n_matched": int(rows.count()),
+    }
+    with open(mf_path, "w") as f:
+        json.dump(manifest, f)
+    return manifest
 
 
 def save_params(pair, path: str) -> None:

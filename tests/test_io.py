@@ -238,3 +238,44 @@ def test_checkpoint_format_isolation(ray_session, tmp_path):
     p2 = KGPair(kg1, kg2, PrasConfig(concurrency=2))
     p2.run(iterations=1, checkpoint_dir=chk)
     np.testing.assert_array_equal(p2.state.sub_match, final_match)
+
+
+def test_save_results_ds_matches_driver(pair, tmp_path):
+    """The Dataset-native results sink must contain exactly the rows of
+    the driver save_results sections (entity + literal as partitioned
+    parquet, rel/attr as the same sectioned TSV)."""
+    import pyarrow.parquet as pq_
+
+    from prase_ray.io.writers import save_results_ds
+
+    txt_path = str(tmp_path / "result.txt")
+    save_results(pair, txt_path)
+    out = str(tmp_path / "results_ds")
+    mf = save_results_ds(pair, out)
+    assert mf["complete"]
+
+    # parse the driver TSV sections
+    sections: dict[str, list] = {}
+    cur = None
+    for line in open(txt_path, encoding="utf-8"):
+        line = line.rstrip("\n")
+        if line.startswith("--- "):
+            cur = line.strip("- ").strip()
+            sections[cur] = []
+        elif line and cur:
+            sections[cur].append(tuple(line.split("\t")))
+
+    for section, dirname in (
+        ("Entity Alignment", "entity_align"),
+        ("Literal Alignment", "literal_align"),
+    ):
+        want = {(a, b) for a, b, *_ in sections[section]}
+        got_df = pq_.read_table(os.path.join(out, dirname)).to_pandas()
+        got = set(zip(got_df["name_l"], got_df["name_r"]))
+        assert got == want, section
+
+    rel_tsv = open(os.path.join(out, "rel_attr_align.tsv"), encoding="utf-8").read()
+    for section in ("Attribute Alignment", "Relation Alignment"):
+        assert f"--- {section} ---" in rel_tsv
+        for row in sections[section]:
+            assert "\t".join(row) in rel_tsv, row
