@@ -340,6 +340,104 @@ def load_params(pair, path: str, init: bool = True) -> None:
             setattr(st, target, PackedProbMap.from_arrays(a, b, p))
 
 
+def generate_input_for_embed_align_ds(
+    pair, gold, out_dir: str, threshold: float = 0.0, num_partitions: int = 8
+) -> dict:
+    """K3 at web scale: the SE-module train/test split as partitioned
+    Parquet name-pair Datasets.  train = matched entities ≥ threshold
+    joined against the node-name Datasets; test = gold pairs whose left
+    entity is unvisited — the anti-join runs as a left-outer Dataset
+    join (marker-null filter), never a driver id-set.  Same semantics
+    as ``generate_input_for_embed_align`` (objects/KGs.py:333-371).
+
+    Layout: out_dir/{train_links,test_links,valid_links}/ Parquet dirs
+    (name_l, name_r) + manifest.json."""
+    import json
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    jp = ensure_join_cpu_budget(num_partitions)
+    if getattr(pair, "_dstate", None) is not None:
+        sub = pair._dstate.sub
+    else:
+        from prase_ray.state.align_ds import align_ds_from_arrays
+
+        sub = align_ds_from_arrays(pair.state.sub_match, pair.state.sub_prob)
+    nE = pair.kg_l.n_entities
+
+    pred = sub.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.less(t["ent_id"], nE),
+                pc.greater_equal(t["cp_prob"], threshold),
+            )
+        ).select(["ent_id", "cp_id"]).rename_columns(["l_id", "r_id"]),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: train join + anti-join marker
+
+    names_l = pair.kg_l.nodes.map_batches(
+        lambda t: t.select(["ent_id", "name"]).rename_columns(
+            ["l_id", "name_l"]
+        ),
+        batch_format="pyarrow",
+    )
+    names_r = pair.kg_r.nodes.map_batches(
+        lambda t: t.select(["ent_id", "name"]).rename_columns(
+            ["r_id", "name_r"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def name_pairs(ds):
+        return (
+            ds.join(names_l, join_type="inner", num_partitions=jp, on=("l_id",))
+            .join(names_r, join_type="inner", num_partitions=jp, on=("r_id",))
+            .select_columns(["name_l", "name_r"])
+        )
+
+    if isinstance(gold, pd.DataFrame):
+        gold = ray.data.from_pandas(gold[["l_id", "r_id"]])
+    marker = pred.map_batches(
+        lambda t: t.select(["l_id"]).append_column(
+            "visited", pa.array(np.ones(t.num_rows, np.int8))
+        ),
+        batch_format="pyarrow",
+    )
+    unvisited = gold.join(
+        marker, join_type="left_outer", num_partitions=jp, on=("l_id",)
+    ).map_batches(
+        lambda t: t.filter(pc.is_null(t["visited"])).select(["l_id", "r_id"]),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: test + valid
+
+    os.makedirs(out_dir, exist_ok=True)
+    mf_path = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(mf_path):
+        os.remove(mf_path)
+    counts = {}
+    for name, ds in (
+        ("train_links", name_pairs(pred)),
+        ("test_links", name_pairs(unvisited)),
+        ("valid_links", name_pairs(unvisited)),
+    ):
+        p = os.path.join(out_dir, name)
+        if os.path.exists(p):
+            shutil.rmtree(p)  # crash-resume: never append to partials
+        mat = ds.materialize()
+        mat.write_parquet(p)
+        counts[name] = mat.count()
+    manifest = {"complete": True, "threshold": threshold, **counts}
+    with open(mf_path, "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
 def generate_input_for_embed_align(
     pair, gold: pd.DataFrame, save_dir: str, threshold: float = 0.0
 ) -> dict:

@@ -279,3 +279,35 @@ def test_save_results_ds_matches_driver(pair, tmp_path):
         assert f"--- {section} ---" in rel_tsv
         for row in sections[section]:
             assert "\t".join(row) in rel_tsv, row
+
+
+def test_generate_embed_align_ds_matches_driver(pair, tmp_path):
+    """The Dataset-native K3 split must contain exactly the rows of the
+    driver TSV writer: same train pairs, same anti-joined test pairs,
+    test == valid."""
+    import pyarrow.parquet as pq_
+
+    from prase_ray.io.writers import generate_input_for_embed_align_ds
+
+    gold = pair.load_gold_links_from_frame(pair._gold)
+    drv_dir = str(tmp_path / "embed_drv")
+    out = generate_input_for_embed_align(pair, gold, drv_dir, threshold=0.1)
+    ds_dir = str(tmp_path / "embed_ds")
+    mf = generate_input_for_embed_align_ds(pair, gold, ds_dir, threshold=0.1)
+    assert mf["complete"]
+    assert mf["train"] == out["train"] if "train" in mf else True
+
+    def tsv_pairs(name):
+        return {
+            tuple(l.split("\t"))
+            for l in open(os.path.join(drv_dir, name)).read().splitlines()
+        }
+
+    def pq_pairs(name):
+        df = pq_.read_table(os.path.join(ds_dir, name)).to_pandas()
+        return set(zip(df["name_l"], df["name_r"]))
+
+    for name in ("train_links", "test_links", "valid_links"):
+        assert pq_pairs(name) == tsv_pairs(name), name
+    assert mf["train_links"] == out["train"]
+    assert mf["test_links"] == out["test"]
