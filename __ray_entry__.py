@@ -423,6 +423,39 @@ def q_minhash_dedup(sf_dir: str):
     )
 
 
+def q_dedup_corpus(sf_dir: str):
+    """COMPOSITION: the canonical 'dedup a corpus' pipeline — the
+    minhash near-dup keep-map applied back to the documents table as a
+    broadcast anti-filter.  The keep table is dup-component-sized
+    (small by construction) and ships once via ray.put; the corpus
+    itself streams through one vectorized map_batches — no shuffle, no
+    driver hop for the big side."""
+    import ray
+
+    from prase_ray.stages.dedup import minhash_dedup_keep_ids
+
+    keep = minhash_dedup_keep_ids(
+        _read(sf_dir, "documents"), threshold=0.6, concurrency=2
+    ).to_pandas()
+    drop = np.sort(
+        keep[keep["doc_id"] != keep["keep_id"]]["doc_id"].to_numpy(np.int64)
+    )
+    ref = ray.put(drop)
+
+    def f(t: "pa.Table", *, ref) -> "pa.Table":
+        ids = ray.get(ref)  # zero-copy plasma read, cached per worker
+        m = ~np.isin(t["doc_id"].to_numpy(), ids)
+        return t.filter(pa.array(m))
+
+    out = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "source"])
+        .map_batches(f, batch_format="pyarrow", fn_kwargs={"ref": ref})
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_candidates(sf_dir: str):
     from prase_ray.stages.dedup import simhash_candidates
 
@@ -1037,6 +1070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "minhash_dedup": q_minhash_dedup,
+        "dedup_corpus": q_dedup_corpus,
         "simhash_candidates": q_simhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -1636,6 +1670,14 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         # hash-exact end-to-end MinHash+LSH near-dup: see _sql_minhash_dedup
         "minhash_dedup": _sql_minhash_dedup(),
+        # survivors = docs not mapped to a different keeper
+        "dedup_corpus": f"""
+            SELECT d.doc_id, d.source
+            FROM documents d
+            LEFT JOIN ({_sql_minhash_dedup()}) k ON d.doc_id = k.doc_id
+            WHERE k.doc_id IS NULL OR k.doc_id = k.keep_id
+            ORDER BY d.doc_id
+        """,
         # hash-exact: reproduces the engine's FNV-1a token hashes, the
         # polynomial rolling combine, and the splitmix64 finalizer in
         # pure SQL (rolling_fingerprint, prase_ray/functions/hashing.py)
