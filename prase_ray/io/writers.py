@@ -109,11 +109,25 @@ def _rel_sections(pair, theta: float) -> pd.DataFrame:
     return merged
 
 
+def _require_array_state(pair, fn: str, ds_twin: str) -> None:
+    """The driver-TSV writers read pair.state.  In the web-scale
+    configuration (live Dataset state, arrays never synced back) those
+    arrays are seed-stale — writing them would be silently wrong output,
+    so fail loudly and point at the Dataset-native twin."""
+    if getattr(pair, "_dstate", None) is not None:
+        raise RuntimeError(
+            f"{fn} reads the driver match arrays, which are stale while "
+            f"the Dataset alignment state is live (driver_align_state="
+            f"False above the sync gate); use {ds_twin} instead"
+        )
+
+
 def save_results(pair, path: str, theta: float | None = None) -> None:
     """K1 (objects/KGs.py:373-409): sectioned TSV — attribute /
     relation / literal / entity alignment; rel/attr rows carry
     [prob_l→r, prob_r→l] filtered at prob > theta.  Fully vectorized:
     name gathers + merged rel frames + one to_csv per section."""
+    _require_array_state(pair, "save_results", "save_results_ds")
     theta = pair.cfg.theta if theta is None else theta
     st = pair.state
     names_l = _name_array(pair.kg_l.nodes_df(), "ent_id", pair.kg_l.n_nodes)
@@ -255,6 +269,7 @@ def save_params(pair, path: str) -> None:
     ``L/R \\t name_l \\t name_r \\t prob`` lines — loadable by
     KGPair.load_params.  Vectorized name gathers + one to_csv per
     block (probs written as repr, so the float round-trips exactly)."""
+    _require_array_state(pair, "save_params", "save_params_ds")
     st = pair.state
     names_l = _name_array(pair.kg_l.nodes_df(), "ent_id", pair.kg_l.n_nodes)
     names_r = _name_array(pair.kg_r.nodes_df(), "ent_id", pair.kg_r.n_nodes)

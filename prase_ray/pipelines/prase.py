@@ -459,6 +459,12 @@ class KGPair:
             rng = np.random.default_rng(self.cfg.seed if seed is None else seed)
             idx = rng.integers(0, len(lids), size=num)
             lids, rids, probs = lids[idx], rids[idx], probs[idx]
+        if self._dstate is not None:
+            # web-scale configuration: the driver arrays are STALE (run()
+            # never synced them back above the gate) — mutating them here
+            # would be silently ignored by the next run().  Apply the
+            # merge to the live Dataset state instead.
+            return self._load_ent_links_ds(lids, rids, probs, force)
         st = self.state
         changed = 0
         # the merge stays sequential: within one load, later rows may
@@ -474,6 +480,88 @@ class KGPair:
             else:
                 ok = False
             changed += 1 if ok else 0
+        return changed
+
+    def _load_ent_links_ds(
+        self,
+        lids: np.ndarray,
+        rids: np.ndarray,
+        probs: np.ndarray,
+        force: bool,
+    ) -> int:
+        """S4 merge against the LIVE Dataset state: the sequential
+        reference replay (insertion-order overwrite, ``>=`` keep-max)
+        runs on the driver over ONLY the touched rows — O(#links), never
+        O(n_nodes) — fetched via a broadcast id-set membership filter;
+        the result is written back as drop(touched) ∪ new rows (two
+        narrow map_batches + a union, no shuffle)."""
+        import pyarrow as pa
+        import ray.data
+
+        ds = self._dstate
+
+        def pull(d, ids: np.ndarray) -> dict:
+            if len(ids) == 0:
+                return {}
+            ref = ray.put(np.unique(ids))
+
+            def f(t: "pa.Table", ref=ref) -> "pa.Table":
+                s = ray.get(ref)
+                return t.filter(pa.array(np.isin(t["ent_id"].to_numpy(), s)))
+
+            cur = d.map_batches(f, batch_format="pyarrow").to_pandas()
+            if cur.empty:
+                return {}
+            return {
+                int(e): (int(c), float(p))
+                for e, c, p in zip(cur["ent_id"], cur["cp_id"], cur["cp_prob"])
+            }
+
+        sub_cur = pull(ds.sub, lids)
+        sup_cur = pull(ds.sup, rids)
+        sub_touched: set[int] = set()
+        sup_touched: set[int] = set()
+        changed = 0
+        for lid, rid, prob in zip(lids, rids, probs):
+            lid, rid, prob = int(lid), int(rid), float(prob)
+            ok = True
+            # absent row behaves as prob 0.0 (the arrays' unmatched slot)
+            if force or prob >= sub_cur.get(lid, (-1, 0.0))[1]:
+                sub_cur[lid] = (rid, prob)
+                sub_touched.add(lid)
+            else:
+                ok = False
+            if force or prob >= sup_cur.get(rid, (-1, 0.0))[1]:
+                sup_cur[rid] = (lid, prob)
+                sup_touched.add(rid)
+            else:
+                ok = False
+            changed += 1 if ok else 0
+
+        def replace(d, cur: dict, touched: set[int]):
+            if not touched:
+                return d
+            ids = np.array(sorted(touched), np.int64)
+            ref = ray.put(ids)
+
+            def drop(t: "pa.Table", ref=ref) -> "pa.Table":
+                s = ray.get(ref)
+                return t.filter(pa.array(~np.isin(t["ent_id"].to_numpy(), s)))
+
+            new_rows = pa.table(
+                {
+                    "ent_id": ids,
+                    "cp_id": np.array([cur[i][0] for i in ids], np.int64),
+                    "cp_prob": np.array([cur[i][1] for i in ids], np.float64),
+                }
+            )
+            return d.map_batches(drop, batch_format="pyarrow").union(
+                ray.data.from_arrow(new_rows)
+            )
+
+        ds.sub = replace(ds.sub, sub_cur, sub_touched)
+        ds.sup = replace(ds.sup, sup_cur, sup_touched)
+        ds.has_load = self.state.has_load
         return changed
 
     def load_embedding(
@@ -510,8 +598,44 @@ class KGPair:
 
     def reset_ent_align_prob(self, func) -> None:
         """M5 (objects/KGs.py:514-520): transform stored probs of
-        ENTITIES only (literal seeds untouched, as in the reference)."""
+        ENTITIES only (literal seeds untouched, as in the reference).
+
+        In the web-scale configuration (live Dataset state) the
+        transform applies to the MATCHED rows — unmatched entities have
+        no row, i.e. an implicit prob of 0.0 that must stay 0.0; a func
+        with func(0) ≠ 0 would need an O(n_nodes) densification, so it
+        raises loudly instead of silently diverging from the array
+        semantics."""
         nE_l, nE_r = self.kg_l.n_entities, self.kg_r.n_entities
+        if self._dstate is not None:
+            import pyarrow as pa
+
+            z = float(np.asarray(func(np.zeros(1)))[0])
+            if z != 0.0:
+                raise NotImplementedError(
+                    "reset_ent_align_prob with func(0) != 0 requires the "
+                    "driver-array state (it would assign a prob to every "
+                    "unmatched entity — O(n_nodes) rows)"
+                )
+
+            def apply(nE):
+                def f(t: "pa.Table") -> "pa.Table":
+                    p = t["cp_prob"].to_numpy(zero_copy_only=False).copy()
+                    m = t["ent_id"].to_numpy() < nE
+                    if m.any():
+                        p[m] = func(p[m])
+                    i = t.schema.get_field_index("cp_prob")
+                    return t.set_column(i, "cp_prob", pa.array(p, pa.float64()))
+
+                return f
+
+            self._dstate.sub = self._dstate.sub.map_batches(
+                apply(nE_l), batch_format="pyarrow"
+            )
+            self._dstate.sup = self._dstate.sup.map_batches(
+                apply(nE_r), batch_format="pyarrow"
+            )
+            return
         self.state.sub_prob[:nE_l] = func(self.state.sub_prob[:nE_l])
         self.state.sup_prob[:nE_r] = func(self.state.sup_prob[:nE_r])
 

@@ -80,12 +80,29 @@ def materialize_canonical_graph(
             prev = json.load(f)
         if prev.get("complete") and prev.get("threshold") == threshold:
             return prev
-    st = pair.state
     n_l = pair.kg_l.n_nodes
-    r_to_canon = np.arange(pair.kg_r.n_nodes, dtype=np.int64) + n_l
-    matched = (st.sup_match >= 0) & (st.sup_prob >= threshold)
-    r_to_canon[matched] = st.sup_match[matched]
-    map_ref = ray.put(r_to_canon)
+
+    # canon map as DATAFLOW (reference semantics: counterpart collapse,
+    # objects/KGs.py:222-255).  One formulation for both configurations:
+    # the threshold-filtered sup rows come from the LIVE Dataset state
+    # when it exists (driver_align_state=False above the sync gate —
+    # reading pair.state here would silently use seed-stale arrays), and
+    # are lifted from the driver arrays otherwise.  Either way the
+    # r→canon mapping is a Dataset joined against the kg_r node/fact
+    # tables — never an O(n_nodes_r) driver array shipped via ray.put.
+    if getattr(pair, "_dstate", None) is not None:
+        sup = pair._dstate.sup
+    else:
+        from prase_ray.state.align_ds import align_ds_from_arrays
+
+        sup = align_ds_from_arrays(pair.state.sup_match, pair.state.sup_prob)
+    canon = sup.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["cp_prob"], threshold)
+        ).select(["ent_id", "cp_id"]).rename_columns(["ent_id", "canon"]),
+        batch_format="pyarrow",
+    ).materialize()  # consumed three times: nodes_r + facts head + tail
+    n_merged = canon.count()
 
     os.makedirs(out_dir, exist_ok=True)
     # crash-resume safety: an incomplete previous attempt leaves partial
@@ -103,58 +120,96 @@ def materialize_canonical_graph(
         if os.path.exists(p):
             shutil.rmtree(p)
 
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    jp = ensure_join_cpu_budget(max(2, num_partitions))
+
+    def _coalesce_canon(b: pd.DataFrame, col: str, canon_col: str) -> np.ndarray:
+        """canonical id = counterpart when matched, namespaced r-id
+        otherwise (left-outer join null → unmatched)."""
+        c = pd.to_numeric(b[canon_col], errors="coerce").to_numpy(np.float64)
+        base = b[col].to_numpy(np.int64) + n_l
+        return np.where(np.isnan(c), base, c).astype(np.int64)
+
     def nodes_l_fn(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.rename(columns={"ent_id": "canonical_id"}).copy()
-        out["kg"] = np.int8(1)
-        out["part"] = (out["canonical_id"] % num_partitions).astype(np.int32)
-        return out
+        return pd.DataFrame(
+            {
+                "canonical_id": b["ent_id"].to_numpy(np.int64),
+                "name": b["name"],
+                "value": b["value"],
+                "is_literal": b["is_literal"],
+                "kg": np.int8(1),
+                "part": (b["ent_id"].to_numpy(np.int64) % num_partitions).astype(
+                    np.int32
+                ),
+            }
+        )
 
-    class NodesR:
-        def __init__(self):
-            self.map = ray.get(map_ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            out = b.copy()
-            out["canonical_id"] = self.map[b["ent_id"].to_numpy(np.int64)]
-            out["kg"] = np.int8(2)
-            out = out.drop(columns=["ent_id"])
-            out["part"] = (out["canonical_id"] % num_partitions).astype(np.int32)
-            return out
-
-    class FactsR:
-        def __init__(self):
-            self.map = ray.get(map_ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame(
-                {
-                    "rel_id": b["rel_id"],
-                    "head_id": self.map[b["head_id"].to_numpy(np.int64)],
-                    "tail_id": self.map[b["tail_id"].to_numpy(np.int64)],
-                    "kg": np.int8(2),
-                }
-            )
-            out["part"] = (out["head_id"] % num_partitions).astype(np.int32)
-            return out
+    def nodes_r_fn(b: pd.DataFrame) -> pd.DataFrame:
+        cid = _coalesce_canon(b, "ent_id", "canon")
+        return pd.DataFrame(
+            {
+                "canonical_id": cid,
+                "name": b["name"],
+                "value": b["value"],
+                "is_literal": b["is_literal"],
+                "kg": np.int8(2),
+                "part": (cid % num_partitions).astype(np.int32),
+            }
+        )
 
     def facts_l_fn(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.copy()
-        out["kg"] = np.int8(1)
-        out["part"] = (out["head_id"] % num_partitions).astype(np.int32)
-        return out
+        return pd.DataFrame(
+            {
+                "rel_id": b["rel_id"].to_numpy(np.int64),
+                "head_id": b["head_id"].to_numpy(np.int64),
+                "tail_id": b["tail_id"].to_numpy(np.int64),
+                "kg": np.int8(1),
+                "part": (b["head_id"].to_numpy(np.int64) % num_partitions).astype(
+                    np.int32
+                ),
+            }
+        )
+
+    def facts_r_fn(b: pd.DataFrame) -> pd.DataFrame:
+        head = _coalesce_canon(b, "head_id", "canon_h")
+        tail = _coalesce_canon(b, "tail_id", "canon_t")
+        return pd.DataFrame(
+            {
+                "rel_id": b["rel_id"].to_numpy(np.int64),
+                "head_id": head,
+                "tail_id": tail,
+                "kg": np.int8(2),
+                "part": (head % num_partitions).astype(np.int32),
+            }
+        )
+
+    nodes_r = pair.kg_r.nodes.join(
+        canon, join_type="left_outer", num_partitions=jp, on=("ent_id",)
+    )
+    facts_r = pair.kg_r.facts.join(
+        canon.rename_columns({"ent_id": "head_id", "canon": "canon_h"}),
+        join_type="left_outer",
+        num_partitions=jp,
+        on=("head_id",),
+    ).join(
+        canon.rename_columns({"ent_id": "tail_id", "canon": "canon_t"}),
+        join_type="left_outer",
+        num_partitions=jp,
+        on=("tail_id",),
+    )
 
     nodes = pair.kg_l.nodes.map_batches(nodes_l_fn, batch_format="pandas").union(
-        pair.kg_r.nodes.map_batches(NodesR, batch_format="pandas", concurrency=2)
+        nodes_r.map_batches(nodes_r_fn, batch_format="pandas")
     )
     facts = pair.kg_l.facts.map_batches(facts_l_fn, batch_format="pandas").union(
-        pair.kg_r.facts.map_batches(FactsR, batch_format="pandas", concurrency=2)
+        facts_r.map_batches(facts_r_fn, batch_format="pandas")
     )
     nodes.write_parquet(os.path.join(out_dir, "nodes"), partition_cols=["part"])
     facts.write_parquet(os.path.join(out_dir, "facts"), partition_cols=["part"])
 
     n_nodes = nodes.count()
     n_facts = facts.count()
-    n_merged = int(matched.sum())
     manifest = {
         "complete": True,
         "threshold": threshold,
@@ -222,6 +277,20 @@ def web_to_kg(
         tag_triples_by_domain(triples), names=("web-KG1", "web-KG2")
     )
     mark("build_kgs")
+    # auto-select the WEB-SCALE configuration: above the size gates the
+    # default flagship flips to join formulation + Dataset-resident
+    # alignment state — the pipeline you'd run at 100× — instead of
+    # requiring an explicit config.  Below the gates nothing changes
+    # (broadcast kernel + driver arrays stay the fast sandbox path).
+    if cfg.driver_align_state and (
+        kg_l.n_nodes + kg_r.n_nodes > cfg.driver_combine_max_nodes
+        or max(kg_l.n_facts, kg_r.n_facts) > cfg.broadcast_max_facts
+    ):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, driver_align_state=False, paris_mode="join"
+        )
     pair = KGPair(kg_l, kg_r, cfg)
     mark("seed")
     pair.run(iterations=iterations, verbose=False,

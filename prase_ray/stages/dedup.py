@@ -531,7 +531,7 @@ def embedding_neardup_pairs(
     seed: int = 5,
     max_bucket: int = 1000,
     num_partitions: int = 8,
-    probe_bits: int = 1,
+    probe_bits: int = 2,
 ) -> ray.data.Dataset:
     """Near-dup pairs by cosine ≥ threshold → Dataset(a, b, cosine).
     Scale path: random hyperplane (SRP) bucketing → exact cosine within
@@ -545,9 +545,10 @@ def embedding_neardup_pairs(
     per vector through the bucket join and once through the pair-side
     vector fetch.  The earlier both-sides-probed formulation replicated
     every vector (n_planes+1)× through the self-join; its 1-bit probes
-    on BOTH sides gave an incidental ≤2-bit effective radius — match
-    that explicitly with ``probe_bits=2`` (probe rows stay tiny; the
-    payload stream is unchanged).  A pair within the radius meets
+    on BOTH sides gave an incidental ≤2-bit effective radius — the
+    default ``probe_bits=2`` preserves that recall (probe rows stay
+    tiny; the payload stream is unchanged).  Pass ``probe_bits=1`` to
+    trade near-threshold recall for O(n_planes) fewer probe rows.  A pair within the radius meets
     EXACTLY once — the single probe x = sig_a ^ sig_b lands in b's home
     bucket — so no dedup shuffle is needed at any probe_bits.
 

@@ -992,6 +992,88 @@ def _encode_pair_fn(batch, *, maps_ref):
     return enc(batch)
 
 
+class _PairPredLookup:
+    """Per-KG pred name→id lookup from a broadcast ref — preds are
+    vocabulary-sized (O(n_preds)) at ANY corpus scale, so the small-side
+    broadcast is the right join shape; the NODE table is not, which is
+    why _encode_pair_facts_join below joins it instead."""
+
+    def __init__(self, pred_maps_ref):
+        maps = ray.get(pred_maps_ref)
+        self.idx = {k: (pd.Index(maps[k][0]), maps[k][1]) for k in (0, 1)}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        kg = batch["kg"].to_numpy()
+        rel = np.empty(len(batch), dtype=np.int64)
+        for k in (0, 1):
+            m = kg == k
+            if m.any():
+                idx, ids = self.idx[k]
+                rel[m] = ids[idx.get_indexer(batch["pred"][m])]
+        out = batch[["kg", "subj", "subj_is_lit", "obj", "obj_is_lit"]].copy()
+        out["rel_id"] = rel
+        return out
+
+
+_PRED_LOOKUP_CACHE: dict = {}
+
+
+def _pred_lookup_fn(batch, *, pred_maps_ref):
+    key = pred_maps_ref.hex()
+    enc = _PRED_LOOKUP_CACHE.get(key)
+    if enc is None:
+        _PRED_LOOKUP_CACHE.clear()
+        enc = _PRED_LOOKUP_CACHE[key] = _PairPredLookup(pred_maps_ref)
+    return enc(batch)
+
+
+def _encode_pair_facts_join(
+    tinv: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    pdf_all: pd.DataFrame,
+    *,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Web-scale pair encode: the node table may not fit one node at the
+    north-rule scale (10^10+ entities; reference interning semantics
+    objects/KG.py:95-143), so head/tail ids come from two kg-tagged hash
+    joins against the nodes Dataset — the pair twin of
+    ``encode_facts_join`` — while the vocabulary-sized pred map is
+    broadcast.  No full node-table ``to_pandas()`` anywhere."""
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    jp = ensure_join_cpu_budget(num_partitions)
+    pred_maps = {}
+    for k in (0, 1):
+        pdf = pdf_all[pdf_all["kg"] == k]
+        pred_maps[k] = (
+            pdf["name"].to_numpy(dtype=object),
+            pdf["rel_id"].to_numpy(dtype=np.int64),
+        )
+    pred_maps_ref = ray.put(pred_maps)
+    with_rel = tinv.map_batches(
+        _pred_lookup_fn,
+        batch_format="pandas",
+        fn_kwargs={"pred_maps_ref": pred_maps_ref},
+    )
+    n = nodes.select_columns(["kg", "ent_id", "name", "is_literal"])
+    t = with_rel.join(
+        n,
+        join_type="inner",
+        num_partitions=jp,
+        on=("kg", "subj", "subj_is_lit"),
+        right_on=("kg", "name", "is_literal"),
+    ).rename_columns({"ent_id": "head_id"})
+    t = t.join(
+        n,
+        join_type="inner",
+        num_partitions=jp,
+        on=("kg", "obj", "obj_is_lit"),
+        right_on=("kg", "name", "is_literal"),
+    ).rename_columns({"ent_id": "tail_id"})
+    return t.select_columns(["kg", "rel_id", "head_id", "tail_id"])
+
+
 def build_kg_pair(
     tagged_triples: ray.data.Dataset,
     names: tuple[str, str] = ("KG1", "KG2"),
@@ -1032,26 +1114,31 @@ def build_kg_pair(
             _assign_pair_pred_ids,
             "is_attribute",
         )
-        ndf_all = nodes.to_pandas()
+        # preds stay a DRIVER frame by design (O(n_preds) — vocabulary-
+        # sized at any corpus); the NODE table never leaves the cluster
+        # on this branch: facts are encoded via kg-tagged hash joins.
         pdf_all = preds.materialize().to_pandas()
-    maps = {}
-    for k in (0, 1):
-        ndf = ndf_all[ndf_all["kg"] == k]
-        pdf = pdf_all[pdf_all["kg"] == k]
-        ent = ndf[~ndf["is_literal"]]
-        lit = ndf[ndf["is_literal"]]
-        maps[k] = (
-            ent["name"].to_numpy(dtype=object),
-            ent["ent_id"].to_numpy(dtype=np.int64),
-            lit["name"].to_numpy(dtype=object),
-            lit["ent_id"].to_numpy(dtype=np.int64),
-            pdf["name"].to_numpy(dtype=object),
-            pdf["rel_id"].to_numpy(dtype=np.int64),
+    if driver_intern:
+        maps = {}
+        for k in (0, 1):
+            ndf = ndf_all[ndf_all["kg"] == k]
+            pdf = pdf_all[pdf_all["kg"] == k]
+            ent = ndf[~ndf["is_literal"]]
+            lit = ndf[ndf["is_literal"]]
+            maps[k] = (
+                ent["name"].to_numpy(dtype=object),
+                ent["ent_id"].to_numpy(dtype=np.int64),
+                lit["name"].to_numpy(dtype=object),
+                lit["ent_id"].to_numpy(dtype=np.int64),
+                pdf["name"].to_numpy(dtype=object),
+                pdf["rel_id"].to_numpy(dtype=np.int64),
+            )
+        maps_ref = ray.put(maps)
+        facts_enc = tinv.map_batches(
+            _encode_pair_fn, batch_format="pandas", fn_kwargs={"maps_ref": maps_ref}
         )
-    maps_ref = ray.put(maps)
-    facts_enc = tinv.map_batches(
-        _encode_pair_fn, batch_format="pandas", fn_kwargs={"maps_ref": maps_ref}
-    )
+    else:
+        facts_enc = _encode_pair_facts_join(tinv, nodes, pdf_all)
 
     # A1 stats pack both KGs into one rel key space
     def _pack_rel(batch: pd.DataFrame) -> pd.DataFrame:

@@ -514,11 +514,19 @@ def _fuse_and_argmax(
         )
 
     cand = combined.map_batches(cand_rows, batch_format="pandas")
+    # LEFT OUTER joins: a candidate whose entity id is missing from the
+    # embedding Dataset must not vanish from the A6 argmax (an inner
+    # join would silently drop it — coverage gaps would degrade results
+    # with no signal).  Rows with a null embedding on either side fall
+    # back to the UNFUSED A5 value below; with full-coverage embedding
+    # Datasets (the emb_ds_from_matrix guarantee) the joins behave
+    # exactly like inner joins and outputs stay bit-equal to the
+    # broadcast path.
     j = cand.join(
-        emb_l_ds, join_type="inner", num_partitions=jp, on=("ent_id",)
+        emb_l_ds, join_type="left_outer", num_partitions=jp, on=("ent_id",)
     ).join(
         emb_r_ds.rename_columns({"ent_id": "cp_id", "emb": "emb_r"}),
-        join_type="inner",
+        join_type="left_outer",
         num_partitions=jp,
         on=("cp_id",),
     )
@@ -533,12 +541,20 @@ def _fuse_and_argmax(
                  "cp_id": np.empty(0, np.int64),
                  "val": np.empty(0, np.float64)}
             )
-        val = t["val"].to_numpy()
+        val = t["val"].to_numpy(zero_copy_only=False).astype(np.float64)
         ent = t["ent_id"].to_numpy()
-        d = len(t["emb"][0].as_py()) // 8 if t.num_rows else 0
-        X = _decode_emb(t["emb"], d)
-        Y = _decode_emb(t["emb_r"], d)
-        fused = fusion_func(val, X, Y)
+        ok = pc.and_(
+            pc.is_valid(t["emb"]), pc.is_valid(t["emb_r"])
+        ).to_numpy(zero_copy_only=False)
+        fused = val.copy()  # null-embedding rows keep the unfused value
+        if ok.any():
+            tv = t.filter(pa.array(ok))
+            d = len(tv["emb"][0].as_py()) // 8
+            X = _decode_emb(tv["emb"], d)
+            Y = _decode_emb(tv["emb_r"], d)
+            fused[ok] = fusion_func(
+                tv["val"].to_numpy(zero_copy_only=False), X, Y
+            )
         return pd.DataFrame(
             {
                 "part": _part_hash(ent, 3, n_parts),

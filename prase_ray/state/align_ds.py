@@ -306,6 +306,14 @@ class DatasetAlignState:
         import shutil
 
         os.makedirs(out_dir, exist_ok=True)
+        # drop any stale manifest BEFORE touching the data dirs: a crash
+        # between the rmtree/replace below and the new manifest write
+        # must not leave an older 'complete: true' manifest validating
+        # partially replaced data (same ordering fix as
+        # web_kg.materialize_canonical_graph)
+        mf = os.path.join(out_dir, "manifest.json")
+        if os.path.exists(mf):
+            os.remove(mf)
         for name, ds in (("ent_align_sub", self.sub), ("ent_align_sup", self.sup)):
             tmp = os.path.join(out_dir, name + ".tmp")
             if os.path.exists(tmp):

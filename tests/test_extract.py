@@ -91,3 +91,66 @@ def test_extraction_lenient_utf8(ray_session):
     assert ("alpha", "cites", "beta") in set(
         zip(tri["subj"], tri["pred"], tri["obj"])
     )
+
+
+def test_web_to_kg_dataset_state_canonical_graph(ray_session, tmp_path):
+    """The WEB-SCALE configuration end-to-end: driver_combine_max_nodes=0
+    forces the auto-selected join+Dataset-state path through web_to_kg
+    (extract → pair → ds-state iterations → ds canonical graph).  The
+    alignment state never syncs back to driver arrays, and the canonical
+    graph — built by joining the LIVE Dataset sup state — must equal the
+    default (array-path) output bit for bit."""
+    import pyarrow.dataset as pads
+
+    from prase_ray.config import PrasConfig
+    from prase_ray.pipelines.web_kg import web_to_kg
+
+    def canon(out_dir):
+        nodes = (
+            pads.dataset(f"{out_dir}/nodes", partitioning="hive")
+            .to_table()
+            .to_pandas()
+            .sort_values(["canonical_id", "name", "kg"])
+            .reset_index(drop=True)
+        )
+        facts = (
+            pads.dataset(f"{out_dir}/facts", partitioning="hive")
+            .to_table()
+            .to_pandas()
+            .sort_values(["kg", "rel_id", "head_id", "tail_id"])
+            .reset_index(drop=True)
+        )
+        for df in (nodes, facts):
+            df["part"] = df["part"].astype(np.int64)
+            df["kg"] = df["kg"].astype(np.int64)
+        return nodes, facts
+
+    pages = synth_web_pages(n_pages=60, n_entities=25, seed=11)
+    out_a = str(tmp_path / "array_path")
+    sum_a = web_to_kg(pages, iterations=2, out_dir=out_a)
+    assert sum_a["pair"]._dstate is None  # conformance path synced back
+
+    pages2 = synth_web_pages(n_pages=60, n_entities=25, seed=11)
+    out_b = str(tmp_path / "ds_path")
+    cfg = PrasConfig(driver_combine_max_nodes=0)
+    sum_b = web_to_kg(pages2, iterations=2, cfg=cfg, out_dir=out_b)
+    pair_b = sum_b["pair"]
+    # the gate flipped the config and the Dataset state stayed live
+    assert pair_b.cfg.driver_align_state is False
+    assert pair_b.cfg.paris_mode == "join"
+    assert pair_b._dstate is not None
+
+    assert sum_a["canonical"]["n_merged_entities"] == \
+        sum_b["canonical"]["n_merged_entities"]
+    na, fa = canon(out_a)
+    nb, fb = canon(out_b)
+    pd.testing.assert_frame_equal(na, nb)
+    pd.testing.assert_frame_equal(fa, fb)
+
+    # stale-array consumers fail loudly instead of writing seed-stale data
+    from prase_ray.io.writers import save_params, save_results
+
+    with pytest.raises(RuntimeError, match="save_results_ds"):
+        save_results(pair_b, str(tmp_path / "res.tsv"))
+    with pytest.raises(RuntimeError, match="save_params_ds"):
+        save_params(pair_b, str(tmp_path / "params.tsv"))
