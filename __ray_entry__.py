@@ -467,9 +467,13 @@ def q_ngram_jaccard(sf_dir: str):
 
     out = ngram_jaccard_pairs(
         _read(sf_dir, "documents"), k=3, threshold=0.4, block_col="source"
-    )
+    ).to_pandas()
+    if out.empty and "a" not in out.columns:
+        out = pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
+            {"a": np.int64, "b": np.int64, "jaccard": np.float64}
+        )
     out["jaccard"] = out["jaccard"].round(6)
-    return out
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -1264,7 +1268,45 @@ def oracle_sql() -> dict[str, str]:
     # each is independently checked against the SAME closed-form SQL
     d["paris_half_iteration_join"] = d["paris_half_iteration"]
     d["paris_half_iteration_ds"] = d["paris_half_iteration"]
+    d["web_extract"] = _web_extract_oracle_sql()
     return d
+
+
+def _web_extract_oracle_sql() -> str:
+    """Oracle for q_web_extract: the same deterministic pages are
+    synthesized HERE with the pure-pandas row generator (no Ray, no
+    html, no engine extraction code) and dumped to a /tmp parquet; the
+    SQL then re-extracts the SVO triples with DuckDB's own RE2
+    regexp_extract_all over the text column — an independent
+    re-implementation of the Arrow-kernel extraction (the engine splits
+    on '.' and anchors at $; every match of the dot-terminated pattern
+    ends at a '.', so the two are equivalent for any input —
+    stages/extract.py module docstring)."""
+    import pyarrow.parquet as _pq
+
+    from prase_ray.sources.webpages import REL_VERBS, ATTR_VERBS, _page_rows
+
+    path = "/tmp/prase_ray_oracle_web_pages.parquet"
+    # same (n_pages, n_entities, seed, sents) as q_web_extract; shard-
+    # boundary-independent generator, so one driver call reproduces the
+    # parallel synthesis exactly
+    df = _page_rows(0, 200, 60, 8, 42)[["url", "text"]]
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    verbs = "|".join(REL_VERBS + ATTR_VERBS)
+    svo = rf"(\w+) ({verbs}) (\w+)\."
+    attrs = ", ".join(f"'{v}'" for v in ATTR_VERBS)
+    return f"""
+        WITH tri AS (
+            SELECT url,
+                   unnest(regexp_extract_all(text, '{svo}', 1)) AS subj,
+                   unnest(regexp_extract_all(text, '{svo}', 2)) AS pred,
+                   unnest(regexp_extract_all(text, '{svo}', 3)) AS obj
+            FROM read_parquet('{path}')
+        )
+        SELECT url, subj, pred, obj,
+               pred IN ({attrs}) AS obj_is_literal
+        FROM tri
+    """
 
 
 def _oracle_sql_base() -> dict[str, str]:

@@ -312,6 +312,111 @@ def save_params(pair, path: str) -> None:
             _write_tsv(f, frame, None)
 
 
+def save_params_ds(pair, out_dir: str, num_partitions: int = 8) -> dict:
+    """K2 at web scale: the checkpoint dump's per-ENTITY sections as
+    hash-partitioned Parquet Datasets — matched rows joined against the
+    per-KG node-name Datasets (the ``save_results_ds`` shape), never an
+    O(n_nodes) driver gather — plus the rel sections as the
+    reference-format 4-col TSV (O(n_preds²), driver-sized at any
+    corpus).  Same content as ``save_params`` (objects/KGs.py:411-438);
+    note the real resumability checkpoint is ``DatasetAlignState.save``
+    — this is the reference-format interchange dump.  Layout:
+
+        out_dir/ent_links_l/part=K/*.parquet  (name_a, name_b, prob)
+        out_dir/ent_links_r/part=K/*.parquet  (name_a = own-KG name)
+        out_dir/rel_params.tsv                (L/R \\t nl \\t nr \\t p)
+        out_dir/manifest.json
+    """
+    import json
+    import shutil
+
+    import pyarrow as pa
+    import ray.data
+
+    from prase_ray.rayctx import ensure_join_cpu_budget
+    from prase_ray.state.align_ds import align_ds_from_arrays
+
+    jp = ensure_join_cpu_budget(num_partitions)
+    if getattr(pair, "_dstate", None) is not None:
+        sub, sup = pair._dstate.sub, pair._dstate.sup
+    else:
+        sub = align_ds_from_arrays(pair.state.sub_match, pair.state.sub_prob)
+        sup = align_ds_from_arrays(pair.state.sup_match, pair.state.sup_prob)
+
+    def names(kg, key: str, out: str):
+        return kg.nodes.map_batches(
+            lambda t, k=key, o=out: t.select(["ent_id", "name"]).rename_columns(
+                [k, o]
+            ),
+            batch_format="pyarrow",
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    mf_path = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(mf_path):
+        os.remove(mf_path)  # stale manifest must not validate partials
+    counts = {}
+    for section, rows, kg_a, kg_b in (
+        ("ent_links_l", sub, pair.kg_l, pair.kg_r),
+        ("ent_links_r", sup, pair.kg_r, pair.kg_l),
+    ):
+        j = rows.join(
+            names(kg_a, "ent_id", "name_a"),
+            join_type="inner", num_partitions=jp, on=("ent_id",),
+        ).join(
+            names(kg_b, "cp_id", "name_b"),
+            join_type="inner", num_partitions=jp, on=("cp_id",),
+        )
+
+        def fmt(t: pa.Table) -> pa.Table:
+            part = pa.array(
+                (t["ent_id"].to_numpy() % num_partitions).astype(np.int32)
+            )
+            return pa.table(
+                {
+                    "part": part,
+                    "name_a": t["name_a"],
+                    "name_b": t["name_b"],
+                    "prob": t["cp_prob"],
+                }
+            )
+
+        out = j.map_batches(fmt, batch_format="pyarrow").materialize()
+        p = os.path.join(out_dir, section)
+        if os.path.exists(p):
+            shutil.rmtree(p)  # crash-resume: never append to partials
+        out.write_parquet(p, partition_cols=["part"])
+        counts[section] = out.count()
+
+    pnames_l = _name_array(pair.kg_l.preds_df, "rel_id", pair.kg_l.n_preds)
+    pnames_r = _name_array(pair.kg_r.preds_df, "rel_id", pair.kg_r.n_preds)
+    st_rel = (
+        pair._dstate if getattr(pair, "_dstate", None) is not None
+        else pair.state
+    )
+    with open(os.path.join(out_dir, "rel_params.tsv"), "w",
+              encoding="utf-8") as f:
+        for prefix, pm, pl, pr in (
+            ("L", st_rel.rel_align_l, pnames_l, pnames_r),
+            ("R", st_rel.rel_align_r, pnames_r, pnames_l),
+        ):
+            rel = pm.to_frame()
+            rel = rel[rel["prob"] > 0.0]
+            frame = pd.DataFrame(
+                {
+                    "prefix": prefix,
+                    "nl": pl[rel["rel_id"].to_numpy()],
+                    "nr": pr[rel["counterpart_id"].to_numpy()],
+                    "p": rel["prob"].to_numpy(),
+                }
+            )
+            _write_tsv(f, frame, None)
+    manifest = {"complete": True, "num_partitions": num_partitions, **counts}
+    with open(mf_path, "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
 def load_params(pair, path: str, init: bool = True) -> None:
     """S6 (objects/KGs.py:440-479): checkpoint loader; sets has_load so
     the next run skips init-floor semantics."""

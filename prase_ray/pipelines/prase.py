@@ -258,7 +258,7 @@ class KGPair:
         mutual-best, right→left rel pass — but the per-entity state
         never lands on the driver; only the O(n_preds²) rel maps do."""
         from prase_ray.stages.paris_join import run_half_iteration_join_ds
-        from prase_ray.state.align_ds import bipartite_match_ds, merge_max
+        from prase_ray.state.align_ds import bipartite_match_ds
 
         ds = self._dstate
         cfg = self.cfg
@@ -275,15 +275,16 @@ class KGPair:
                     emb_ds_from_matrix(self._emb_r).materialize(),
                 )
             emb_l_ds, emb_r_ds = self._emb_ds
-        best, rel_l = run_half_iteration_join_ds(
+        # prev_sub rides the evidence shuffle: the A7 max-merge is FUSED
+        # into the combine's argmax pass (one grouped all-to-all fewer
+        # per iteration than a separate merge_max round)
+        sub, rel_l = run_half_iteration_join_ds(
             self.kg_l, self.kg_r, ds.sub, ds.rel_align_l, ds.rel_align_r,
             cfg, init=init, ent_align=True,
             emb_l_ds=emb_l_ds, emb_r_ds=emb_r_ds,
+            prev_sub=ds.sub,
         )
         ds.rel_align_l = rel_l
-        sub = merge_max(
-            ds.sub, best, ties_to_new=True, n_parts=cfg.evidence_num_partitions
-        )
         ds.sub, ds.sup = bipartite_match_ds(
             sub, ds.sup, self.kg_l.n_entities,
             n_parts=cfg.evidence_num_partitions,

@@ -452,11 +452,22 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_col: str | None = None,
     concurrency: int = 4,
-) -> pd.DataFrame:
-    """Exact n-gram Jaccard near-dup pairs.  Without LSH this is
-    quadratic, so a blocking column is required beyond toy scale —
-    pairs are only generated within equal ``block_col`` values (pass
-    None only for small corpora: it blocks on a constant)."""
+    max_block: int = 10_000,
+) -> ray.data.Dataset:
+    """Exact n-gram Jaccard near-dup pairs → Dataset(a, b, jaccard).
+    Without LSH this is quadratic, so a blocking column is required
+    beyond toy scale — pairs are only generated within equal
+    ``block_col`` values (pass None only for small corpora: it blocks
+    on a constant).
+
+    Degenerate-block guard (the X2/X3/X5 ``max_bucket`` analog): a
+    block with more than ``max_block`` DOCS (hot boilerplate source)
+    would make its per-task all-pairs merge quadratic in the block — so
+    overfull blocks are dropped entirely, bounding any task at
+    O(max_block²) pair rows.  Pairs within surviving blocks stay EXACT
+    (dropping whole blocks, not shingles, never skews a surviving
+    pair's intersection); the skipped blocks are the documented recall
+    trade, same shape as ``drop_degenerate_buckets``."""
 
     def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
         tok, off = tokenize_offsets(batch["text"])
@@ -474,6 +485,40 @@ def ngram_jaccard_pairs(
 
     rows = docs.map_batches(shingle_rows, batch_format="pandas")
 
+    # hot-block pre-pass: distinct docs per block (each doc's shingle
+    # rows come from exactly one input batch, so per-batch distinct
+    # (block, doc) IS globally distinct), two-level vectorized count —
+    # only OVERFULL block keys (tiny by definition) reach the driver
+    def doc_partials(b: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            b[["block", "doc_id"]]
+            .drop_duplicates()
+            .groupby("block", as_index=False)
+            .size()
+        )
+        key = pd.util.hash_array(g["block"].to_numpy())
+        g.insert(0, "part", (key % np.uint64(32)).astype(np.int32))
+        return g
+
+    def overfull(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("block", as_index=False)["size"].sum()
+        return g[g["size"] > max_block][["block"]]
+
+    big = (
+        rows.map_batches(doc_partials, batch_format="pandas")
+        .groupby("part")
+        .map_groups(overfull, batch_format="pandas")
+        .to_pandas()
+    )
+    if not big.empty and "block" in big.columns:
+        ban_ref = ray.put(set(big["block"].tolist()))
+
+        def flt(b: pd.DataFrame) -> pd.DataFrame:
+            banned = ray.get(ban_ref)
+            return b[~b["block"].isin(banned)]
+
+        rows = rows.map_batches(flt, batch_format="pandas")
+
     def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
         sizes = g.groupby("doc_id")["shingle"].nunique()
         m = g.merge(g, on=["block", "shingle"])
@@ -490,17 +535,14 @@ def ngram_jaccard_pairs(
         )
         inter["jaccard"] = inter["inter"] / inter["union"].replace(0, 1)
         out = inter[inter["jaccard"] >= threshold]
-        return out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})[
+        out = out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})[
             ["a", "b", "jaccard"]
         ]
+        return out.astype(
+            {"a": np.int64, "b": np.int64, "jaccard": np.float64}
+        )
 
-    out = _ensure_cols(
-        rows.groupby("block")
-        .map_groups(block_pairs, batch_format="pandas")
-        .to_pandas(),
-        {"a": np.int64, "b": np.int64, "jaccard": np.float64},
-    )
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    return rows.groupby("block").map_groups(block_pairs, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------

@@ -344,6 +344,22 @@ _STATS_NPARTS = 32
 # facts threshold below which build_kg_pair runs the driver-side
 # intern fast path (global dedup rows fit one node trivially there)
 _PAIR_DRIVER_INTERN_MAX = 2_000_000
+# distinct-name budget for ranking the pair's interned node table on
+# the DRIVER above the fact gate: the distinct (kg, name, class) table
+# of a web corpus is orders of magnitude smaller than its fact table
+# (the exact-distinct dedup shuffle runs FIRST and its output count
+# decides), and below this gate the driver sort+rank replaces a range-
+# sort shuffle plus a second materialize round whose fixed latency
+# dominates.  Above it, the fully distributed rank runs.
+_PAIR_DRIVER_RANK_MAX_NAMES = 2_000_000
+# node-count budget for the BROADCAST pair encode above the driver-
+# intern gate: the name→id index (built inside a Ray task, held only in
+# the object store / per-worker caches — never on the driver) must fit
+# one worker's memory, the same per-node assumption as the broadcast
+# CSR (csr_by_head_ref).  Above it, facts are encoded via kg-tagged
+# hash joins instead (_encode_pair_facts_join) — slower per row but
+# with no single-node table anywhere.
+_PAIR_BROADCAST_ENCODE_MAX_NODES = 20_000_000
 
 
 def _stats_partials(batch: pd.DataFrame, n_parts: int = _STATS_NPARTS) -> pd.DataFrame:
@@ -801,6 +817,27 @@ def _pair_pred_names_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return _with_part(out.drop_duplicates())
 
 
+def _pair_pred_names_from_raw(batch: pd.DataFrame) -> pd.DataFrame:
+    """Pred names derived from the RAW tagged triples, BEFORE the INV
+    doubling: each distinct (kg, pred, obj_is_literal) yields the
+    forward name and its ``strip()+'-(INV)'`` twin (the exact set
+    _pair_pred_names_batch sees over tinv, objects/KG.py:145-157) — so
+    pred interning never re-scans the doubled table."""
+    p = batch[["kg", "pred", "obj_is_literal"]].drop_duplicates()
+    fwd = pd.DataFrame(
+        {"kg": p["kg"], "name": p["pred"], "is_attribute": p["obj_is_literal"]}
+    )
+    inv = pd.DataFrame(
+        {
+            "kg": p["kg"],
+            "name": p["pred"].str.strip() + "-(INV)",
+            "is_attribute": p["obj_is_literal"],
+        }
+    )
+    out = pd.concat([fwd, inv], ignore_index=True)
+    return _with_part(out.drop_duplicates())
+
+
 def _distinct_sorted_pair(names: ray.data.Dataset, class_col: str) -> ray.data.Dataset:
     """Distinct (kg, class, name) rows, globally sorted kg-first so a
     single dense rank yields per-KG class-ordered ids."""
@@ -901,7 +938,7 @@ def _rank_pair_driver(
     sandbox scale); the distributed path is the web-scale default."""
     blocks = names.map_batches(
         lambda g: g.drop_duplicates(["kg", class_col, "name"]).drop(
-            columns=["part"]
+            columns=["part"], errors="ignore"
         ),
         batch_format="pandas",
     )
@@ -990,6 +1027,38 @@ def _encode_pair_fn(batch, *, maps_ref):
         _ENCODE_PAIR_CACHE.clear()
         enc = _ENCODE_PAIR_CACHE[key] = _EncodePairFacts(maps_ref)
     return enc(batch)
+
+
+@ray.remote
+def _pair_encode_maps(pdf_all: pd.DataFrame, *blocks: pa.Table) -> dict:
+    """Per-KG name→id encode maps built INSIDE a Ray task from the node
+    Dataset's blocks: the concatenated table lives in the task + object
+    store, never on the driver (the _build_csr pattern).  Returns the
+    same maps dict _EncodePairFacts consumes."""
+    dfs = [b.to_pandas() for b in blocks if b.num_rows]
+    ndf_all = (
+        pd.concat(dfs, ignore_index=True)
+        if dfs
+        else pd.DataFrame(
+            {"kg": pd.Series([], dtype=np.int8), "ent_id": [], "name": [],
+             "is_literal": pd.Series([], dtype=bool)}
+        )
+    )
+    maps = {}
+    for k in (0, 1):
+        ndf = ndf_all[ndf_all["kg"] == k]
+        pdf = pdf_all[pdf_all["kg"] == k]
+        ent = ndf[~ndf["is_literal"]]
+        lit = ndf[ndf["is_literal"]]
+        maps[k] = (
+            ent["name"].to_numpy(dtype=object),
+            ent["ent_id"].to_numpy(dtype=np.int64),
+            lit["name"].to_numpy(dtype=object),
+            lit["ent_id"].to_numpy(dtype=np.int64),
+            pdf["name"].to_numpy(dtype=object),
+            pdf["rel_id"].to_numpy(dtype=np.int64),
+        )
+    return maps
 
 
 class _PairPredLookup:
@@ -1091,11 +1160,14 @@ def build_kg_pair(
     driver_intern = tinv.count() <= _PAIR_DRIVER_INTERN_MAX
 
     node_names = tinv.map_batches(_pair_node_names_batch, batch_format="pandas")
-    pred_names = tinv.map_batches(_pair_pred_names_batch, batch_format="pandas")
+    ndf_all = None
     if driver_intern:
         # conformance/sandbox scale: global dedup+sort+rank on the
         # driver skips two shuffle+materialize rounds per table whose
         # fixed latency dominates at small inputs; ids are identical
+        pred_names = tinv.map_batches(
+            _pair_pred_names_batch, batch_format="pandas"
+        )
         ndf_all, node_kg = _rank_pair_driver(
             node_names, "is_literal", _assign_pair_node_ids_local
         )
@@ -1103,22 +1175,50 @@ def build_kg_pair(
             pred_names, "is_attribute", _assign_pair_pred_ids_local
         )
     else:
-        nodes, node_kg = _dense_rank_pair(
-            _distinct_sorted_pair(node_names, "is_literal"),
-            _assign_pair_node_ids,
-            "is_literal",
+        # preds are vocabulary-sized by the engine's own contract (the
+        # O(n_preds²) rel-align maps are driver state), so pred
+        # interning is ALWAYS driver-ranked — and derived from the RAW
+        # tagged triples (fwd + '-(INV)' twin per distinct pred), never
+        # a second full scan of the doubled table.
+        pred_names = tagged_triples.map_batches(
+            _pair_pred_names_from_raw, batch_format="pandas"
         )
-        nodes = nodes.materialize()
-        preds, pred_kg = _dense_rank_pair(
-            _distinct_sorted_pair(pred_names, "is_attribute"),
-            _assign_pair_pred_ids,
-            "is_attribute",
+        pdf_all, pred_kg = _rank_pair_driver(
+            pred_names, "is_attribute", _assign_pair_pred_ids_local
         )
-        # preds stay a DRIVER frame by design (O(n_preds) — vocabulary-
-        # sized at any corpus); the NODE table never leaves the cluster
-        # on this branch: facts are encoded via kg-tagged hash joins.
-        pdf_all = preds.materialize().to_pandas()
-    if driver_intern:
+        # nodes: exact distinct via ONE hash-partitioned vectorized
+        # dedup shuffle; its (much smaller) output count picks the rank
+        # path — driver sort+rank below the gate, distributed
+        # sort+prefix-sum rank above it (identical ids either way:
+        # pandas codepoint sort == Arrow UTF-8 byte sort).
+        distinct = (
+            node_names.groupby("part")
+            .map_groups(
+                lambda g: g.drop_duplicates(
+                    ["kg", "is_literal", "name"]
+                ).drop(columns=["part"]),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        if distinct.count() <= _PAIR_DRIVER_RANK_MAX_NAMES:
+            ndf_all, node_kg = _rank_pair_driver(
+                distinct, "is_literal", _assign_pair_node_ids_local
+            )
+            chunks = [
+                c
+                for c in np.array_split(ndf_all, max(1, target_blocks // 4))
+                if len(c)
+            ] or [ndf_all]
+            nodes = ray.data.from_pandas(chunks)
+        else:
+            nodes, node_kg = _dense_rank_pair(
+                distinct.sort(["kg", "is_literal", "name"]),
+                _assign_pair_node_ids,
+                "is_literal",
+            )
+            nodes = nodes.materialize()
+    if driver_intern or ndf_all is not None:
         maps = {}
         for k in (0, 1):
             ndf = ndf_all[ndf_all["kg"] == k]
@@ -1137,7 +1237,20 @@ def build_kg_pair(
         facts_enc = tinv.map_batches(
             _encode_pair_fn, batch_format="pandas", fn_kwargs={"maps_ref": maps_ref}
         )
+    elif (
+        node_kg[0][0] + node_kg[1][0] <= _PAIR_BROADCAST_ENCODE_MAX_NODES
+    ):
+        # broadcast encode, maps built IN A TASK (object-store resident,
+        # never on the driver) — measured ~4x faster end-to-end than the
+        # hash-join encode at 5M facts, and the worker-memory assumption
+        # is the same one the broadcast CSR already makes
+        maps_ref = _pair_encode_maps.remote(pdf_all, *nodes.to_arrow_refs())
+        facts_enc = tinv.map_batches(
+            _encode_pair_fn, batch_format="pandas", fn_kwargs={"maps_ref": maps_ref}
+        )
     else:
+        # north-rule scale: no single node holds the name→id table —
+        # kg-tagged hash joins (reference interning objects/KG.py:95-143)
         facts_enc = _encode_pair_facts_join(tinv, nodes, pdf_all)
 
     # A1 stats pack both KGs into one rel key space

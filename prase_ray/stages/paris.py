@@ -48,6 +48,7 @@ KIND_NORM = 0      # (rel)            → Σ P(h≡h')·P(e≡e')     [A3]
 KIND_ONGOING = 1   # (rel, rel_cp)    → Σ P(h≡h')·P(e≡e')     [A2]
 KIND_CAND = 2      # (ent, cand)      → Σ log(factor)          [A5]
 KIND_BEST = 3      # (ent, best_cand) → fused argmax value      [A6]
+KIND_PREV = 4      # (ent, cp)        → previous-state row      [A7 input]
 
 
 def _part_hash(a: np.ndarray, kind: int, n_parts: int) -> np.ndarray:
@@ -412,9 +413,35 @@ def _finalize_candidates(ent, cand, logw, emb_l, emb_r, fusion_func, init):
 _EMB_CACHE: dict = {}
 
 
+def merge_max_arrays(
+    pe: np.ndarray, pc: np.ndarray, pp: np.ndarray,
+    ne: np.ndarray, nc: np.ndarray, nv: np.ndarray,
+    *,
+    ties_to_new: bool,
+):
+    """A7 per-entity max-prob merge of (prev, new) row arrays — the
+    vectorized core shared by align_ds.merge_max and the fused in-combine
+    merge below.  Each side holds at most one row per entity; ties go to
+    the NEW side when ``ties_to_new`` (reference ``>=``,
+    model/PARIS.py:9-13)."""
+    e = np.concatenate([pe, ne])
+    c = np.concatenate([pc, nc])
+    p = np.concatenate([pp, nv])
+    s = np.concatenate(
+        [np.zeros(len(pe), np.int8), np.ones(len(ne), np.int8)]
+    )
+    tb = s if ties_to_new else -s
+    order = np.lexsort((tb, p, e))  # by ent, then prob, then tiebreak
+    e_s = e[order]
+    last = np.ones(len(e_s), bool)
+    last[:-1] = e_s[1:] != e_s[:-1]
+    idx = order[last]
+    return e[idx], c[idx], p[idx]
+
+
 def _combine_partition(
     part: pd.DataFrame, *, emb_l_ref, emb_r_ref, fusion_func, init,
-    emit_cand: bool = False,
+    emit_cand: bool = False, merge_prev: bool = False,
 ):
     """Vectorized per-partition combine of tagged evidence partials:
 
@@ -429,13 +456,31 @@ def _combine_partition(
     - ``emit_cand=True`` (fusion-as-dataflow mode, paris_join): the
       per-(ent, cand) A5 values are emitted as kind-2 rows INSTEAD of
       fusing+argmaxing here — the caller joins them against embedding
-      Datasets and argmaxes in a later grouped pass.
+      Datasets and argmaxes in a later grouped pass.  kind-4 (prev) rows
+      pass through for the later argmax pass to merge.
+    - ``merge_prev=True`` (Dataset-state mode, paris_join): kind-4 rows
+      are the PREVIOUS sub state, hash-colocated with their entity's
+      candidates; the A7 max-merge (ties → new, model/PARIS.py:9-13)
+      happens HERE, fused into the argmax pass — one grouped shuffle
+      instead of two.  New best values are clipped BEFORE the merge, as
+      the driver merge_max path clipped them (PARIS.py:49-52).  Output
+      kind-3 rows are then the complete merged state (entities with no
+      candidates this round keep their prev row).
     """
     kinds = part["kind"].to_numpy()
     a = part["a"].to_numpy(np.int64)
     b = part["b"].to_numpy(np.int64)
     w = part["w"].to_numpy(np.float64)
     frames = []
+    mp = kinds == KIND_PREV
+    if mp.any() and emit_cand:
+        # fusion-as-dataflow: prev rows ride through to the final
+        # fused-argmax pass (paris_join._fuse_and_argmax merges them)
+        frames.append(
+            pd.DataFrame(
+                {"kind": np.int8(KIND_PREV), "a": a[mp], "b": b[mp], "w": w[mp]}
+            )
+        )
     for kind in (KIND_NORM, KIND_ONGOING):
         m = kinds == kind
         if m.any():
@@ -458,24 +503,38 @@ def _combine_partition(
                 }
             )
         )
-    elif m.any():
-        ent, cand, logw = _grouped_sum(a[m], b[m], w[m])
-        if (
-            not init
-            and emb_l_ref is not None
-            and emb_r_ref is not None
-        ):
-            key = (emb_l_ref.hex(), emb_r_ref.hex())
-            embs = _EMB_CACHE.get(key)
-            if embs is None:
-                _EMB_CACHE.clear()
-                embs = _EMB_CACHE[key] = (ray.get(emb_l_ref), ray.get(emb_r_ref))
-            emb_l, emb_r = embs
+    elif m.any() or (merge_prev and mp.any()):
+        if m.any():
+            ent, cand, logw = _grouped_sum(a[m], b[m], w[m])
+            if (
+                not init
+                and emb_l_ref is not None
+                and emb_r_ref is not None
+            ):
+                key = (emb_l_ref.hex(), emb_r_ref.hex())
+                embs = _EMB_CACHE.get(key)
+                if embs is None:
+                    _EMB_CACHE.clear()
+                    embs = _EMB_CACHE[key] = (
+                        ray.get(emb_l_ref), ray.get(emb_r_ref)
+                    )
+                emb_l, emb_r = embs
+            else:
+                emb_l = emb_r = None
+            e_s, c_s, v_s = _finalize_candidates(
+                ent, cand, logw, emb_l, emb_r, fusion_func, init
+            )
         else:
-            emb_l = emb_r = None
-        e_s, c_s, v_s = _finalize_candidates(
-            ent, cand, logw, emb_l, emb_r, fusion_func, init
-        )
+            e_s = c_s = np.empty(0, np.int64)
+            v_s = np.empty(0, np.float64)
+        if merge_prev:
+            # fused A7: clip AFTER argmax (PARIS.py:49-52), then
+            # max-merge with the colocated prev rows, ties → new
+            e_s, c_s, v_s = merge_max_arrays(
+                a[mp], b[mp], w[mp],
+                e_s, c_s, np.clip(v_s, 0.0, 1.0),
+                ties_to_new=True,
+            )
         frames.append(
             pd.DataFrame(
                 {

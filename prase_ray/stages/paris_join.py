@@ -53,11 +53,13 @@ from prase_ray.stages.paris import (
     KIND_NORM,
     KIND_ONGOING,
     KIND_CAND,
+    KIND_PREV,
     _combine_partition,
     _grouped_sum,
     _part_hash,
     _partial_sum,
     finalize_half_iteration,
+    merge_max_arrays,
 )
 from prase_ray.state.alignment import PackedProbMap
 
@@ -403,13 +405,24 @@ def run_half_iteration_join_ds(
     ent_align: bool,
     emb_l_ds: ray.data.Dataset | None = None,
     emb_r_ds: ray.data.Dataset | None = None,
+    prev_sub: ray.data.Dataset | None = None,
 ):
     """One directed pass with the align state as a DATASET end-to-end
     (state/align_ds.py): ``ea_sub`` is the streamed side's live
     (ent_id, cp_id, cp_prob) Dataset; no O(n_nodes) driver array exists
     anywhere on this path.  Returns ``(best_ds | None, new_rel_align)``:
-    per-entity argmax rows stay a Dataset for the grouped A7 max-merge;
-    only the O(n_preds²) rel aggregates land on the driver (A4).
+    per-entity argmax rows stay a Dataset; only the O(n_preds²) rel
+    aggregates land on the driver (A4).
+
+    With ``prev_sub`` (the live previous sub state), the A7 max-merge is
+    FUSED into the combine: prev rows ride the evidence shuffle hashed
+    by the same (KIND_CAND, ent) key as their entity's candidate
+    partials, and each partition's argmax merges them in the same
+    vectorized pass (ties → new, model/PARIS.py:9-13) — the returned
+    Dataset then IS the merged new sub state, and the caller skips the
+    separate merge_max shuffle entirely (one grouped all-to-all fewer
+    per iteration).  Bit-equal to merge_max(prev, best)
+    (tests/test_paris.py).
 
     Embedding fusion (T2/T3, model/PARIS.py:44-48) is DATAFLOW here:
     the per-(ent, cand) A5 values are joined against the per-KG
@@ -445,6 +458,27 @@ def run_half_iteration_join_ds(
         and emb_l_ds is not None
         and emb_r_ds is not None
     )
+    merge_prev = prev_sub is not None and ent_align
+    if merge_prev:
+        n_parts = cfg.evidence_num_partitions
+
+        def prev_tagged(t: pa.Table) -> pd.DataFrame:
+            e = t["ent_id"].to_numpy()
+            return pd.DataFrame(
+                {
+                    # SAME hash as the entity's candidate partials
+                    # (_partial_sum's KIND_CAND key) → colocated merge
+                    "part": _part_hash(e, KIND_CAND, n_parts),
+                    "kind": np.full(len(e), KIND_PREV, np.int8),
+                    "a": e,
+                    "b": t["cp_id"].to_numpy(),
+                    "w": t["cp_prob"].to_numpy(),
+                }
+            )
+
+        tagged = tagged.union(
+            prev_sub.map_batches(prev_tagged, batch_format="pyarrow")
+        )
     combine = functools.partial(
         _combine_partition,
         emb_l_ref=None,
@@ -452,6 +486,7 @@ def run_half_iteration_join_ds(
         fusion_func=cfg.fusion_func,
         init=init,
         emit_cand=fusion_dataflow,
+        merge_prev=merge_prev and not fusion_dataflow,
     )
     combined = tagged.groupby("part").map_groups(combine, batch_format="pandas")
     if ent_align:
@@ -470,7 +505,9 @@ def run_half_iteration_join_ds(
         return None, new_rel_align
 
     if fusion_dataflow:
-        best_ds = _fuse_and_argmax(combined, emb_l_ds, emb_r_ds, cfg)
+        best_ds = _fuse_and_argmax(
+            combined, emb_l_ds, emb_r_ds, cfg, merge_prev=merge_prev
+        )
         return best_ds, new_rel_align
 
     def best_rows(b: pd.DataFrame) -> pd.DataFrame:
@@ -479,7 +516,8 @@ def run_half_iteration_join_ds(
             {
                 "ent_id": b["a"].to_numpy(np.int64),
                 "cp_id": b["b"].to_numpy(np.int64),
-                # clip AFTER argmax, as PARIS.py:49-52
+                # clip AFTER argmax, as PARIS.py:49-52 (no-op when the
+                # fused A7 merge already clipped inside the combine)
                 "cp_prob": np.clip(b["w"].to_numpy(np.float64), 0.0, 1.0),
             }
         )
@@ -492,11 +530,16 @@ def _fuse_and_argmax(
     emb_l_ds: ray.data.Dataset,
     emb_r_ds: ray.data.Dataset,
     cfg: PrasConfig,
+    *,
+    merge_prev: bool = False,
 ) -> ray.data.Dataset:
     """T2/T3 fusion + A6 argmax as dataflow: per-(ent, cand) A5 values
     ⋈ emb_l(ent) ⋈ emb_r(cand) → fused value → hash-partitioned
     per-entity argmax (min-cand tie, identical to the broadcast
-    kernel's _finalize_candidates)."""
+    kernel's _finalize_candidates).  With ``merge_prev`` the kind-4
+    prev-state rows riding through ``combined`` join the same grouped
+    pass and the A7 max-merge happens after the clip — fused, no
+    separate merge shuffle."""
     from prase_ray.rayctx import ensure_join_cpu_budget
     from prase_ray.stages.paris import KIND_CAND, _part_hash, _segment_argmax
 
@@ -561,26 +604,53 @@ def _fuse_and_argmax(
                 "ent_id": ent,
                 "cp_id": t["cp_id"].to_numpy(),
                 "val": fused,
+                "is_prev": np.zeros(len(ent), np.int8),
             }
+        )
+
+    stream = j.map_batches(fuse, batch_format="pyarrow")
+    if merge_prev:
+        def prev_rows(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["kind"] == KIND_PREV]
+            e = b["a"].to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    "part": _part_hash(e, 3, n_parts),
+                    "ent_id": e,
+                    "cp_id": b["b"].to_numpy(np.int64),
+                    "val": b["w"].to_numpy(np.float64),
+                    "is_prev": np.ones(len(e), np.int8),
+                }
+            )
+
+        stream = stream.union(
+            combined.map_batches(prev_rows, batch_format="pandas")
         )
 
     def argmax_group(g: pd.DataFrame) -> pd.DataFrame:
-        e = g["ent_id"].to_numpy(np.int64)
-        c = g["cp_id"].to_numpy(np.int64)
-        v = g["val"].to_numpy(np.float64)
-        order = np.lexsort((c, e))
-        be, bc, bv = _segment_argmax(e[order], c[order], v[order])
-        return pd.DataFrame(
-            {
-                "ent_id": be,
-                "cp_id": bc,
-                # clip AFTER argmax, as PARIS.py:49-52
-                "cp_prob": np.clip(bv, 0.0, 1.0),
-            }
+        prev = g["is_prev"].to_numpy(np.int8) == 1
+        n = g[~prev]
+        e = n["ent_id"].to_numpy(np.int64)
+        c = n["cp_id"].to_numpy(np.int64)
+        v = n["val"].to_numpy(np.float64)
+        if len(e):
+            order = np.lexsort((c, e))
+            be, bc, bv = _segment_argmax(e[order], c[order], v[order])
+        else:
+            # a partition may hold ONLY prev rows (entities with no
+            # candidates this round keep their state through the merge)
+            be = bc = np.empty(0, np.int64)
+            bv = np.empty(0, np.float64)
+        # clip AFTER argmax (PARIS.py:49-52), then the fused A7 merge
+        # (identity when no prev rows ride along)
+        p = g[prev]
+        be, bc, bv = merge_max_arrays(
+            p["ent_id"].to_numpy(np.int64),
+            p["cp_id"].to_numpy(np.int64),
+            p["val"].to_numpy(np.float64),
+            be, bc, np.clip(bv, 0.0, 1.0),
+            ties_to_new=True,
         )
+        return pd.DataFrame({"ent_id": be, "cp_id": bc, "cp_prob": bv})
 
-    return (
-        j.map_batches(fuse, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(argmax_group, batch_format="pandas")
-    )
+    return stream.groupby("part").map_groups(argmax_group, batch_format="pandas")

@@ -311,3 +311,107 @@ def test_generate_embed_align_ds_matches_driver(pair, tmp_path):
         assert pq_pairs(name) == tsv_pairs(name), name
     assert mf["train_links"] == out["train"]
     assert mf["test_links"] == out["test"]
+
+
+def test_save_params_ds_matches_driver(pair, tmp_path):
+    """The Dataset-native K2 dump must contain exactly the rows of the
+    driver save_params TSV: L/R entity sections as partitioned parquet
+    (name-joined, never an O(n_nodes) driver gather), rel sections as
+    the same 4-col TSV."""
+    import pyarrow.parquet as pq_
+
+    from prase_ray.io.writers import save_params, save_params_ds
+
+    txt_path = str(tmp_path / "params.tsv")
+    save_params(pair, txt_path)
+    out = str(tmp_path / "params_ds")
+    mf = save_params_ds(pair, out)
+    assert mf["complete"]
+
+    ent_rows = {"L": set(), "R": set()}
+    rel_names = {"L": set(), "R": set()}
+    # driver rows: entity sections come first, rel sections after; a
+    # name resolving as a node on both sides is an entity row
+    names_l = set(pair.kg_l.nodes_df()["name"])
+    names_r = set(pair.kg_r.nodes_df()["name"])
+    for line in open(txt_path, encoding="utf-8"):
+        if not line.strip():
+            continue
+        pfx, nl, nr, p = line.rstrip("\n").split("\t")
+        a_names = names_l if pfx == "L" else names_r
+        b_names = names_r if pfx == "L" else names_l
+        if nl in a_names and nr in b_names:
+            ent_rows[pfx].add((nl, nr, float(p)))
+        else:
+            rel_names[pfx].add((nl, nr, float(p)))
+
+    for pfx, dirname in (("L", "ent_links_l"), ("R", "ent_links_r")):
+        got_df = pq_.read_table(os.path.join(out, dirname)).to_pandas()
+        got = set(
+            zip(got_df["name_a"], got_df["name_b"],
+                got_df["prob"].astype(float))
+        )
+        assert got == ent_rows[pfx], pfx
+        assert mf[dirname] == len(ent_rows[pfx])
+
+    rel_tsv = open(os.path.join(out, "rel_params.tsv"), encoding="utf-8")
+    got_rel = {"L": set(), "R": set()}
+    for line in rel_tsv:
+        if not line.strip():
+            continue
+        pfx, nl, nr, p = line.rstrip("\n").split("\t")
+        got_rel[pfx].add((nl, nr, float(p)))
+    assert got_rel == rel_names
+
+
+def test_se_feedback_dataset_state_matches_arrays(ray_session):
+    """SE-module feedback (S4 load_ent_links + M5 reset_ent_align_prob)
+    against the LIVE Dataset state: the O(#links) replay + row
+    replacement must leave the engine in exactly the state the
+    driver-array path produces — verified by running one more iteration
+    on both and comparing predictions bit for bit."""
+    t1, t2, _ = make_two_kg_fixture(n_entities=30, seed=13)
+    kg1 = build_kg(from_pandas_triples(t1), name="KG1")
+    kg2 = build_kg(from_pandas_triples(t2), name="KG2")
+    pa_arr = KGPair(kg1, kg2, PrasConfig(concurrency=2))
+    pa_ds = KGPair(
+        kg1, kg2,
+        PrasConfig(
+            concurrency=2, paris_mode="join",
+            driver_align_state=False, driver_combine_max_nodes=0,
+        ),
+    )
+    for p in (pa_arr, pa_ds):
+        p.run(iterations=1, verbose=False)
+    assert pa_ds._dstate is not None  # stayed live above the (zeroed) gate
+
+    ndf_l = kg1.nodes.to_pandas()
+    ndf_r = kg2.nodes.to_pandas()
+    ents_l = ndf_l[~ndf_l["is_literal"]]["name"].iloc[:4].tolist()
+    ents_r = ndf_r[~ndf_r["is_literal"]]["name"].iloc[:4].tolist()
+    # mixed regime: one forced overwrite, the rest through the >= merge
+    # (including a low-prob row that must LOSE to the iterated state)
+    links = pd.DataFrame(
+        {
+            "name_l": ents_l,
+            "name_r": ents_r,
+            "prob": [0.9, 1e-9, 0.7, 0.5],
+        }
+    )
+    n_arr = pa_arr.load_ent_links(links)
+    n_ds = pa_ds.load_ent_links(links)
+    assert n_arr == n_ds
+    nf_arr = pa_arr.load_ent_links(links.iloc[:1], force=True, init_value=0.8)
+    nf_ds = pa_ds.load_ent_links(links.iloc[:1], force=True, init_value=0.8)
+    assert nf_arr == nf_ds == 1
+    pa_arr.reset_ent_align_prob(lambda p: 0.5 * p)
+    pa_ds.reset_ent_align_prob(lambda p: 0.5 * p)
+    # func(0) != 0 would densify O(n_nodes) rows — must refuse loudly
+    with pytest.raises(NotImplementedError):
+        pa_ds.reset_ent_align_prob(lambda p: p + 0.1)
+
+    for p in (pa_arr, pa_ds):
+        p.run(iterations=1, verbose=False)
+    got_arr = pa_arr.predicted_pairs(0.0).reset_index(drop=True)
+    got_ds = pa_ds.predicted_pairs(0.0).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_arr, got_ds)

@@ -107,21 +107,29 @@ def test_csr(kg):
     assert deg == 3  # likes x2 + name x1 (E1 not a tail of anything fwd)
 
 
-@pytest.mark.parametrize("force_distributed", [False, True])
-def test_pair_build_matches_sequential(ray_session, monkeypatch, force_distributed):
+@pytest.mark.parametrize(
+    "path", ["driver", "dist_driver_rank", "dist_broadcast", "dist_join"]
+)
+def test_pair_build_matches_sequential(ray_session, monkeypatch, path):
     """build_kg_pair over tagged union == two build_kg calls: identical
     node/pred id assignment, facts (as multisets), stats and counts —
-    on BOTH the size-gated driver fast path and the distributed path
-    (fixtures sit below the gate, so the distributed branch is forced
-    by zeroing the gate)."""
+    on ALL FOUR gate tiers: the driver fast path; distributed facts with
+    driver-ranked names; distributed rank with task-built broadcast
+    encode maps; and the join-encode path for node tables that fit no
+    single worker (fixtures sit below the gates, so the deeper tiers are
+    forced by zeroing them)."""
     import ray.data
 
     import prase_ray.stages.kg_build as kgb
     from prase_ray.sources.fixtures import make_two_kg_fixture
     from prase_ray.stages.kg_build import build_kg_pair
 
-    if force_distributed:
+    if path != "driver":
         monkeypatch.setattr(kgb, "_PAIR_DRIVER_INTERN_MAX", 0)
+    if path in ("dist_broadcast", "dist_join"):
+        monkeypatch.setattr(kgb, "_PAIR_DRIVER_RANK_MAX_NAMES", 0)
+    if path == "dist_join":
+        monkeypatch.setattr(kgb, "_PAIR_BROADCAST_ENCODE_MAX_NODES", 0)
 
     t1, t2, _ = make_two_kg_fixture(n_entities=50, seed=11)
     kg1s = build_kg(from_pandas_triples(t1), name="A")

@@ -184,10 +184,53 @@ def test_simhash_and_ngram_jaccard(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame(rows))
     sh = simhash_candidates(ds, max_hamming=16, concurrency=1).to_pandas()
     assert (0, 1) in set(zip(sh["a"], sh["b"]))
-    nj = ngram_jaccard_pairs(ds, k=2, threshold=0.3, concurrency=1)
+    nj = ngram_jaccard_pairs(ds, k=2, threshold=0.3, concurrency=1).to_pandas()
     pairs = set(zip(nj["a"], nj["b"]))
     assert (0, 1) in pairs
     assert (0, 2) not in pairs
+
+
+def test_ngram_jaccard_hot_block_guard(ray_session):
+    """Degenerate-block cap: a boilerplate block above max_block docs is
+    dropped entirely (bounding per-task pair rows); pairs in surviving
+    blocks stay exact and the result is a Dataset."""
+    import ray.data
+
+    from prase_ray.stages.dedup import ngram_jaccard_pairs
+
+    boiler = " ".join(f"same{i}" for i in range(20))
+    hot = pd.DataFrame(
+        {"doc_id": np.arange(50), "text": boiler, "src": "hot"}
+    )
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = " ".join(("CHANGED" if i == 7 else f"tok{i}") for i in range(30))
+    cold = pd.DataFrame(
+        {"doc_id": [100, 101], "text": [base, near], "src": "cold"}
+    )
+    ds = ray.data.from_pandas(pd.concat([hot, cold], ignore_index=True))
+    out = ngram_jaccard_pairs(
+        ds, k=2, threshold=0.3, block_col="src", max_block=10
+    )
+    assert isinstance(out, ray.data.Dataset)
+    got = out.to_pandas()
+    # the 50-doc hot block (1225 identical pairs) was dropped wholesale
+    assert set(zip(got["a"], got["b"])) == {(100, 101)}
+    # exactness in the surviving block: jaccard of the planted near-pair
+    sh_a = {(f"tok{i}", f"tok{i+1}") for i in range(29)}
+    sh_b = {
+        (
+            "CHANGED" if i == 7 else f"tok{i}",
+            "CHANGED" if i + 1 == 7 else f"tok{i+1}",
+        )
+        for i in range(29)
+    }
+    want = len(sh_a & sh_b) / len(sh_a | sh_b)
+    assert abs(float(got["jaccard"].iloc[0]) - want) < 1e-12
+    # without the guard the hot block's pairs appear (control)
+    ctrl = ngram_jaccard_pairs(
+        ds, k=2, threshold=0.3, block_col="src", max_block=100_000
+    ).to_pandas()
+    assert len(ctrl) == 1225 + 1
 
 
 def test_embedding_neardup(ray_session):
