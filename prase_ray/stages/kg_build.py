@@ -266,6 +266,42 @@ class _EncodeFacts:
         )
 
 
+@ray.remote
+def _node_maps_task(*blocks: pa.Table) -> tuple:
+    """name→id node maps built inside a Ray task (object-store
+    resident; the driver only holds the returned ref — _build_csr
+    pattern)."""
+    dfs = [b.to_pandas() for b in blocks if b.num_rows]
+    ndf = (
+        pd.concat(dfs, ignore_index=True)
+        if dfs
+        else pd.DataFrame({"ent_id": [], "name": [],
+                           "is_literal": pd.Series([], dtype=bool)})
+    )
+    ent = ndf[~ndf["is_literal"]]
+    lit = ndf[ndf["is_literal"]]
+    return (
+        ent["name"].to_numpy(dtype=object),
+        ent["ent_id"].to_numpy(dtype=np.int64),
+        lit["name"].to_numpy(dtype=object),
+        lit["ent_id"].to_numpy(dtype=np.int64),
+    )
+
+
+@ray.remote
+def _pred_maps_task(*blocks: pa.Table) -> tuple:
+    dfs = [b.to_pandas() for b in blocks if b.num_rows]
+    pdf = (
+        pd.concat(dfs, ignore_index=True)
+        if dfs
+        else pd.DataFrame({"rel_id": [], "name": []})
+    )
+    return (
+        pdf["name"].to_numpy(dtype=object),
+        pdf["rel_id"].to_numpy(dtype=np.int64),
+    )
+
+
 def encode_facts_broadcast(
     triples_inv: ray.data.Dataset,
     nodes: ray.data.Dataset,
@@ -273,20 +309,16 @@ def encode_facts_broadcast(
     *,
     concurrency: int = 4,
 ) -> ray.data.Dataset:
-    ndf = nodes.to_pandas()
-    pdf = preds.to_pandas()
-    ent = ndf[~ndf["is_literal"]]
-    lit = ndf[ndf["is_literal"]]
-    node_map_ref = ray.put(
-        (
-            ent["name"].to_numpy(dtype=object),
-            ent["ent_id"].to_numpy(dtype=np.int64),
-            lit["name"].to_numpy(dtype=object),
-            lit["ent_id"].to_numpy(dtype=np.int64),
-        )
+    """Broadcast-lookup encode: the name→id maps are built INSIDE Ray
+    tasks from the node/pred Dataset blocks (the driver never holds the
+    node table — only the object refs) and fetched once per worker.
+    Per-node memory assumption: the maps fit one worker, same as the
+    broadcast CSR; above that, callers use encode_facts_join."""
+    node_map_ref = _node_maps_task.remote(
+        *nodes.materialize().to_arrow_refs()
     )
-    pred_map_ref = ray.put(
-        (pdf["name"].to_numpy(dtype=object), pdf["rel_id"].to_numpy(dtype=np.int64))
+    pred_map_ref = _pred_maps_task.remote(
+        *preds.materialize().to_arrow_refs()
     )
     return triples_inv.map_batches(
         _encode_facts_fn,

@@ -154,6 +154,11 @@ def bipartite_match_ds(
     ents = sub.map_batches(
         lambda t: t.filter(pc.less(t["ent_id"], nE)), batch_format="pyarrow"
     ).materialize()
+    if ents.count() == 0:
+        # no claims: numpy twin leaves both states untouched (its two
+        # `if len(claim_e)` guards) — and an empty ents Dataset has no
+        # schema, which would break the acero join below
+        return sub, sup.materialize()
     lits = sub.map_batches(
         lambda t: t.filter(pc.greater_equal(t["ent_id"], nE)),
         batch_format="pyarrow",
@@ -229,6 +234,11 @@ def bipartite_match_ds(
     )
 
     # pass 2: back-pointer join — drop claims the counterpart rejected
+    if new_sup.count() == 0:
+        # every claim was prob-0 against an empty sup: no back-pointers,
+        # every claim kept (the reference's `continue` on None sup
+        # counterpart); skip the join — an empty right side has no schema
+        return sub, new_sup
     back = new_sup.map_batches(
         lambda t: t.select(["ent_id", "cp_id"]).rename_columns(
             ["cp_id", "back"]

@@ -6,7 +6,7 @@ the cases hand-written fixtures under-sample."""
 import numpy as np
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from prase_ray.stages.paris import bipartite_match
@@ -92,6 +92,9 @@ def test_merge_max_matches_numpy(ray_session, seed):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(seed=st.integers(0, 10_000))
+# seed 2230: zero ENTITY rows in sub (all-literal matches) — empty ents
+# side used to crash the acero back-pointer join (schema-less Dataset)
+@example(seed=2230)
 def test_bipartite_match_ds_matches_numpy(ray_session, seed):
     rng = np.random.default_rng(seed)
     n_l, n_r = int(rng.integers(5, 40)), int(rng.integers(5, 40))
