@@ -263,19 +263,20 @@ def web_to_kg(
         ).count()
         if mism:
             raise AssertionError(f"{mism} urls with non-identical extracted text")
-    # FUSED html→text→triples (one actor stage, one object-store hop —
-    # the intermediate text Dataset never materializes), run ONCE —
-    # tagging and the KG pair build consume the result (lazy datasets
-    # re-execute per consumer)
-    triples = extract_triples(
-        pages.select_columns(["url", "html"]), concurrency=cfg.concurrency
+    # FUSED html→text→triples→domain-tag (one actor stage + one Arrow
+    # map, one object-store hop — neither the text nor the untagged
+    # triples Dataset ever materializes), run ONCE: the single
+    # materialize here is the same one build_kg_pair needs for its
+    # multi-consumer scans, so tagging costs no extra pass
+    tagged = tag_triples_by_domain(
+        extract_triples(
+            pages.select_columns(["url", "html"]), concurrency=cfg.concurrency
+        )
     ).materialize()
     mark("extract")
     # both KGs through ONE set of tagged pipelines (intern/encode/sort/
     # stats each run once over the union — half the serial stage count)
-    kg_l, kg_r = build_kg_pair(
-        tag_triples_by_domain(triples), names=("web-KG1", "web-KG2")
-    )
+    kg_l, kg_r = build_kg_pair(tagged, names=("web-KG1", "web-KG2"))
     mark("build_kgs")
     # auto-select the WEB-SCALE configuration: above the size gates the
     # default flagship flips to join formulation + Dataset-resident
@@ -300,7 +301,9 @@ def web_to_kg(
     summary = {
         "stage_seconds": stage_t,
         "n_pages": n_pages,
-        "n_triples": triples.count(),
+        # kept (two-domain) triples: identical to the extracted count
+        # whenever every page belongs to one of the two KG domains
+        "n_triples": tagged.count(),
         "kg_l": {"entities": kg_l.n_entities, "facts": kg_l.facts.count()},
         "kg_r": {"entities": kg_r.n_entities, "facts": kg_r.facts.count()},
         "n_seeds": pair.n_seeds,

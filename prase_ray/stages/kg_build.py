@@ -24,6 +24,8 @@ lookup table — the hot PARIS kernel relies on this.
 
 from __future__ import annotations
 
+import concurrent.futures
+import functools
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -831,30 +833,30 @@ def build_kg(
 # execution — better CPU occupancy — and half the serial stage count).
 # --------------------------------------------------------------------------
 
-def _pair_node_names_batch(batch: pd.DataFrame) -> pd.DataFrame:
+def _pair_node_names_from_raw(batch: pd.DataFrame) -> pd.DataFrame:
+    """Node names derived from the RAW tagged triples, BEFORE the INV
+    doubling: the inverse fact only swaps subj/obj (objects/KG.py:145-157),
+    so the distinct (kg, name, is_literal) set over tinv equals
+    {subj as entity} ∪ {obj with its literal flag} over the raw rows —
+    half the scanned/shuffled volume of a scan over the doubled table."""
     sub = pd.DataFrame(
-        {"kg": batch["kg"], "name": batch["subj"], "is_literal": batch["subj_is_lit"]}
+        {"kg": batch["kg"], "name": batch["subj"],
+         "is_literal": np.zeros(len(batch), dtype=bool)}
     )
     obj = pd.DataFrame(
-        {"kg": batch["kg"], "name": batch["obj"], "is_literal": batch["obj_is_lit"]}
+        {"kg": batch["kg"], "name": batch["obj"],
+         "is_literal": batch["obj_is_literal"].to_numpy(dtype=bool)}
     )
     out = pd.concat([sub, obj], ignore_index=True)
-    return _with_part(out.drop_duplicates())
-
-
-def _pair_pred_names_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    out = pd.DataFrame(
-        {"kg": batch["kg"], "name": batch["pred"], "is_attribute": batch["pred_is_attr"]}
-    )
     return _with_part(out.drop_duplicates())
 
 
 def _pair_pred_names_from_raw(batch: pd.DataFrame) -> pd.DataFrame:
     """Pred names derived from the RAW tagged triples, BEFORE the INV
     doubling: each distinct (kg, pred, obj_is_literal) yields the
-    forward name and its ``strip()+'-(INV)'`` twin (the exact set
-    _pair_pred_names_batch sees over tinv, objects/KG.py:145-157) — so
-    pred interning never re-scans the doubled table."""
+    forward name and its ``strip()+'-(INV)'`` twin (the exact set a
+    scan over tinv would see, objects/KG.py:145-157) — so pred
+    interning never re-scans the doubled table."""
     p = batch[["kg", "pred", "obj_is_literal"]].drop_duplicates()
     fwd = pd.DataFrame(
         {"kg": p["kg"], "name": p["pred"], "is_attribute": p["obj_is_literal"]}
@@ -899,24 +901,43 @@ def _pair_block_stats(tbl: pa.Table, class_col: str):
 
 
 def _assign_pair_node_ids_local(
-    df: pd.DataFrame, offset: int, n_kg0: int
+    df: pd.DataFrame, offset: int, n_kg0: int, *, with_value: bool = True
 ) -> pd.DataFrame:
     """Dense per-KG ids from the global rank: sorted kg-first, so kg=1
-    rows subtract the kg=0 total."""
+    rows subtract the kg=0 total.  ``with_value=False`` skips the M1/M2
+    normalization (a serial regex pass when run on the driver) so the
+    caller can compute ``value`` distributed via _add_pair_node_values."""
     ids = np.arange(offset, offset + len(df), dtype=np.int64)
     kg = df["kg"].to_numpy().astype(np.int8)
     ids = np.where(kg == 1, ids - n_kg0, ids)
     is_lit = df["is_literal"].to_numpy(dtype=bool)
     names = df["name"].astype(str)
+    out = pd.DataFrame(
+        {"kg": kg, "ent_id": ids, "name": names, "is_literal": is_lit}
+    )
+    if with_value:
+        out.insert(3, "value", _node_values(names, is_lit))
+    return out
+
+
+def _node_values(names: pd.Series, is_lit: np.ndarray) -> pd.Series:
     value = pd.Series(index=names.index, dtype=object)
     if (~is_lit).any():
         value[~is_lit] = normalize_uri_series(names[~is_lit])
     if is_lit.any():
         value[is_lit] = normalize_literal_series(names[is_lit])
-    return pd.DataFrame(
-        {"kg": kg, "ent_id": ids, "name": names,
-         "value": value.astype(str), "is_literal": is_lit}
-    )
+    return value.astype(str)
+
+
+def _add_pair_node_values(batch: pd.DataFrame) -> pd.DataFrame:
+    """Distributed twin of the ``with_value`` branch above: same column
+    order (kg, ent_id, name, value, is_literal) as every other node
+    pipeline."""
+    out = batch.copy()
+    out.insert(3, "value", _node_values(
+        out["name"].astype(str), out["is_literal"].to_numpy(dtype=bool)
+    ))
+    return out
 
 
 @ray.remote
@@ -960,24 +981,31 @@ def _assign_pair_pred_ids(tbl: pa.Table, offset: int, n_kg0: int) -> pa.Table:
 
 
 def _rank_pair_driver(
-    names: ray.data.Dataset, class_col: str, assign_local
+    names: ray.data.Dataset, class_col: str, assign_local, *,
+    pre_deduped: bool = False,
 ) -> tuple[pd.DataFrame, dict]:
     """Size-gated driver twin of _distinct_sorted_pair + _dense_rank_pair:
     per-block dedup stays distributed (map_batches, no shuffle), the
     global dedup/sort/rank runs on the driver.  Identical ids: pandas
     sorts strings by codepoint and Arrow by UTF-8 bytes — the same total
     order.  Used only below _PAIR_DRIVER_INTERN_MAX facts (conformance /
-    sandbox scale); the distributed path is the web-scale default."""
-    blocks = names.map_batches(
-        lambda g: g.drop_duplicates(["kg", class_col, "name"]).drop(
-            columns=["part"], errors="ignore"
-        ),
-        batch_format="pandas",
-    )
+    sandbox scale); the distributed path is the web-scale default.
+    ``pre_deduped`` skips both dedup passes when the input is already
+    globally distinct (the hash-partitioned distinct shuffle's output)."""
+    if pre_deduped:
+        df = names.to_pandas()
+        if "part" in df.columns:
+            df = df.drop(columns=["part"])
+    else:
+        blocks = names.map_batches(
+            lambda g: g.drop_duplicates(["kg", class_col, "name"]).drop(
+                columns=["part"], errors="ignore"
+            ),
+            batch_format="pandas",
+        )
+        df = blocks.to_pandas().drop_duplicates(["kg", class_col, "name"])
     df = (
-        blocks.to_pandas()
-        .drop_duplicates(["kg", class_col, "name"])
-        .sort_values(["kg", class_col, "name"], kind="stable")
+        df.sort_values(["kg", class_col, "name"], kind="stable")
         .reset_index(drop=True)
     )
     kg = df["kg"].to_numpy()
@@ -1188,61 +1216,80 @@ def build_kg_pair(
     (tests/test_kg_build.py asserts id-level equality); roughly half the
     wall-clock at pair scale because every shuffle/materialization runs
     once over the union."""
-    tinv = add_inverse_edges(tagged_triples).materialize()
-    driver_intern = tinv.count() <= _PAIR_DRIVER_INTERN_MAX
+    # names/interning read the RAW tagged triples (half the rows of the
+    # INV-doubled stream — both distinct sets are provably identical,
+    # see _pair_node_names_from_raw/_pair_pred_names_from_raw), and the
+    # doubling itself stays LAZY so it fuses into the encode scan — no
+    # 2x-sized intermediate materialization anywhere in the build.
+    tagged_triples = tagged_triples.materialize()
+    n_raw = tagged_triples.count()
+    tinv = add_inverse_edges(tagged_triples)
+    driver_intern = 2 * n_raw <= _PAIR_DRIVER_INTERN_MAX
 
-    node_names = tinv.map_batches(_pair_node_names_batch, batch_format="pandas")
-    ndf_all = None
-    if driver_intern:
-        # conformance/sandbox scale: global dedup+sort+rank on the
-        # driver skips two shuffle+materialize rounds per table whose
-        # fixed latency dominates at small inputs; ids are identical
-        pred_names = tinv.map_batches(
-            _pair_pred_names_batch, batch_format="pandas"
+    node_names = tagged_triples.map_batches(
+        _pair_node_names_from_raw, batch_format="pandas"
+    )
+    # preds are vocabulary-sized by the engine's own contract (the
+    # O(n_preds²) rel-align maps are driver state), so pred interning
+    # is ALWAYS driver-ranked — and it runs in a BACKGROUND THREAD so
+    # its driver-side pull/sort overlaps the node pipeline's shuffle
+    # (two independent Dataset executions share the cluster fine; the
+    # result is joined before anything consumes pdf_all).
+    pred_names = tagged_triples.map_batches(
+        _pair_pred_names_from_raw, batch_format="pandas"
+    )
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as _ex:
+        pred_fut = _ex.submit(
+            _rank_pair_driver, pred_names, "is_attribute",
+            _assign_pair_pred_ids_local,
         )
-        ndf_all, node_kg = _rank_pair_driver(
-            node_names, "is_literal", _assign_pair_node_ids_local
-        )
-        pdf_all, pred_kg = _rank_pair_driver(
-            pred_names, "is_attribute", _assign_pair_pred_ids_local
-        )
-    else:
-        # preds are vocabulary-sized by the engine's own contract (the
-        # O(n_preds²) rel-align maps are driver state), so pred
-        # interning is ALWAYS driver-ranked — and derived from the RAW
-        # tagged triples (fwd + '-(INV)' twin per distinct pred), never
-        # a second full scan of the doubled table.
-        pred_names = tagged_triples.map_batches(
-            _pair_pred_names_from_raw, batch_format="pandas"
-        )
-        pdf_all, pred_kg = _rank_pair_driver(
-            pred_names, "is_attribute", _assign_pair_pred_ids_local
-        )
-        # nodes: exact distinct via ONE hash-partitioned vectorized
-        # dedup shuffle; its (much smaller) output count picks the rank
-        # path — driver sort+rank below the gate, distributed
-        # sort+prefix-sum rank above it (identical ids either way:
-        # pandas codepoint sort == Arrow UTF-8 byte sort).
-        distinct = (
-            node_names.groupby("part")
-            .map_groups(
-                lambda g: g.drop_duplicates(
-                    ["kg", "is_literal", "name"]
-                ).drop(columns=["part"]),
-                batch_format="pandas",
-            )
-            .materialize()
-        )
-        if distinct.count() <= _PAIR_DRIVER_RANK_MAX_NAMES:
+        ndf_all = None
+        if driver_intern:
+            # conformance/sandbox scale: global dedup+sort+rank on the
+            # driver skips two shuffle+materialize rounds per table
+            # whose fixed latency dominates at small inputs; ids are
+            # identical
             ndf_all, node_kg = _rank_pair_driver(
-                distinct, "is_literal", _assign_pair_node_ids_local
+                node_names, "is_literal", _assign_pair_node_ids_local
+            )
+        else:
+            # nodes: exact distinct via ONE hash-partitioned vectorized
+            # dedup shuffle; its (much smaller) output count picks the
+            # rank path — driver sort+rank below the gate, distributed
+            # sort+prefix-sum rank above it (identical ids either way:
+            # pandas codepoint sort == Arrow UTF-8 byte sort).
+            distinct = (
+                node_names.groupby("part")
+                .map_groups(
+                    lambda g: g.drop_duplicates(
+                        ["kg", "is_literal", "name"]
+                    ).drop(columns=["part"]),
+                    batch_format="pandas",
+                )
+                .materialize()
+            )
+        pdf_all, pred_kg = pred_fut.result()
+    if not driver_intern:
+        if distinct.count() <= _PAIR_DRIVER_RANK_MAX_NAMES:
+            # ids ranked on the driver (input already globally distinct
+            # — the hash-partitioned shuffle dedups exactly), and the
+            # M1/M2 value normalization (a regex pass over every
+            # distinct name — the serial hot spot at this tier) runs
+            # DISTRIBUTED over the node chunks
+            ndf_all, node_kg = _rank_pair_driver(
+                distinct,
+                "is_literal",
+                functools.partial(_assign_pair_node_ids_local, with_value=False),
+                pre_deduped=True,
             )
             chunks = [
                 c
                 for c in np.array_split(ndf_all, max(1, target_blocks // 4))
                 if len(c)
             ] or [ndf_all]
-            nodes = ray.data.from_pandas(chunks)
+            nodes = ray.data.from_pandas(chunks).map_batches(
+                _add_pair_node_values, batch_format="pandas"
+            )
         else:
             nodes, node_kg = _dense_rank_pair(
                 distinct.sort(["kg", "is_literal", "name"]),
