@@ -26,6 +26,9 @@ from __future__ import annotations
 
 import concurrent.futures
 import functools
+import os
+import sys
+import time
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -386,6 +389,16 @@ _PAIR_DRIVER_INTERN_MAX = 2_000_000
 # sort shuffle plus a second materialize round whose fixed latency
 # dominates.  Above it, the fully distributed rank runs.
 _PAIR_DRIVER_RANK_MAX_NAMES = 2_000_000
+# raw-fact-derived budget (name rows ≤ 2×raw facts) for pulling the
+# block-deduped name stream to the DRIVER and computing the exact
+# distinct there with Arrow's multi-threaded hash aggregation.  The
+# hash-partition distinct shuffle this replaces has multi-second fixed
+# cost and ANTI-scales on a shared memory bus (measured 4.4s@8 →
+# 10-14s@32 CPUs on 5.12M facts), while the gated pull is ≤ ~2 GB of
+# short strings and the Arrow group_by runs on every host core.  Above
+# the gate the streaming shuffle path runs unchanged — this tier is
+# OFF at true web scale by construction.
+_PAIR_DRIVER_PULL_MAX_NAME_ROWS = 32_000_000
 # node-count budget for the BROADCAST pair encode above the driver-
 # intern gate: the name→id index (built inside a Ray task, held only in
 # the object store / per-worker caches — never on the driver) must fit
@@ -1008,6 +1021,14 @@ def _rank_pair_driver(
         df.sort_values(["kg", class_col, "name"], kind="stable")
         .reset_index(drop=True)
     )
+    return _rank_pair_from_sorted_df(df, class_col, assign_local)
+
+
+def _rank_pair_from_sorted_df(
+    df: pd.DataFrame, class_col: str, assign_local
+) -> tuple[pd.DataFrame, dict]:
+    """Rank finish over a globally distinct (kg, class, name)-sorted
+    frame: per-KG counts + dense id assignment."""
     kg = df["kg"].to_numpy()
     fl = df[class_col].to_numpy(dtype=bool)
     n_kg0 = int((kg == 0).sum())
@@ -1016,6 +1037,31 @@ def _rank_pair_driver(
         1: (len(df) - n_kg0, int(fl[kg == 1].sum())),
     }
     return assign_local(df, 0, n_kg0), per_kg
+
+
+def _driver_arrow_distinct(
+    names: ray.data.Dataset, class_col: str
+) -> pd.DataFrame:
+    """Driver-side exact distinct over the block-deduped name stream,
+    gated by _PAIR_DRIVER_PULL_MAX_NAME_ROWS: Arrow's multi-threaded
+    hash aggregation + sort replace the hash-partition distinct shuffle
+    (which anti-scales under memory-bus contention at high parallelism).
+    Returns the distinct rows sorted (kg, class_col, name) — the
+    interning order (reference objects/KG.py:95-143); Arrow's UTF-8
+    byte sort equals pandas' codepoint sort, the same total order the
+    other rank tiers use."""
+    tbls = [t for t in ray.get(names.to_arrow_refs()) if t.num_rows]
+    cols = ["kg", class_col, "name"]
+    if not tbls:
+        return pd.DataFrame({"kg": pd.Series([], dtype=np.int8),
+                             class_col: pd.Series([], dtype=bool),
+                             "name": pd.Series([], dtype=object)})
+    tb = pa.concat_tables([t.select(cols) for t in tbls], promote_options="default")
+    d = tb.group_by(cols).aggregate([])
+    idx = pc.sort_indices(
+        d, sort_keys=[(c, "ascending") for c in cols]
+    )
+    return d.take(idx).select(cols).to_pandas()
 
 
 def _dense_rank_pair(sorted_ds: ray.data.Dataset, assign_remote, class_col: str):
@@ -1203,6 +1249,22 @@ def _encode_pair_facts_join(
     return t.select_columns(["kg", "rel_id", "head_id", "tail_id"])
 
 
+def _build_phase_mark():
+    """Phase-timing hook for scaling diagnostics, enabled by
+    ``RAY_GRAFT_BUILD_TIMING=1`` (stderr only, zero cost otherwise)."""
+    if os.environ.get("RAY_GRAFT_BUILD_TIMING") != "1":
+        return lambda name: None
+    t = [time.perf_counter()]
+
+    def mark(name: str) -> None:
+        now = time.perf_counter()
+        print(f"[build_kg_pair] {name}: {now - t[0]:.3f}s",
+              file=sys.stderr, flush=True)
+        t[0] = now
+
+    return mark
+
+
 def build_kg_pair(
     tagged_triples: ray.data.Dataset,
     names: tuple[str, str] = ("KG1", "KG2"),
@@ -1221,10 +1283,12 @@ def build_kg_pair(
     # see _pair_node_names_from_raw/_pair_pred_names_from_raw), and the
     # doubling itself stays LAZY so it fuses into the encode scan — no
     # 2x-sized intermediate materialization anywhere in the build.
+    mark = _build_phase_mark()
     tagged_triples = tagged_triples.materialize()
     n_raw = tagged_triples.count()
     tinv = add_inverse_edges(tagged_triples)
     driver_intern = 2 * n_raw <= _PAIR_DRIVER_INTERN_MAX
+    mark("input_mat")
 
     node_names = tagged_triples.map_batches(
         _pair_node_names_from_raw, batch_format="pandas"
@@ -1244,6 +1308,8 @@ def build_kg_pair(
             _assign_pair_pred_ids_local,
         )
         ndf_all = None
+        sorted_ndf = None
+        distinct = None
         if driver_intern:
             # conformance/sandbox scale: global dedup+sort+rank on the
             # driver skips two shuffle+materialize rounds per table
@@ -1252,6 +1318,12 @@ def build_kg_pair(
             ndf_all, node_kg = _rank_pair_driver(
                 node_names, "is_literal", _assign_pair_node_ids_local
             )
+        elif 2 * n_raw <= _PAIR_DRIVER_PULL_MAX_NAME_ROWS:
+            # name rows ≤ 2×raw facts by construction, so below this
+            # gate the exact distinct runs on the DRIVER with Arrow's
+            # threaded hash aggregation — no shuffle at all (the
+            # parallel name scan is the only cluster work)
+            sorted_ndf = _driver_arrow_distinct(node_names, "is_literal")
         else:
             # nodes: exact distinct via ONE hash-partitioned vectorized
             # dedup shuffle; its (much smaller) output count picks the
@@ -1268,20 +1340,29 @@ def build_kg_pair(
                 )
                 .materialize()
             )
+        mark("node_distinct")
         pdf_all, pred_kg = pred_fut.result()
+        mark("pred_rank_wait")
     if not driver_intern:
-        if distinct.count() <= _PAIR_DRIVER_RANK_MAX_NAMES:
+        if sorted_ndf is not None:
+            ndf_all, node_kg = _rank_pair_from_sorted_df(
+                sorted_ndf,
+                "is_literal",
+                functools.partial(_assign_pair_node_ids_local, with_value=False),
+            )
+        elif distinct.count() <= _PAIR_DRIVER_RANK_MAX_NAMES:
             # ids ranked on the driver (input already globally distinct
-            # — the hash-partitioned shuffle dedups exactly), and the
-            # M1/M2 value normalization (a regex pass over every
-            # distinct name — the serial hot spot at this tier) runs
-            # DISTRIBUTED over the node chunks
+            # — the hash-partitioned shuffle dedups exactly)
             ndf_all, node_kg = _rank_pair_driver(
                 distinct,
                 "is_literal",
                 functools.partial(_assign_pair_node_ids_local, with_value=False),
                 pre_deduped=True,
             )
+        if ndf_all is not None:
+            # the M1/M2 value normalization (a regex pass over every
+            # distinct name — the serial hot spot at this tier) runs
+            # DISTRIBUTED over the node chunks
             chunks = [
                 c
                 for c in np.array_split(ndf_all, max(1, target_blocks // 4))
@@ -1297,6 +1378,7 @@ def build_kg_pair(
                 "is_literal",
             )
             nodes = nodes.materialize()
+    mark("node_rank")
     if driver_intern or ndf_all is not None:
         maps = {}
         for k in (0, 1):
@@ -1399,12 +1481,15 @@ def build_kg_pair(
             )
         return out[0], out[1]
 
+    mark("encode_setup")
     # kg-first tail sort: per-KG slices stay globally tail-sorted
     facts = facts_enc.sort(["kg", "tail_id"]).repartition(target_blocks).materialize()
+    mark("fact_sort")
     stats = pred_stats(
         facts.map_batches(_pack_rel, batch_format="pandas"), pdf_packed
     )
     stats["rel_id"] = stats["rel_id"].to_numpy() & 0xFFFFFFFF
+    mark("stats")
 
     out = []
     for k, name in zip((0, 1), names):
@@ -1422,4 +1507,5 @@ def build_kg_pair(
             .reset_index(drop=True)
         )
         out.append(_make_kg(k, name, kg_nodes, kg_facts, preds_df, kg_facts.count()))
+    mark("split")
     return out[0], out[1]

@@ -108,16 +108,19 @@ def test_csr(kg):
 
 
 @pytest.mark.parametrize(
-    "path", ["driver", "dist_driver_rank", "dist_broadcast", "dist_join"]
+    "path",
+    ["driver", "dist_arrow_driver", "dist_driver_rank", "dist_broadcast",
+     "dist_join"],
 )
 def test_pair_build_matches_sequential(ray_session, monkeypatch, path):
     """build_kg_pair over tagged union == two build_kg calls: identical
     node/pred id assignment, facts (as multisets), stats and counts —
-    on ALL FOUR gate tiers: the driver fast path; distributed facts with
-    driver-ranked names; distributed rank with task-built broadcast
-    encode maps; and the join-encode path for node tables that fit no
-    single worker (fixtures sit below the gates, so the deeper tiers are
-    forced by zeroing them)."""
+    on ALL FIVE gate tiers: the driver fast path; the Arrow driver-pull
+    distinct (no node shuffle); distributed facts with driver-ranked
+    names; distributed rank with task-built broadcast encode maps; and
+    the join-encode path for node tables that fit no single worker
+    (fixtures sit below the gates, so the deeper tiers are forced by
+    zeroing them)."""
     import ray.data
 
     import prase_ray.stages.kg_build as kgb
@@ -126,6 +129,8 @@ def test_pair_build_matches_sequential(ray_session, monkeypatch, path):
 
     if path != "driver":
         monkeypatch.setattr(kgb, "_PAIR_DRIVER_INTERN_MAX", 0)
+    if path not in ("driver", "dist_arrow_driver"):
+        monkeypatch.setattr(kgb, "_PAIR_DRIVER_PULL_MAX_NAME_ROWS", 0)
     if path in ("dist_broadcast", "dist_join"):
         monkeypatch.setattr(kgb, "_PAIR_DRIVER_RANK_MAX_NAMES", 0)
     if path == "dist_join":
