@@ -79,11 +79,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     n_entities = max(50, n_pages // 8)
     conc = max(2, num_cpus // 2)
 
-    # scaling run iterates like the reference does (test.py uses 10):
-    # the evidence passes are the throughput-critical per-node compute
-    # the criterion is about; 2 iterations would measure mostly the
-    # one-time build
-    flagship_iters = 6 if scaling_mode else 2
+    # scaling run iterates exactly like the reference does (test.py
+    # runs 10 PARIS iterations): the evidence passes are the
+    # throughput-critical per-node compute the criterion is about; 2
+    # iterations would measure mostly the one-time build
+    flagship_iters = 10 if scaling_mode else 2
 
     def flagship():
         pages = synth_web_pages(

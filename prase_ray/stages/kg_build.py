@@ -1039,29 +1039,105 @@ def _rank_pair_from_sorted_df(
     return assign_local(df, 0, n_kg0), per_kg
 
 
-def _driver_arrow_distinct(
-    names: ray.data.Dataset, class_col: str
-) -> pd.DataFrame:
-    """Driver-side exact distinct over the block-deduped name stream,
-    gated by _PAIR_DRIVER_PULL_MAX_NAME_ROWS: Arrow's multi-threaded
-    hash aggregation + sort replace the hash-partition distinct shuffle
-    (which anti-scales under memory-bus contention at high parallelism).
-    Returns the distinct rows sorted (kg, class_col, name) — the
-    interning order (reference objects/KG.py:95-143); Arrow's UTF-8
-    byte sort equals pandas' codepoint sort, the same total order the
-    other rank tiers use."""
-    tbls = [t for t in ray.get(names.to_arrow_refs()) if t.num_rows]
-    cols = ["kg", class_col, "name"]
-    if not tbls:
-        return pd.DataFrame({"kg": pd.Series([], dtype=np.int8),
-                             class_col: pd.Series([], dtype=bool),
-                             "name": pd.Series([], dtype=object)})
-    tb = pa.concat_tables([t.select(cols) for t in tbls], promote_options="default")
-    d = tb.group_by(cols).aggregate([])
-    idx = pc.sort_indices(
-        d, sort_keys=[(c, "ascending") for c in cols]
+def _pair_names_fused(batch: pd.DataFrame) -> pd.DataFrame:
+    """ONE pass over the raw tagged triples emitting BOTH the node-name
+    rows (kind=0, flag=is_literal) and the pred-name rows (kind=1,
+    flag=is_attribute, forward + ``strip()+'-(INV)'`` twin — the exact
+    sets separate scans over tinv would see, objects/KG.py:145-157).
+    Used by the driver distinct tiers, which need no hash-partition
+    column — so this replaces two concurrent full passes and the
+    per-row name hashing with a single scan."""
+    sub = pd.DataFrame(
+        {"kg": batch["kg"], "name": batch["subj"],
+         "flag": np.zeros(len(batch), dtype=bool)}
     )
+    obj = pd.DataFrame(
+        {"kg": batch["kg"], "name": batch["obj"],
+         "flag": batch["obj_is_literal"].to_numpy(dtype=bool)}
+    )
+    nodes = pd.concat([sub, obj], ignore_index=True).drop_duplicates()
+    nodes.insert(0, "kind", np.int8(0))
+    p = batch[["kg", "pred", "obj_is_literal"]].drop_duplicates()
+    preds = pd.DataFrame(
+        {
+            "kg": np.concatenate([p["kg"].to_numpy()] * 2),
+            "name": np.concatenate(
+                [
+                    p["pred"].to_numpy(dtype=object),
+                    (p["pred"].str.strip() + "-(INV)").to_numpy(dtype=object),
+                ]
+            ),
+            "flag": np.concatenate([p["obj_is_literal"].to_numpy(dtype=bool)] * 2),
+        }
+    ).drop_duplicates()
+    preds.insert(0, "kind", np.int8(1))
+    return pd.concat([nodes, preds], ignore_index=True)
+
+
+def _arrow_distinct_sorted(tb: pa.Table, class_col: str) -> pd.DataFrame:
+    """Exact distinct + (kg, class, name) sort of a pulled name table
+    with Arrow's multi-threaded hash aggregation — the driver twin of
+    the hash-partition distinct shuffle (which anti-scales under
+    memory-bus contention at high parallelism).  Arrow's UTF-8 byte
+    sort equals pandas' codepoint sort, the same total order the other
+    rank tiers use (reference interning objects/KG.py:95-143)."""
+    tb = tb.rename_columns(["kg", "name", class_col])
+    cols = ["kg", class_col, "name"]
+    d = tb.group_by(cols).aggregate([])
+    idx = pc.sort_indices(d, sort_keys=[(c, "ascending") for c in cols])
     return d.take(idx).select(cols).to_pandas()
+
+
+@ray.remote
+def _names_of_blocks(*tbls: pa.Table) -> pa.Table:
+    """Fused name extraction over a group of store-resident triple
+    blocks (coarse tasks: grouping ~8 blocks per task makes the
+    per-task dedup ~8x more effective, so the driver pull shrinks
+    accordingly)."""
+    df = pa.concat_tables(tbls, promote_options="default").to_pandas()
+    return pa.Table.from_pandas(_pair_names_fused(df), preserve_index=False)
+
+
+def _driver_fused_distinct(
+    tagged_triples: ray.data.Dataset,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Driver-side distinct node AND pred name frames from ONE scan of
+    the raw tagged triples, gated by _PAIR_DRIVER_PULL_MAX_NAME_ROWS
+    (name rows ≤ 2×raw facts by construction, ≲2 GB of short strings at
+    the gate).  Above the gate the streaming shuffle path runs instead
+    — this tier is OFF at true web scale by construction.  The scan is
+    a raw-task fan-out over the materialized Arrow blocks: the input is
+    already store-resident, the outputs are block-distinct name sets,
+    and skipping the streaming executor saves its ~1s per-plan fixed
+    cost on a stage whose useful compute is a fraction of that."""
+    mark = _build_phase_mark()
+    refs = tagged_triples.to_arrow_refs()
+    group = 8
+    tbls = ray.get(
+        [
+            _names_of_blocks.remote(*refs[i : i + group])
+            for i in range(0, len(refs), group)
+        ]
+    )
+    tbls = [t for t in tbls if t.num_rows]
+    mark("  names/scan+pull")
+    if not tbls:
+        empty = lambda c: pd.DataFrame(  # noqa: E731
+            {"kg": pd.Series([], dtype=np.int8),
+             c: pd.Series([], dtype=bool),
+             "name": pd.Series([], dtype=object)}
+        )
+        return empty("is_literal"), empty("is_attribute")
+    tb = pa.concat_tables(
+        [t.select(["kind", "kg", "name", "flag"]) for t in tbls],
+        promote_options="default",
+    )
+    kind = tb["kind"]
+    body = tb.drop_columns(["kind"])
+    sorted_ndf = _arrow_distinct_sorted(body.filter(pc.equal(kind, 0)), "is_literal")
+    sorted_pdf = _arrow_distinct_sorted(body.filter(pc.equal(kind, 1)), "is_attribute")
+    mark("  names/distinct+sort")
+    return sorted_ndf, sorted_pdf
 
 
 def _dense_rank_pair(sorted_ds: ray.data.Dataset, assign_remote, class_col: str):
@@ -1290,41 +1366,45 @@ def build_kg_pair(
     driver_intern = 2 * n_raw <= _PAIR_DRIVER_INTERN_MAX
     mark("input_mat")
 
-    node_names = tagged_triples.map_batches(
-        _pair_node_names_from_raw, batch_format="pandas"
-    )
-    # preds are vocabulary-sized by the engine's own contract (the
-    # O(n_preds²) rel-align maps are driver state), so pred interning
-    # is ALWAYS driver-ranked — and it runs in a BACKGROUND THREAD so
-    # its driver-side pull/sort overlaps the node pipeline's shuffle
-    # (two independent Dataset executions share the cluster fine; the
-    # result is joined before anything consumes pdf_all).
-    pred_names = tagged_triples.map_batches(
-        _pair_pred_names_from_raw, batch_format="pandas"
-    )
-    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as _ex:
-        pred_fut = _ex.submit(
-            _rank_pair_driver, pred_names, "is_attribute",
-            _assign_pair_pred_ids_local,
+    ndf_all = None
+    sorted_ndf = None
+    distinct = None
+    if driver_intern or 2 * n_raw <= _PAIR_DRIVER_PULL_MAX_NAME_ROWS:
+        # driver tiers: ONE fused scan yields both name sets (node +
+        # pred), the exact distinct runs on the DRIVER with Arrow's
+        # threaded hash aggregation — no shuffle and no second pass
+        # over the triples at all
+        sorted_ndf, sorted_pdf = _driver_fused_distinct(tagged_triples)
+        pdf_all, pred_kg = _rank_pair_from_sorted_df(
+            sorted_pdf, "is_attribute", _assign_pair_pred_ids_local
         )
-        ndf_all = None
-        sorted_ndf = None
-        distinct = None
         if driver_intern:
-            # conformance/sandbox scale: global dedup+sort+rank on the
-            # driver skips two shuffle+materialize rounds per table
-            # whose fixed latency dominates at small inputs; ids are
-            # identical
-            ndf_all, node_kg = _rank_pair_driver(
-                node_names, "is_literal", _assign_pair_node_ids_local
+            # conformance/sandbox scale: value normalization runs on
+            # the driver too (ids identical on every tier)
+            ndf_all, node_kg = _rank_pair_from_sorted_df(
+                sorted_ndf, "is_literal", _assign_pair_node_ids_local
             )
-        elif 2 * n_raw <= _PAIR_DRIVER_PULL_MAX_NAME_ROWS:
-            # name rows ≤ 2×raw facts by construction, so below this
-            # gate the exact distinct runs on the DRIVER with Arrow's
-            # threaded hash aggregation — no shuffle at all (the
-            # parallel name scan is the only cluster work)
-            sorted_ndf = _driver_arrow_distinct(node_names, "is_literal")
-        else:
+            sorted_ndf = None
+        mark("node_distinct")
+    else:
+        node_names = tagged_triples.map_batches(
+            _pair_node_names_from_raw, batch_format="pandas"
+        )
+        # preds are vocabulary-sized by the engine's own contract (the
+        # O(n_preds²) rel-align maps are driver state), so pred
+        # interning is ALWAYS driver-ranked — and it runs in a
+        # BACKGROUND THREAD so its driver-side pull/sort overlaps the
+        # node pipeline's shuffle (two independent Dataset executions
+        # share the cluster fine; the result is joined before anything
+        # consumes pdf_all).
+        pred_names = tagged_triples.map_batches(
+            _pair_pred_names_from_raw, batch_format="pandas"
+        )
+        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as _ex:
+            pred_fut = _ex.submit(
+                _rank_pair_driver, pred_names, "is_attribute",
+                _assign_pair_pred_ids_local,
+            )
             # nodes: exact distinct via ONE hash-partitioned vectorized
             # dedup shuffle; its (much smaller) output count picks the
             # rank path — driver sort+rank below the gate, distributed
@@ -1340,8 +1420,8 @@ def build_kg_pair(
                 )
                 .materialize()
             )
-        mark("node_distinct")
-        pdf_all, pred_kg = pred_fut.result()
+            mark("node_distinct")
+            pdf_all, pred_kg = pred_fut.result()
         mark("pred_rank_wait")
     if not driver_intern:
         if sorted_ndf is not None:
@@ -1370,7 +1450,7 @@ def build_kg_pair(
             ] or [ndf_all]
             nodes = ray.data.from_pandas(chunks).map_batches(
                 _add_pair_node_values, batch_format="pandas"
-            )
+            ).materialize()  # consumed twice by the per-KG split
         else:
             nodes, node_kg = _dense_rank_pair(
                 distinct.sort(["kg", "is_literal", "name"]),
@@ -1482,30 +1562,51 @@ def build_kg_pair(
         return out[0], out[1]
 
     mark("encode_setup")
-    # kg-first tail sort: per-KG slices stay globally tail-sorted
+    # kg-first tail sort: per-KG slices stay globally tail-sorted (the
+    # encode scan fuses into the sort's map phase — one pass)
     facts = facts_enc.sort(["kg", "tail_id"]).repartition(target_blocks).materialize()
     mark("fact_sort")
-    stats = pred_stats(
-        facts.map_batches(_pack_rel, batch_format="pandas"), pdf_packed
-    )
-    stats["rel_id"] = stats["rel_id"].to_numpy() & 0xFFFFFFFF
-    mark("stats")
 
+    def side(t: pa.Table, k):
+        if "kg" not in t.column_names:  # empty repartition padding
+            return t
+        return t.filter(pc.equal(t["kg"], k)).drop_columns(["kg"])
+
+    # the A1 stats aggregation and the four per-KG split materializes
+    # are independent consumers of the sorted store-resident blocks —
+    # run them all concurrently
+    with concurrent.futures.ThreadPoolExecutor(max_workers=5) as _ex:
+        stats_fut = _ex.submit(
+            lambda: pred_stats(
+                facts.map_batches(_pack_rel, batch_format="pandas"),
+                pdf_packed,
+            )
+        )
+        futs = {
+            (k, which): _ex.submit(
+                lambda ds=ds, k=k: ds.map_batches(
+                    functools.partial(side, k=k), batch_format="pyarrow"
+                ).materialize()
+            )
+            for k in (0, 1)
+            for which, ds in (("nodes", nodes), ("facts", facts))
+        }
+        sides = {key: f.result() for key, f in futs.items()}
+        stats = stats_fut.result()
+    stats["rel_id"] = stats["rel_id"].to_numpy() & 0xFFFFFFFF
+    mark("stats+split")
     out = []
     for k, name in zip((0, 1), names):
-        def side(t: pa.Table, k=k):
-            if "kg" not in t.column_names:  # empty repartition padding
-                return t
-            return t.filter(pc.equal(t["kg"], k)).drop_columns(["kg"])
-
-        kg_nodes = nodes.map_batches(side, batch_format="pyarrow").materialize()
-        kg_facts = facts.map_batches(side, batch_format="pyarrow").materialize()
+        kg_facts = sides[(k, "facts")]
         preds_df = (
             stats[stats["kg"] == k]
             .drop(columns=["kg"])
             .sort_values("rel_id")
             .reset_index(drop=True)
         )
-        out.append(_make_kg(k, name, kg_nodes, kg_facts, preds_df, kg_facts.count()))
-    mark("split")
+        out.append(
+            _make_kg(
+                k, name, sides[(k, "nodes")], kg_facts, preds_df, kg_facts.count()
+            )
+        )
     return out[0], out[1]
