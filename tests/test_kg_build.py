@@ -190,3 +190,54 @@ def test_nrows_rejects_ambiguous_flags(ray_session):
         ray.get(_nrows.remote(bad))
     good = pa.table({"is_literal": [True, False, True]})
     assert ray.get(_nrows.remote(good)) == (3, 2)
+
+
+def test_pair_task_shuffle_hot_tail_sorted(ray_session, monkeypatch):
+    """The histogram-planned raw-task fact shuffle (fact_sort on the
+    gated tiers) stays globally (kg, tail_id)-sorted ACROSS blocks
+    under heavy tail skew — a hub object receiving ~half of one KG's
+    facts, the shape INV doubling produces for hot subjects at web
+    scale — and its facts/nodes/stats match the driver tier exactly."""
+    import ray.data
+
+    import prase_ray.stages.kg_build as kgb
+    from prase_ray.stages.kg_build import build_kg_pair
+
+    rng = np.random.default_rng(5)
+    n = 6000
+    subs = np.array([f"http://a/e{i}" for i in range(400)], dtype=object)
+    cold = np.array([f"http://a/o{i}" for i in range(300)], dtype=object)
+    objs = np.where(rng.random(n) < 0.5, "http://a/hub", rng.choice(cold, n))
+    df = pd.DataFrame(
+        {
+            "kg": rng.integers(0, 2, n).astype(np.int8),
+            "subj": rng.choice(subs, n),
+            "pred": rng.choice(["p0", "p1", "p2"], n),
+            "obj": objs,
+            "obj_is_literal": np.zeros(n, dtype=bool),
+        }
+    )
+    chunks = [c.reset_index(drop=True) for c in np.array_split(df, 24)]
+    tagged = ray.data.from_pandas(chunks)
+
+    ref1, ref2 = build_kg_pair(tagged, names=("A", "B"))  # driver tier
+
+    monkeypatch.setattr(kgb, "_PAIR_DRIVER_INTERN_MAX", 0)
+    kg1, kg2 = build_kg_pair(tagged, names=("A", "B"))  # task shuffle
+
+    for ref, got in ((ref1, kg1), (ref2, kg2)):
+        # block-concat order IS the global (tail_id) order, hot tail
+        # included (one partition legitimately holds the whole hub)
+        tails = got.facts.to_pandas()["tail_id"].to_numpy()
+        assert (np.diff(tails) >= 0).all()
+        fs = ref.facts.to_pandas().sort_values(
+            ["rel_id", "head_id", "tail_id"]).reset_index(drop=True)
+        fp = got.facts.to_pandas().sort_values(
+            ["rel_id", "head_id", "tail_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(fs, fp)
+        ns = ref.nodes.to_pandas().sort_values("ent_id").reset_index(drop=True)
+        npr = got.nodes.to_pandas().sort_values("ent_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(ns, npr)
+        ss = ref.preds_df.sort_values("rel_id").reset_index(drop=True)
+        sp = got.preds_df[ss.columns].sort_values("rel_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(ss, sp)
