@@ -150,18 +150,39 @@ class TripleExtractor:
         return _triples_from_text(texts, batch["url"])
 
 
+_TASK_EXTRACTOR = TripleExtractor()
+
+
+def _extract_batch(batch: pa.Table) -> pa.Table:
+    return _TASK_EXTRACTOR(batch)
+
+
 def extract_triples(
     pages_or_docs: ray.data.Dataset,
     *,
     concurrency: int = 4,
     batch_size: int = 1024,
+    use_actors: bool = False,
 ) -> ray.data.Dataset:
     """(url|doc) rows with a text column — or raw pages with an html
     column (fused html→text→triples, one object-store hop instead of
-    two) → raw_triples Dataset (url, subj, pred, obj, obj_is_literal)."""
+    two) → raw_triples Dataset (url, subj, pred, obj, obj_is_literal).
+
+    Default is STATELESS task execution: the extractor's only "state"
+    is RE2 plans, which Arrow caches per worker process regardless, so
+    an actor pool buys nothing but its spin-up latency (~1s per run).
+    ``use_actors=True`` keeps the actor-pool shape for extractors with
+    real per-actor state (a model-backed extractor loading weights in
+    ``__init__`` — the documented GPU-ready swap)."""
+    if use_actors:
+        return pages_or_docs.map_batches(
+            TripleExtractor,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            batch_size=batch_size,
+        )
     return pages_or_docs.map_batches(
-        TripleExtractor,
+        _extract_batch,
         batch_format="pyarrow",
-        concurrency=concurrency,
         batch_size=batch_size,
     )
