@@ -1053,6 +1053,60 @@ def entry() -> Any:
     return ray.data.from_pandas(out)
 
 
+def _docs_split(sf_dir: str, benchmark: bool):
+    """documents split into held-out benchmark (doc_id % 19 == 0) and
+    corpus (the rest) — the deterministic fixture for decontamination."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def flt(t):
+        # doc_id % 19 via truncating int divide (doc_id >= 0)
+        m = pc.equal(
+            pc.subtract(
+                t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 19), 19)
+            ),
+            0,
+        )
+        return t.filter(m if benchmark else pc.invert(m))
+
+    return docs.map_batches(flt, batch_format="pyarrow")
+
+
+def q_dup_ngrams(sf_dir: str):
+    """Substring-level exact duplicated-n-gram stats (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    doc, how many of its distinct 8-token shingles appear in >=1 other
+    doc.  Gram groupby -> dup-gram relation -> mark join -> doc groupby;
+    nothing corpus-sized on the driver."""
+    import ray.data
+
+    from prase_ray.stages.dedup import dup_ngram_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dup_ngram_stats(docs, k=8)
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: corpus docs sharing any 8-token
+    shingle with the held-out set (doc_id % 19 == 0).  Exercises the
+    broadcast shape (benchmark gram set << corpus: one ray.put +
+    per-batch searchsorted, the corpus never shuffles)."""
+    from prase_ray.stages.dedup import decontaminate_stats
+
+    return decontaminate_stats(
+        _docs_split(sf_dir, False),
+        _docs_split(sf_dir, True),
+        k=8,
+        broadcast=True,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_triples_docs": q_extract_triples_docs,
@@ -1106,6 +1160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prase_align": q_prase_align,
         "prase_align_dspath": q_prase_align_dspath,
         "web_extract": q_web_extract,
+        "dup_ngrams": q_dup_ngrams,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1261,6 +1317,73 @@ def _sql_minhash_dedup() -> str:
     """
 
 
+def _sql_roll(items: str) -> str:
+    """Rolling polynomial combine (sum tok[j]*C^j mod 2^64) over a
+    HUGEINT-list expression — the SQL twin of the shingle_hashes
+    window accumulator (functions/hashing.py)."""
+    return (
+        "list_reduce(list_prepend({h: 0::HUGEINT, p: 1::HUGEINT}, "
+        f"list_transform({items}, x -> {{h: x, p: 0::HUGEINT}})), "
+        f"(a, x) -> {{h: (a.h + {_sql_mul64('x.h', 'a.p')}) % {_U64}, "
+        f"p: (a.p * 1099511628211::HUGEINT) % {_U64}}}).h"
+    )
+
+
+def _sql_shingle_sh(k: int, *, prefix: str = "", where: str = "") -> str:
+    """CTE chain ``{prefix}sh(doc_id, g)``: DISTINCT splitmix64 k-token
+    shingle hashes per doc — the hash-exact SQL twin of
+    dedup.shingle_doc_rows (FNV-1a token hashes, rolling polynomial
+    window, docs shorter than k tokens contribute one whole-doc
+    shingle, empty docs none)."""
+    p = prefix
+    return f"""
+        {p}dt AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents {where}),
+        {p}tt AS (SELECT doc_id, list_transform(toks, t -> {_SQL_FNV_T}) AS th
+                  FROM {p}dt),
+        {p}win AS (
+            SELECT doc_id,
+                   CASE WHEN len(th) = 0 THEN CAST([] AS HUGEINT[])
+                        WHEN len(th) < {k} THEN [{_sql_roll('th')}]
+                        ELSE list_transform(
+                            generate_series(1, len(th) - {k - 1}),
+                            i -> {_sql_roll(f'th[i:i+{k - 1}]')})
+                   END AS ws
+            FROM {p}tt),
+        {p}wr AS (SELECT doc_id, unnest(ws) AS w FROM {p}win),
+        {p}sh AS MATERIALIZED (
+            SELECT DISTINCT doc_id, {_sql_splitmix('w')} AS g FROM {p}wr)
+    """
+
+
+def _sql_dup_ngrams() -> str:
+    """Hash-exact twin of dup_ngram_stats(k=8): distinct shingles per
+    doc, gram doc-counts, per-doc duplicated-gram stats."""
+    return f"""
+        WITH {_sql_shingle_sh(8)},
+        c AS MATERIALIZED (SELECT g, count(*) AS n FROM sh GROUP BY g)
+        SELECT sh.doc_id,
+               count(*) AS n_grams,
+               count(*) FILTER (c.n > 1) AS n_dup_grams,
+               CAST(count(*) FILTER (c.n > 1) AS DOUBLE) / count(*)
+                   AS dup_frac
+        FROM sh JOIN c USING (g)
+        GROUP BY sh.doc_id
+    """
+
+
+def _sql_decontaminate() -> str:
+    """Hash-exact twin of decontaminate_stats over the doc_id%19 split:
+    corpus docs joined to the distinct benchmark gram set."""
+    return f"""
+        WITH {_sql_shingle_sh(8, prefix='c', where='WHERE doc_id % 19 <> 0')},
+        {_sql_shingle_sh(8, prefix='b', where='WHERE doc_id % 19 = 0')},
+        bg AS MATERIALIZED (SELECT DISTINCT g FROM bsh)
+        SELECT csh.doc_id, count(*) AS n_hits
+        FROM csh JOIN bg USING (g)
+        GROUP BY csh.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     # the three PARIS half-iteration formulations (broadcast kernel,
@@ -1269,6 +1392,8 @@ def oracle_sql() -> dict[str, str]:
     d["paris_half_iteration_join"] = d["paris_half_iteration"]
     d["paris_half_iteration_ds"] = d["paris_half_iteration"]
     d["web_extract"] = _web_extract_oracle_sql()
+    d["dup_ngrams"] = _sql_dup_ngrams()
+    d["decontaminate"] = _sql_decontaminate()
     return d
 
 

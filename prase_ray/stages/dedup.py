@@ -737,3 +737,211 @@ def connected_components_df(pairs: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {"node": nodes, "label": [find(n) for n in nodes]}, dtype=np.int64
     )
+
+
+# --------------------------------------------------------------------------
+# exact duplicated n-grams + benchmark decontamination (substring level)
+# --------------------------------------------------------------------------
+
+def shingle_doc_rows(
+    docs: ray.data.Dataset,
+    *,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Dataset(doc_id, gram) of the DISTINCT k-token shingle hashes of
+    each document (rolling polynomial combine over FNV-1a token hashes,
+    functions/hashing.shingle_hashes; docs shorter than k tokens
+    contribute one whole-doc shingle, empty docs none).  Each doc is one
+    input row — map_batches never splits a row across batches — so the
+    per-batch drop_duplicates IS globally distinct per (doc, gram).
+    Shared first stage of dup_ngram_stats / decontaminate_stats."""
+
+    def rows(batch: pd.DataFrame) -> pd.DataFrame:
+        tok, off = tokenize_offsets(batch[text_col])
+        sh, sh_off = shingle_hashes(tok, off, k)
+        counts = sh_off[1:] - sh_off[:-1]
+        doc = np.repeat(batch[id_col].to_numpy(np.int64), counts)
+        return pd.DataFrame(
+            {"doc_id": doc, "gram": sh.astype(np.int64)}
+        ).drop_duplicates()
+
+    return docs.map_batches(rows, batch_format="pandas")
+
+
+def _dup_gram_filter(t: pa.Table) -> pa.Table:
+    """Grams seen in >1 doc, tagged hit=1 for the left-outer mark join."""
+    f = t.filter(pa.compute.greater(t["n_docs"], 1)).select(["gram"])
+    return f.append_column("hit", pa.array(np.ones(len(f), np.int64)))
+
+
+def dup_ngram_stats(
+    docs: ray.data.Dataset,
+    *,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-document duplicated-n-gram statistics — the exact
+    substring-level duplication signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed over distinct token shingles: for each doc, how many
+    of its distinct k-token grams also appear in at least one OTHER
+    doc.  Returns Dataset(doc_id, n_grams, n_dup_grams, dup_frac) over
+    docs with >= 1 gram (empty docs emit nothing).
+
+    Scale shape (nothing corpus-sized ever reaches the driver):
+    distinct (doc, gram) rows -> per-batch partial gram counts -> one
+    hash-partitioned groupby on gram (partials are additive because the
+    rows are already per-doc distinct) -> grams with n_docs > 1 (the
+    duplicated-gram relation, bounded by the true duplicate volume) ->
+    left hash join back on gram marks every doc row -> per-batch
+    per-doc partials -> one groupby on doc_id.  At 100 TB the gram
+    relation is the big side of the join and both sides are
+    hash-partitioned on the same key."""
+    from ray.data.aggregate import Sum
+
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    rows = shingle_doc_rows(docs, k=k, text_col=text_col, id_col=id_col)
+
+    def gram_partials(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("gram", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    dup_grams = (
+        rows.map_batches(gram_partials, batch_format="pandas")
+        .groupby("gram")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .map_batches(_dup_gram_filter, batch_format="pyarrow")
+    )
+
+    jp = ensure_join_cpu_budget(num_partitions)
+    marked = rows.map_batches(lambda t: t, batch_format="pyarrow").join(
+        dup_grams.map_batches(lambda t: t, batch_format="pyarrow"),
+        join_type="left_outer",
+        num_partitions=jp,
+        on=("gram",),
+    )
+
+    def doc_partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = _ensure_cols(b, {"doc_id": np.int64, "hit": np.float64})
+        flag = b["hit"].notna().astype(np.int64)
+        g = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64), "f": flag})
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_grams=("f", "size"), n_dup_grams=("f", "sum")
+        )
+        return out
+
+    per_doc = (
+        marked.map_batches(doc_partials, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_grams", alias_name="n_grams"),
+            Sum("n_dup_grams", alias_name="n_dup_grams"),
+        )
+    )
+
+    def frac(t: pa.Table) -> pa.Table:
+        pc = pa.compute
+        ng = pc.cast(t["n_grams"], pa.float64())
+        nd = pc.cast(t["n_dup_grams"], pa.float64())
+        return t.append_column("dup_frac", pc.divide(nd, ng))
+
+    return per_doc.map_batches(frac, batch_format="pyarrow")
+
+
+def decontaminate_stats(
+    corpus: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    *,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast: bool | None = None,
+    broadcast_max_grams: int = 2_000_000,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Benchmark decontamination: flag corpus docs sharing >= 1 distinct
+    k-token shingle with a held-out evaluation set (the n-gram-overlap
+    test-set-leak check used by large-LM training pipelines).  Returns
+    Dataset(doc_id, n_hits) for contaminated docs only, n_hits =
+    distinct shared grams.
+
+    Two size-gated shapes:
+
+    - broadcast (the common case: a benchmark is ~10^6 grams vs a
+      10^12-gram corpus): the distinct benchmark gram set is pulled
+      into ONE sorted numpy array inside the driver (bounded by
+      ``broadcast_max_grams``), shipped once via ray.put, and each
+      corpus batch filters via np.searchsorted — the corpus is never
+      shuffled at all;
+    - join (benchmark above the gate): hash join on gram, both
+      relations partitioned, no driver state.
+
+    ``broadcast=None`` counts the benchmark gram relation and picks."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    rows = shingle_doc_rows(corpus, k=k, text_col=text_col, id_col=id_col)
+    bg = (
+        shingle_doc_rows(benchmark, k=k, text_col=text_col, id_col=id_col)
+        .map_batches(
+            lambda b: b[["gram"]].drop_duplicates(), batch_format="pandas"
+        )
+        .groupby("gram")
+        .count()
+        .select_columns(["gram"])
+    )
+
+    if broadcast is None:
+        bg = bg.materialize()
+        broadcast = bg.count() <= broadcast_max_grams
+
+    def doc_partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = _ensure_cols(b, {"doc_id": np.int64})
+        return (
+            b.groupby("doc_id", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    if broadcast:
+        # benchmark gram set -> one sorted array (gate-bounded), one put
+        tabs = _ray.get(bg.to_arrow_refs())
+        grams = np.sort(
+            pa.concat_tables(tabs)["gram"].to_numpy(zero_copy_only=False)
+        )
+        gref = _ray.put(grams)
+
+        def flt(b: pd.DataFrame) -> pd.DataFrame:
+            arr = _ray.get(gref)
+            g = b["gram"].to_numpy(np.int64)
+            if len(arr) == 0:
+                return b.iloc[:0]
+            pos = np.searchsorted(arr, g).clip(0, len(arr) - 1)
+            return b[arr[pos] == g]
+
+        hits = rows.map_batches(flt, batch_format="pandas")
+    else:
+        jp = ensure_join_cpu_budget(num_partitions)
+        hits = rows.map_batches(lambda t: t, batch_format="pyarrow").join(
+            bg.map_batches(lambda t: t, batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=jp,
+            on=("gram",),
+        )
+
+    return (
+        hits.map_batches(doc_partials, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n_hits"))
+    )

@@ -916,3 +916,76 @@ def test_embedding_neardup_probe_bits(ray_session):
     for i in two_bit:
         assert (i, n + i) in p2, i       # radius-2 pair found at pb=2
         assert (i, n + i) not in p1, i   # and correctly absent at pb=1
+
+
+def test_dup_ngram_stats(ray_session):
+    """Substring-level dup-gram stats: planted 8-token shared run,
+    short-doc whole-text shingle, empty doc emits nothing."""
+    from prase_ray.stages.dedup import dup_ngram_stats
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [
+                f"x1 {shared} y1 z1",
+                f"x2 q2 {shared} y2",
+                "totally unique words only here never repeated anywhere",
+                "tiny doc",
+                "tiny doc",
+                "",
+            ],
+        }
+    )
+    out = (
+        dup_ngram_stats(ray.data.from_pandas(docs), k=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert 5 not in out.index  # empty doc -> no grams -> no row
+    # doc 0: 11 tokens -> 4 shingles; only the shared window duplicates
+    assert out.loc[0, "n_grams"] == 4 and out.loc[0, "n_dup_grams"] == 1
+    assert out.loc[1, "n_dup_grams"] == 1
+    assert out.loc[2, "n_dup_grams"] == 0
+    # short docs (<8 tokens) hash the whole text: 3 and 4 are identical
+    assert out.loc[3, "n_grams"] == 1 and out.loc[3, "n_dup_grams"] == 1
+    assert out.loc[4, "n_dup_grams"] == 1
+    assert abs(out.loc[0, "dup_frac"] - 0.25) < 1e-12
+
+
+def test_decontaminate_broadcast_equals_join(ray_session):
+    """Both decontamination shapes (broadcast gram set / hash join on
+    gram) return the identical contaminated-doc relation."""
+    from prase_ray.stages.dedup import decontaminate_stats
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    bench = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [100], "text": [f"x1 {shared} y1 z1"]})
+    )
+    corpus = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    f"x2 q2 {shared} y2",
+                    "totally unique words only here never repeated anywhere",
+                    "tiny doc",
+                ],
+            }
+        )
+    )
+    a = (
+        decontaminate_stats(corpus, bench, k=8, broadcast=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        decontaminate_stats(corpus, bench, k=8, broadcast=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert a["doc_id"].tolist() == [1] and a["n_hits"].tolist() == [1]
