@@ -1107,6 +1107,67 @@ def q_decontaminate(sf_dir: str):
     )
 
 
+def _campaign_frame(n: int = 200) -> pd.DataFrame:
+    """Deterministic closed-form interval table over the events time
+    domain (Jan 2024): campaign i starts at base + 3h*i and lasts
+    1 + splitmix64(i) % 24 hours — overlapping, variable-length, and
+    restatable verbatim in SQL (no RNG stream)."""
+    from prase_ray.functions.hashing import splitmix64
+
+    base = np.int64(np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64))
+    i = np.arange(n, dtype=np.int64)
+    dur_h = 1 + (splitmix64(i.astype(np.uint64)) % np.uint64(24)).astype(np.int64)
+    h_us = np.int64(3600) * np.int64(1_000_000)
+    start = base + i * 3 * h_us
+    end = start + dur_h * h_us
+    return pd.DataFrame(
+        {
+            "campaign_id": i,
+            "start": start.astype("datetime64[us]"),
+            "end": end.astype("datetime64[us]"),
+        }
+    )
+
+
+def _q_interval_join_impl(sf_dir: str, broadcast: bool):
+    import ray.data
+
+    from ray.data.aggregate import Count, Max, Min
+
+    from prase_ray.stages.relational import interval_join
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+    camps = ray.data.from_pandas(_campaign_frame())
+    joined = interval_join(
+        events, camps, ts_col="ts", start_col="start", end_col="end",
+        broadcast=broadcast,
+    )
+    return (
+        joined.groupby("campaign_id")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min("event_id", alias_name="min_event_id"),
+            Max("event_id", alias_name="max_event_id"),
+        )
+    )
+
+
+def q_interval_join(sf_dir: str):
+    """Non-equi range join (events into overlapping campaign windows),
+    broadcast shape: the interval table ships once, events never
+    shuffle.  Aggregates are integer-only so the result is exact."""
+    return _q_interval_join_impl(sf_dir, broadcast=True)
+
+
+def q_interval_join_binned(sf_dir: str):
+    """The same range join forced through the scale path: intervals
+    exploded to 1h time bins, ONE hash join on the bin key, exact
+    containment filter — same oracle as the broadcast twin."""
+    return _q_interval_join_impl(sf_dir, broadcast=False)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_triples_docs": q_extract_triples_docs,
@@ -1162,6 +1223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_extract": q_web_extract,
         "dup_ngrams": q_dup_ngrams,
         "decontaminate": q_decontaminate,
+        "interval_join": q_interval_join,
+        "interval_join_binned": q_interval_join_binned,
     }
 
 
@@ -1384,6 +1447,33 @@ def _sql_decontaminate() -> str:
     """
 
 
+def _sql_interval_join() -> str:
+    """Twin of q_interval_join: the campaign intervals restated in SQL
+    (same splitmix64 duration formula as _campaign_frame), non-equi
+    containment join, integer aggregates."""
+    return f"""
+        WITH ii AS (
+            SELECT i AS campaign_id, CAST(i AS HUGEINT) AS hi
+            FROM generate_series(0, 199) t(i)
+        ),
+        camp AS (
+            SELECT campaign_id,
+                   TIMESTAMP '2024-01-01' + to_hours(3 * campaign_id) AS s,
+                   TIMESTAMP '2024-01-01' + to_hours(3 * campaign_id)
+                       + to_hours(1 + CAST(({_sql_splitmix('hi')}) % 24
+                                           AS BIGINT)) AS e
+            FROM ii
+        )
+        SELECT c.campaign_id,
+               count(*) AS n_events,
+               min(ev.event_id) AS min_event_id,
+               max(ev.event_id) AS max_event_id
+        FROM events ev
+        JOIN camp c ON ev.ts >= c.s AND ev.ts < c.e
+        GROUP BY c.campaign_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     # the three PARIS half-iteration formulations (broadcast kernel,
@@ -1394,6 +1484,10 @@ def oracle_sql() -> dict[str, str]:
     d["web_extract"] = _web_extract_oracle_sql()
     d["dup_ngrams"] = _sql_dup_ngrams()
     d["decontaminate"] = _sql_decontaminate()
+    d["interval_join"] = _sql_interval_join()
+    # both interval-join shapes (broadcast probe / binned hash join)
+    # must produce the identical relation
+    d["interval_join_binned"] = d["interval_join"]
     return d
 
 

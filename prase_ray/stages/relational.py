@@ -364,3 +364,133 @@ def broadcast_join(
         return b.merge(r, on=on, how=how, suffixes=("", suffix))
 
     return left.map_batches(fn, batch_format="pandas", fn_kwargs={"ref": ref})
+
+
+def interval_join(
+    left: ray.data.Dataset,
+    intervals: ray.data.Dataset,
+    *,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_seconds: int = 3600,
+    broadcast: bool | None = None,
+    broadcast_max_intervals: int = 1_000_000,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Non-equi interval (range) join: every (left row, interval) pair
+    with ``start <= ts < end`` — the classic event-to-campaign /
+    reading-to-maintenance-window join Ray Data has no verb for.
+    Returns the inner join of both relations' columns.
+
+    Two size-gated shapes:
+
+    - broadcast (intervals fit one node — the common case): intervals
+      are pulled once into sorted arrays (gate-bounded), shipped via
+      one ray.put, and each left batch finds its candidates with two
+      np.searchsorted probes against the start array bounded by the
+      max interval duration — the big side never shuffles;
+    - binned join (both sides huge): each interval is exploded to the
+      fixed time bins it overlaps (flat expansion, bounded by
+      duration/bin_seconds rows per interval), each left row keyed by
+      its single bin, then ONE hash join on the bin key + an exact
+      containment filter.  A left row matches an interval in exactly
+      one bin (its own), so no dedup pass is needed.  Pick
+      ``bin_seconds`` >= the median interval length so the expansion
+      factor stays ~2; a hot bin (many concurrent intervals) bounds a
+      single join partition, the documented skew limit.
+
+    Timestamps are compared as int64 epoch microseconds; ``end`` is
+    exclusive."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    us = np.int64(bin_seconds) * np.int64(1_000_000)
+
+    def _us(col) -> np.ndarray:
+        v = col.to_numpy()
+        if np.issubdtype(v.dtype, np.datetime64):
+            return v.astype("datetime64[us]").astype(np.int64)
+        return v.astype(np.int64)
+
+    if broadcast is None:
+        intervals = intervals.materialize()
+        broadcast = intervals.count() <= broadcast_max_intervals
+
+    if broadcast:
+        tabs = _ray.get(
+            intervals.map_batches(
+                lambda t: t, batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+        idf = pa.concat_tables(tabs).to_pandas()
+        s = _us(idf[start_col])
+        order = np.argsort(s, kind="stable")
+        idf = idf.iloc[order].reset_index(drop=True)
+        s = s[order]
+        e = _us(idf[end_col])
+        max_dur = int((e - s).max()) if len(s) else 0
+        ref = _ray.put((s, idf, max_dur))
+
+        def probe(b: pd.DataFrame) -> pd.DataFrame:
+            starts, ivals, md = _ray.get(ref)
+            if not len(starts) or not len(b):
+                return b.iloc[:0].merge(ivals.iloc[:0], how="cross")
+            ts = _us(b[ts_col])
+            lo = np.searchsorted(starts, ts - md, side="left")
+            hi = np.searchsorted(starts, ts, side="right")
+            counts = (hi - lo).clip(min=0)
+            li = np.repeat(np.arange(len(b)), counts)
+            cum = np.cumsum(counts)
+            ii = np.arange(int(cum[-1]) if len(cum) else 0, dtype=np.int64)
+            ii -= np.repeat(cum - counts, counts)
+            ii += np.repeat(lo, counts)
+            cand_l = b.iloc[li].reset_index(drop=True)
+            cand_i = ivals.iloc[ii].reset_index(drop=True)
+            keep = _us(cand_i[end_col]) > _us(cand_l[ts_col])
+            return pd.concat([cand_l, cand_i], axis=1)[keep]
+
+        return left.map_batches(probe, batch_format="pandas")
+
+    # binned-join path: explode intervals to overlapped bins
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        s = _us(b[start_col])
+        e = _us(b[end_col])
+        b0 = s // us
+        b1 = np.maximum((e - 1) // us, b0)  # end exclusive
+        counts = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(b)), counts)
+        cum = np.cumsum(counts)
+        off = np.arange(int(cum[-1]) if len(cum) else 0, dtype=np.int64)
+        off -= np.repeat(cum - counts, counts)
+        out = b.iloc[idx].reset_index(drop=True)
+        out.insert(0, "_bin", (b0[idx] + off))
+        return out
+
+    def key_left(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out.insert(0, "_bin", _us(b[ts_col]) // us)
+        return out
+
+    jp = ensure_join_cpu_budget(num_partitions)
+    joined = (
+        left.map_batches(key_left, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .join(
+            intervals.map_batches(explode, batch_format="pandas").map_batches(
+                lambda t: t, batch_format="pyarrow"
+            ),
+            join_type="inner",
+            num_partitions=jp,
+            on=("_bin",),
+        )
+    )
+
+    def contain(b: pd.DataFrame) -> pd.DataFrame:
+        ts = _us(b[ts_col])
+        keep = (_us(b[start_col]) <= ts) & (ts < _us(b[end_col]))
+        return b[keep].drop(columns=["_bin"])
+
+    return joined.map_batches(contain, batch_format="pandas")

@@ -989,3 +989,44 @@ def test_decontaminate_broadcast_equals_join(ray_session):
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert a["doc_id"].tolist() == [1] and a["n_hits"].tolist() == [1]
+
+
+def test_interval_join_boundaries_and_paths(ray_session):
+    """Range-join semantics: start inclusive, end exclusive, overlap
+    multiplicity; broadcast probe == binned hash join."""
+    from prase_ray.stages.relational import interval_join
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(3600, "s")
+    ivals = pd.DataFrame(
+        {
+            "iv_id": [0, 1, 2],
+            "start": [base, base + 2 * h, base + 3 * h],
+            # iv0 spans 0-4h (overlaps iv1 2-3h and iv2 3-5h)
+            "end": [base + 4 * h, base + 3 * h, base + 5 * h],
+        }
+    )
+    events = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3, 4],
+            "ts": [
+                base,                # == iv0.start -> included
+                base + 2 * h,        # iv0 + iv1.start
+                base + 3 * h,        # iv1.end excluded; iv0 + iv2
+                base + 4 * h,        # iv0.end excluded; iv2 only
+                base + 6 * h,        # no interval
+            ],
+        }
+    )
+    want = {
+        (0, 0), (1, 0), (1, 1), (2, 0), (2, 2), (3, 2),
+    }
+    for bc in (True, False):
+        out = interval_join(
+            ray.data.from_pandas(events),
+            ray.data.from_pandas(ivals),
+            ts_col="ts", start_col="start", end_col="end",
+            broadcast=bc, bin_seconds=3600,
+        ).to_pandas()
+        got = set(zip(out["event_id"].astype(int), out["iv_id"].astype(int)))
+        assert got == want, (bc, got)
