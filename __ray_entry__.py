@@ -1168,6 +1168,49 @@ def q_interval_join_binned(sf_dir: str):
     return _q_interval_join_impl(sf_dir, broadcast=False)
 
 
+def _emb_with_twins(sf_dir: str):
+    """embeddings ∪ planted exact twins (vec_id + 1_000_000) — the same
+    guarded planted-dup regime as q_embedding_neardup, giving semantic
+    dedup a non-trivial drop set (every twin MUST drop: cos = 1.0 with
+    its smaller-id original, which always co-clusters).  The twin
+    transform stays Arrow-native so the embedding column keeps its
+    list<float> parquet type (a pandas hop would re-enter as Ray's
+    tensor extension type and break downstream concat)."""
+    import pyarrow.compute as pc
+
+    def twin(t):
+        idx = t.schema.get_field_index("vec_id")
+        return t.set_column(idx, "vec_id", pc.add(t["vec_id"], 1_000_000))
+
+    base = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    return base.union(base.map_batches(twin, batch_format="pyarrow"))
+
+
+def q_semantic_dedup_fullprobe(sf_dir: str):
+    """SemDeDup exhaustive twin (n_clusters=1): drop any vector with a
+    smaller-id neighbor at cosine >= 0.45 — the exact rule, restated as
+    SQL NOT EXISTS.  Threshold margin to the nearest actual pair cosine
+    is >= 1e-4 at every shipped sf, so float64-vs-DuckDB rounding can
+    never flip a decision."""
+    from prase_ray.stages.dedup import semantic_dedup_keep_ids
+
+    return semantic_dedup_keep_ids(
+        _emb_with_twins(sf_dir), threshold=0.45, n_clusters=1
+    )
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup scale regime (8 k-means clusters): cluster-local cosine
+    pruning.  Exact-duplicate recall is 1.0 by construction (twins
+    co-cluster); cross-cluster near-threshold pairs are the documented
+    recall trade, measured against the fullprobe twin in pytest."""
+    from prase_ray.stages.dedup import semantic_dedup_keep_ids
+
+    return semantic_dedup_keep_ids(
+        _emb_with_twins(sf_dir), threshold=0.45, n_clusters=8
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_triples_docs": q_extract_triples_docs,
@@ -1225,6 +1268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "interval_join": q_interval_join,
         "interval_join_binned": q_interval_join_binned,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_fullprobe": q_semantic_dedup_fullprobe,
     }
 
 
@@ -1488,6 +1533,26 @@ def oracle_sql() -> dict[str, str]:
     # both interval-join shapes (broadcast probe / binned hash join)
     # must produce the identical relation
     d["interval_join_binned"] = d["interval_join"]
+    # exhaustive SemDeDup twin: exact NOT EXISTS rule; DOUBLE casts so
+    # DuckDB's cosine matches the numpy float64 kernel (threshold sits
+    # >= 1e-4 from every actual pair cosine, see q_semantic_dedup_*)
+    d["semantic_dedup_fullprobe"] = """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        u AS (
+            SELECT vec_id, v FROM e
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id, v FROM e
+        )
+        SELECT a.vec_id AS keep_id
+        FROM u a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM u b
+            WHERE b.vec_id < a.vec_id
+              AND list_cosine_similarity(a.v, b.v) >= 0.45
+        )
+    """
     return d
 
 

@@ -945,3 +945,112 @@ def decontaminate_stats(
         .groupby("doc_id")
         .aggregate(Sum("n", alias_name="n_hits"))
     )
+
+
+# --------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: cluster-local cosine pruning)
+# --------------------------------------------------------------------------
+
+def semantic_dedup_keep_ids(
+    embs: ray.data.Dataset,
+    *,
+    threshold: float,
+    n_clusters: int = 16,
+    kmeans_iters: int = 5,
+    seed: int = 13,
+    train_rows: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block: int = 2048,
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with deterministic
+    spherical k-means, then inside each cluster DROP every vector that
+    has ANY smaller-id neighbor at cosine >= threshold.  Returns
+    Dataset(keep_id).
+
+    The drop rule is "any smaller-id neighbor", not "any KEPT
+    smaller-id neighbor" — deliberately: it is order-free (every
+    worker can decide a row from pairwise facts alone, no sequential
+    greedy state) and exactly restatable as SQL NOT EXISTS for the
+    oracle.  ``n_clusters=1`` is the exhaustive twin (the exact rule
+    over all pairs); ``n_clusters>1`` is the scale regime — the
+    all-pairs scan is confined to each cluster and pairs straddling
+    cluster boundaries are the documented recall trade (identical
+    vectors always co-cluster, so exact-duplicate recall stays 1.0).
+
+    Scale shape: centroids trained once in a Ray task on a bounded
+    sample (never on the driver), broadcast once via ray.put; one
+    streaming assign pass; ONE groupby shuffle on cluster id; inside a
+    cluster a chunked (block x cluster_size) matmul bounds memory while
+    the flop cost stays the rule's inherent O(cluster_size^2 x d) —
+    size n_clusters so clusters fit a worker (the SemDeDup paper uses
+    the same knob)."""
+    import ray as _ray
+
+    from prase_ray.stages.ann import _train_centroids
+
+    def _unit(rows: pd.Series) -> np.ndarray:
+        V = np.vstack(rows.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        return V / np.where(norms > 0, norms, 1.0)
+
+    if n_clusters > 1:
+        sample = (
+            embs.select_columns([id_col, vec_col])
+            .limit(train_rows)
+            # upstream pandas blocks (e.g. a pandas map_batches union)
+            # must be normalized: to_arrow_refs hands blocks through
+            # as-is and _train_centroids concat-s Arrow tables
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
+        blocks_ = sample.materialize().to_arrow_refs()
+        C = _ray.get(
+            _train_centroids.remote(
+                id_col, vec_col, n_clusters, kmeans_iters, seed, *blocks_
+            )
+        )
+        cref = _ray.put(C)
+
+        def assign(b: pd.DataFrame) -> pd.DataFrame:
+            Cm = _ray.get(cref)
+            Vn = _unit(b[vec_col])
+            out = b[[id_col, vec_col]].copy()
+            out["_cluster"] = np.argmax(Vn @ Cm.T, axis=1).astype(np.int64)
+            return out
+
+        assigned = embs.map_batches(assign, batch_format="pandas")
+    else:
+        assigned = embs.map_batches(
+            lambda b: b[[id_col, vec_col]].assign(_cluster=np.int64(0)),
+            batch_format="pandas",
+        )
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        Vn = _unit(g[vec_col].iloc[order])
+        n = len(ids)
+        keep = np.ones(n, bool)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            B = Vn[s:e]
+            hit = (
+                ((B @ Vn[:s].T) >= threshold).any(axis=1)
+                if s
+                else np.zeros(e - s, bool)
+            )
+            # within-block strict-upper-triangle hits (j dropped if any
+            # smaller-id i in the same block reaches the threshold)
+            Sb = B @ B.T
+            iu = np.triu_indices(e - s, 1)
+            m = np.zeros(e - s, bool)
+            np.logical_or.at(m, iu[1][Sb[iu] >= threshold], True)
+            keep[s:e] = ~(hit | m)
+        return pd.DataFrame({"keep_id": ids[keep]})
+
+    return assigned.groupby("_cluster").map_groups(
+        dedup_cluster, batch_format="pandas"
+    )

@@ -1030,3 +1030,42 @@ def test_interval_join_boundaries_and_paths(ray_session):
         ).to_pandas()
         got = set(zip(out["event_id"].astype(int), out["iv_id"].astype(int)))
         assert got == want, (bc, got)
+
+
+def test_semantic_dedup(ray_session):
+    """SemDeDup rule: exhaustive twin drops exactly the vectors with a
+    smaller-id cosine>=tau neighbor (numpy cross-check); the clustered
+    regime keeps a superset (cluster splits only LOSE pairs) and still
+    drops every planted exact twin."""
+    from prase_ray.stages.dedup import semantic_dedup_keep_ids
+
+    rng = np.random.default_rng(5)
+    n, d = 120, 16
+    V = rng.normal(size=(n, d))
+    ids = np.arange(n, dtype=np.int64)
+    # planted exact twins: rows 100..119 duplicate rows 0..19
+    V[100:120] = V[0:20]
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(V.astype(np.float32))})
+    ds = ray.data.from_pandas(df)
+    tau = 0.8
+
+    full = (
+        semantic_dedup_keep_ids(ds, threshold=tau, n_clusters=1, block=32)
+        .to_pandas()["keep_id"].sort_values().to_numpy()
+    )
+    # numpy ground truth for the exact rule
+    Vn = V.astype(np.float64)
+    Vn /= np.linalg.norm(Vn, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    want = [int(j) for j in ids
+            if not any(S[j, i] >= tau for i in range(j))]
+    assert full.tolist() == want
+    assert all(j not in full for j in range(100, 120))  # twins dropped
+
+    approx = (
+        semantic_dedup_keep_ids(ds, threshold=tau, n_clusters=6, block=32)
+        .to_pandas()["keep_id"].sort_values().to_numpy()
+    )
+    # clustering can only split pairs -> fewer drops, never more
+    assert set(full) <= set(approx)
+    assert all(j not in approx for j in range(100, 120))  # twins co-cluster
