@@ -223,12 +223,16 @@ def _train_centroids(
     """Deterministic spherical k-means over the sampled corpus blocks,
     INSIDE a Ray task (driver never holds the sample).  Init = evenly
     spaced rows of a splitmix-shuffled order; `iters` Lloyd rounds with
-    unit-renormalized means (cosine geometry)."""
+    unit-renormalized means (cosine geometry).  The sample is sorted by
+    id first so the result does not depend on block arrival order
+    (which varies with read parallelism / cpu count)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from prase_ray.functions.hashing import splitmix64
 
     t = pa.concat_tables(tables)
+    t = t.take(pc.sort_indices(t, sort_keys=[(id_col, "ascending")]))
     V = np.vstack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
     norms = np.linalg.norm(V, axis=1, keepdims=True)
     Vn = V / np.where(norms > 0, norms, 1.0)
