@@ -198,6 +198,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("media_pixel_stats", lambda: consume(em.q_media_pixel_stats(sf_dir)))
     timed("tfidf_topk", lambda: consume(em.q_tfidf_topk(sf_dir)))
     timed("group_quantiles", lambda: consume(em.q_group_quantiles(sf_dir)))
+    timed("dup_ngrams", lambda: consume(em.q_dup_ngrams(sf_dir)))
+    timed("decontaminate", lambda: consume(em.q_decontaminate(sf_dir)))
+    timed("interval_join", lambda: consume(em.q_interval_join(sf_dir)))
+    timed("semantic_dedup", lambda: consume(em.q_semantic_dedup(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     result = {
