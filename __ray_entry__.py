@@ -1211,6 +1211,27 @@ def q_semantic_dedup(sf_dir: str):
     )
 
 
+def q_distinct_exact(sf_dir: str):
+    """Exact per-group count-distinct (distinct users per event type):
+    per-batch dedup -> one (group, value) groupby -> per-group sum."""
+    from prase_ray.stages.sketches import group_distinct_exact
+
+    return group_distinct_exact(_read(sf_dir, "events"), "event_type", "user_id")
+
+
+def q_distinct_hll(sf_dir: str):
+    """HyperLogLog(p=10) approximate count-distinct per event type.
+    The estimate is bit-deterministic (integer-exact register sum, one
+    float division), so even the APPROXIMATE result has a hash-exact
+    DuckDB twin — the oracle reproduces the sketch, not just bounds
+    it.  Accuracy vs the exact twin is pytest-pinned."""
+    from prase_ray.stages.sketches import group_distinct_hll
+
+    return group_distinct_hll(
+        _read(sf_dir, "events"), "event_type", "user_id", p=10, seed=7
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_triples_docs": q_extract_triples_docs,
@@ -1270,6 +1291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join_binned": q_interval_join_binned,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_fullprobe": q_semantic_dedup_fullprobe,
+        "distinct_exact": q_distinct_exact,
+        "distinct_hll": q_distinct_hll,
     }
 
 
@@ -1519,6 +1542,67 @@ def _sql_interval_join() -> str:
     """
 
 
+def _sql_distinct_hll() -> str:
+    """Hash-exact SQL twin of the HyperLogLog sketch itself (p=10,
+    seed=7): splitmix value hash, register/rank split (bin() gives the
+    bit length; w=0 handled apart since bin(0)='0'), groupwise max,
+    integer-exact 2^(64-rank) sum via a power-of-two lookup (pow()
+    would round above 2^53), single float division.  All float factors
+    are powers of two except alpha, so multiplication order cannot
+    change the result; the ln() in the linear-counting branch is the
+    only libm call, guarded by round(,4) on both sides."""
+    pow_rows = ", ".join(f"({e}, {2**e}::HUGEINT)" for e in range(65))
+    return f"""
+        WITH pow2(e, v) AS (VALUES {pow_rows}),
+        hv AS (
+            SELECT event_type, {_sql_splitmix('xh')} AS h
+            FROM (SELECT event_type,
+                         xor(CAST(user_id AS HUGEINT), 7::HUGEINT) AS xh
+                  FROM events)
+        ),
+        rk AS (
+            SELECT event_type,
+                   h // {2**54} AS reg,
+                   CASE WHEN (h * 1024) % {_U64} = 0 THEN 55
+                        ELSE 64 - length(bin(CAST((h * 1024) % {_U64}
+                                                  AS UBIGINT))) + 1
+                   END AS rank
+            FROM hv
+        ),
+        mx AS (
+            SELECT event_type, reg, max(rank) AS rank
+            FROM rk GROUP BY event_type, reg
+        ),
+        grid AS (
+            SELECT g.event_type, r.reg
+            FROM (SELECT DISTINCT event_type FROM events) g
+            CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS reg) r
+        ),
+        fullr AS (
+            SELECT grid.event_type, grid.reg, coalesce(mx.rank, 0) AS rank
+            FROM grid LEFT JOIN mx
+              ON mx.event_type = grid.event_type AND mx.reg = grid.reg
+        ),
+        agg AS (
+            SELECT f.event_type,
+                   SUM(p.v) AS s,
+                   SUM(CASE WHEN f.rank = 0 THEN 1 ELSE 0 END) AS zeros
+            FROM fullr f JOIN pow2 p ON p.e = 64 - f.rank
+            GROUP BY f.event_type
+        )
+        SELECT event_type,
+               round(CASE WHEN est <= 2560.0 AND zeros > 0
+                          THEN 1024.0 * ln(1024.0 / zeros)
+                          ELSE est END, 4) AS approx_distinct
+        FROM (
+            SELECT event_type, zeros,
+                   (0.7213 / (1.0 + 1.079 / 1024.0)) * 1048576.0
+                       * 18446744073709551616.0 / CAST(s AS DOUBLE) AS est
+            FROM agg
+        )
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     # the three PARIS half-iteration formulations (broadcast kernel,
@@ -1553,6 +1637,11 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(a.v, b.v) >= 0.45
         )
     """
+    d["distinct_exact"] = """
+        SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        FROM events GROUP BY event_type
+    """
+    d["distinct_hll"] = _sql_distinct_hll()
     return d
 
 

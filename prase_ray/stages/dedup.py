@@ -770,10 +770,22 @@ def shingle_doc_rows(
     return docs.map_batches(rows, batch_format="pandas")
 
 
-def _dup_gram_filter(t: pa.Table) -> pa.Table:
-    """Grams seen in >1 doc, tagged hit=1 for the left-outer mark join."""
-    f = t.filter(pa.compute.greater(t["n_docs"], 1)).select(["gram"])
-    return f.append_column("hit", pa.array(np.ones(len(f), np.int64)))
+def _pull_gram_array(ds: ray.data.Dataset) -> np.ndarray:
+    """Driver pull of a (gate-bounded) gram relation into one int64
+    array.  Empty map_groups outputs can surface as schema-less pandas
+    blocks even on an Arrow-normalized plan, so each block is converted
+    defensively."""
+    import ray as _ray
+
+    out = []
+    for blk in _ray.get(ds.to_arrow_refs()):
+        if not isinstance(blk, pa.Table):
+            blk = pa.Table.from_pandas(blk)
+        if blk.num_rows and "gram" in blk.column_names:
+            out.append(blk["gram"].to_numpy(zero_copy_only=False))
+    if not out:
+        return np.empty(0, np.int64)
+    return np.concatenate(out).astype(np.int64)
 
 
 def dup_ngram_stats(
@@ -783,6 +795,8 @@ def dup_ngram_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int = 32,
+    broadcast: bool | None = None,
+    broadcast_max_grams: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Per-document duplicated-n-gram statistics — the exact
     substring-level duplication signal of Lee et al. 2022
@@ -792,42 +806,64 @@ def dup_ngram_stats(
     doc.  Returns Dataset(doc_id, n_grams, n_dup_grams, dup_frac) over
     docs with >= 1 gram (empty docs emit nothing).
 
-    Scale shape (nothing corpus-sized ever reaches the driver):
-    distinct (doc, gram) rows -> per-batch partial gram counts -> one
-    hash-partitioned groupby on gram (partials are additive because the
-    rows are already per-doc distinct) -> grams with n_docs > 1 (the
-    duplicated-gram relation, bounded by the true duplicate volume) ->
-    left hash join back on gram marks every doc row -> per-batch
-    per-doc partials -> one groupby on doc_id.  At 100 TB the gram
-    relation is the big side of the join and both sides are
-    hash-partitioned on the same key."""
+    Scale shape (nothing corpus-sized ever reaches the driver
+    uncapped): distinct (doc, gram) rows -> per-batch partial gram
+    counts -> one hash-partitioned groupby on gram (partials are
+    additive because the rows are already per-doc distinct) -> grams
+    with n_docs > 1 — the duplicated-gram relation, bounded by the TRUE
+    duplicate volume, typically orders of magnitude smaller than the
+    gram relation.  Marking each doc row then takes one of two
+    size-gated shapes: below ``broadcast_max_grams`` the dup-gram set
+    ships once via ray.put and rows flag via np.searchsorted (the big
+    relation never shuffles again — at sandbox scale this is ~10x
+    faster than the join); above the gate, a left hash join on gram
+    (both sides partitioned on the same key).  Finally per-batch
+    per-doc partials -> one groupby on doc_id."""
+    import ray as _ray
+
     from ray.data.aggregate import Sum
 
     from prase_ray.rayctx import ensure_join_cpu_budget
 
     rows = shingle_doc_rows(docs, k=k, text_col=text_col, id_col=id_col)
 
+    # two-level vectorized gram count (the drop_degenerate_buckets
+    # shape): per-batch partials bucketed by gram hash -> per-part
+    # vectorized sum + n>1 filter.  Ray's generic sort-based aggregate
+    # on a high-cardinality key (one group per gram) is ~30x slower
+    # than 64 map_groups parts with a pandas groupby inside.
     def gram_partials(b: pd.DataFrame) -> pd.DataFrame:
-        return (
+        g = (
             b.groupby("gram", as_index=False)
             .size()
             .rename(columns={"size": "n"})
         )
+        g.insert(
+            0,
+            "part",
+            (g["gram"].to_numpy().astype(np.uint64) % np.uint64(64)).astype(
+                np.int32
+            ),
+        )
+        return g
+
+    def dup_in_part(part: pd.DataFrame) -> pd.DataFrame:
+        s = part.groupby("gram", as_index=False)["n"].sum()
+        out = s[s["n"] > 1][["gram"]]
+        out = out.copy()
+        out["hit"] = np.int64(1)
+        return out
 
     dup_grams = (
         rows.map_batches(gram_partials, batch_format="pandas")
-        .groupby("gram")
-        .aggregate(Sum("n", alias_name="n_docs"))
-        .map_batches(_dup_gram_filter, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dup_in_part, batch_format="pandas")
     )
 
-    jp = ensure_join_cpu_budget(num_partitions)
-    marked = rows.map_batches(lambda t: t, batch_format="pyarrow").join(
-        dup_grams.map_batches(lambda t: t, batch_format="pyarrow"),
-        join_type="left_outer",
-        num_partitions=jp,
-        on=("gram",),
-    )
+    dup_grams = dup_grams.map_batches(lambda t: t, batch_format="pyarrow")
+    if broadcast is None:
+        dup_grams = dup_grams.materialize()
+        broadcast = dup_grams.count() <= broadcast_max_grams
 
     def doc_partials(b: pd.DataFrame) -> pd.DataFrame:
         b = _ensure_cols(b, {"doc_id": np.int64, "hit": np.float64})
@@ -837,6 +873,32 @@ def dup_ngram_stats(
             n_grams=("f", "size"), n_dup_grams=("f", "sum")
         )
         return out
+
+    if broadcast:
+        arr = np.sort(_pull_gram_array(dup_grams))
+        gref = _ray.put(arr)
+
+        def mark(b: pd.DataFrame) -> pd.DataFrame:
+            dg = _ray.get(gref)
+            g = b["gram"].to_numpy(np.int64)
+            if len(dg):
+                pos = np.searchsorted(dg, g).clip(0, len(dg) - 1)
+                hit = np.where(dg[pos] == g, 1.0, np.nan)
+            else:
+                hit = np.full(len(g), np.nan)
+            out = b[["doc_id"]].copy()
+            out["hit"] = hit
+            return out
+
+        marked = rows.map_batches(mark, batch_format="pandas")
+    else:
+        jp = ensure_join_cpu_budget(num_partitions)
+        marked = rows.map_batches(lambda t: t, batch_format="pyarrow").join(
+            dup_grams,
+            join_type="left_outer",
+            num_partitions=jp,
+            on=("gram",),
+        )
 
     per_doc = (
         marked.map_batches(doc_partials, batch_format="pandas")
@@ -892,14 +954,30 @@ def decontaminate_stats(
     from prase_ray.rayctx import ensure_join_cpu_budget
 
     rows = shingle_doc_rows(corpus, k=k, text_col=text_col, id_col=id_col)
+
+    # distinct benchmark grams via hash-bucketed map_groups (a
+    # high-cardinality groupby key is ~30x slower in Ray's generic
+    # aggregate — see dup_ngram_stats)
+    def bg_partials(b: pd.DataFrame) -> pd.DataFrame:
+        g = b[["gram"]].drop_duplicates()
+        g = g.copy()
+        g.insert(
+            0,
+            "part",
+            (g["gram"].to_numpy().astype(np.uint64) % np.uint64(64)).astype(
+                np.int32
+            ),
+        )
+        return g
+
     bg = (
         shingle_doc_rows(benchmark, k=k, text_col=text_col, id_col=id_col)
-        .map_batches(
-            lambda b: b[["gram"]].drop_duplicates(), batch_format="pandas"
+        .map_batches(bg_partials, batch_format="pandas")
+        .groupby("part")
+        .map_groups(
+            lambda g: g[["gram"]].drop_duplicates(), batch_format="pandas"
         )
-        .groupby("gram")
-        .count()
-        .select_columns(["gram"])
+        .map_batches(lambda t: t, batch_format="pyarrow")
     )
 
     if broadcast is None:
@@ -916,10 +994,7 @@ def decontaminate_stats(
 
     if broadcast:
         # benchmark gram set -> one sorted array (gate-bounded), one put
-        tabs = _ray.get(bg.to_arrow_refs())
-        grams = np.sort(
-            pa.concat_tables(tabs)["gram"].to_numpy(zero_copy_only=False)
-        )
+        grams = np.sort(_pull_gram_array(bg))
         gref = _ray.put(grams)
 
         def flt(b: pd.DataFrame) -> pd.DataFrame:

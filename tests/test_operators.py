@@ -1069,3 +1069,50 @@ def test_semantic_dedup(ray_session):
     # clustering can only split pairs -> fewer drops, never more
     assert set(full) <= set(approx)
     assert all(j not in approx for j in range(100, 120))  # twins co-cluster
+
+
+def test_group_distinct_hll_vs_exact(ray_session):
+    """HLL(p=10) group distinct counts: deterministic across runs and
+    within the standard error envelope of the exact twin."""
+    from prase_ray.stages.sketches import (
+        group_distinct_exact,
+        group_distinct_hll,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 20000
+    df = pd.DataFrame(
+        {
+            "grp": np.repeat(["a", "b", "c", "d"], n // 4),
+            "val": np.concatenate(
+                [
+                    rng.integers(0, 50, n // 4),       # ~50 distinct
+                    rng.integers(0, 700, n // 4),      # ~700
+                    rng.integers(0, 3000, n // 4),     # ~3000 (near m)
+                    np.arange(n // 4),                 # 5000 all-distinct
+                ]
+            ).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    exact = (
+        group_distinct_exact(ds, "grp", "val")
+        .to_pandas()
+        .set_index("grp")["n_distinct"]
+    )
+    est = (
+        group_distinct_hll(ds, "grp", "val", p=10)
+        .to_pandas()
+        .set_index("grp")["approx_distinct"]
+    )
+    # rerun -> bit-identical (order-free integer register merge)
+    est2 = (
+        group_distinct_hll(ds, "grp", "val", p=10)
+        .to_pandas()
+        .set_index("grp")["approx_distinct"]
+    )
+    pd.testing.assert_series_equal(est.sort_index(), est2.sort_index())
+    for g in "abcd":
+        rel = abs(est[g] - exact[g]) / exact[g]
+        # 1.04/sqrt(1024) ~ 3.25% standard error; allow 4 sigma
+        assert rel < 0.13, (g, est[g], exact[g], rel)
