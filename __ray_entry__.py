@@ -1211,6 +1211,49 @@ def q_semantic_dedup(sf_dir: str):
     )
 
 
+def q_curate_corpus(sf_dir: str):
+    """COMPOSITION: the full training-data curation pass — language
+    gate, quality gate (>= 0.55, chosen >= 3e-3 from every actual score
+    at all shipped sfs), MinHash near-dup drop, and benchmark
+    decontamination — fused into ONE streaming map_batches over the
+    corpus.  The near-dup and contamination drop sets are
+    dup/contamination-sized (bounded by true duplicate volume, not the
+    corpus); each ships once via ray.put.  The corpus side never
+    shuffles: dedup/decon precomputations touch only gram/signature
+    relations, and the final gate pass is embarrassingly parallel."""
+    import ray
+
+    from prase_ray.stages.dedup import decontaminate_stats, minhash_dedup_keep_ids
+    from prase_ray.stages.text import quality_score_batch
+
+    keep = minhash_dedup_keep_ids(
+        _read(sf_dir, "documents"), threshold=0.6, concurrency=2
+    ).to_pandas()
+    dup_drop = keep[keep["doc_id"] != keep["keep_id"]]["doc_id"].to_numpy(
+        np.int64
+    )
+    con = decontaminate_stats(
+        _docs_split(sf_dir, False), _docs_split(sf_dir, True), k=8,
+        broadcast=True,
+    ).to_pandas()
+    drop = np.union1d(dup_drop, con["doc_id"].to_numpy(np.int64))
+    ref = ray.put(np.sort(drop))
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        dropped = ray.get(ref)
+        q = quality_score_batch(b)["quality"].to_numpy()
+        ids = b["doc_id"].to_numpy(np.int64)
+        m = (
+            (ids % 19 != 0)
+            & (b["lang"].to_numpy() == "en")
+            & (q >= 0.55)
+            & ~np.isin(ids, dropped)
+        )
+        return b[["doc_id", "source"]][m]
+
+    return _read(sf_dir, "documents").map_batches(gate, batch_format="pandas")
+
+
 def q_distinct_exact(sf_dir: str):
     """Exact per-group count-distinct (distinct users per event type):
     per-batch dedup -> one (group, value) groupby -> per-group sum."""
@@ -1293,6 +1336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_fullprobe": q_semantic_dedup_fullprobe,
         "distinct_exact": q_distinct_exact,
         "distinct_hll": q_distinct_hll,
+        "curate_corpus": q_curate_corpus,
     }
 
 
@@ -1642,6 +1686,46 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY event_type
     """
     d["distinct_hll"] = _sql_distinct_hll()
+    # composed curation pass: quality expression mirrors the
+    # quality_score oracle; near-dup keep map and contamination set are
+    # the minhash / decontaminate oracles nested as subqueries
+    d["curate_corpus"] = f"""
+        WITH q AS (
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\\S+')) AS n,
+                       len(list_filter(
+                           regexp_extract_all(lower(text), '\\S+'),
+                           x -> x IN ('the','and','of','to','a','in','is','that','it','for')
+                       )) AS stop,
+                       length(text) AS n_chars,
+                       length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS sym
+                FROM documents
+            ), r AS (
+                SELECT doc_id, n,
+                       CAST(stop AS DOUBLE) / (CASE WHEN n = 0 THEN 1 ELSE n END) AS sr,
+                       CAST(sym AS DOUBLE) / (CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END) AS yr
+                FROM t
+            )
+            SELECT doc_id,
+                   0.4 * (LEAST(GREATEST(n / 50.0, 0), 1)
+                          * LEAST(GREATEST((5000 - n) / 5000.0, 0), 1))
+                   + 0.3 * LEAST(GREATEST(sr * 4, 0), 1)
+                   + 0.3 * (1 - LEAST(GREATEST(yr * 5, 0), 1)) AS quality
+            FROM r
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d
+        JOIN q ON q.doc_id = d.doc_id
+        LEFT JOIN ({_sql_minhash_dedup()}) k ON d.doc_id = k.doc_id
+        LEFT JOIN ({_sql_decontaminate()}) c ON d.doc_id = c.doc_id
+        WHERE d.doc_id % 19 <> 0
+          AND d.lang = 'en'
+          AND q.quality >= 0.55
+          AND (k.doc_id IS NULL OR k.doc_id = k.keep_id)
+          AND c.doc_id IS NULL
+        ORDER BY d.doc_id
+    """
     return d
 
 
