@@ -1254,6 +1254,28 @@ def q_curate_corpus(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(gate, batch_format="pandas")
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing: exclusive global prefix sum of per-doc token
+    counts in doc_id order -> seq_id = cum_before // 2048 (the
+    concatenate-and-chunk assignment GPT-style loaders use).  Two
+    passes over a slim (doc_id, n_tokens) relation; text never
+    shuffles; driver holds only the per-part offset array."""
+    from prase_ray.stages.packing import pack_sequences
+
+    return pack_sequences(_read(sf_dir, "documents"), seq_len=2048, num_parts=16)
+
+
+def q_shuffle_rank(sf_dir: str):
+    """Deterministic global shuffle order: pos = rank of
+    splitmix64(doc_id) (ties by doc_id).  Reproducible, resumable
+    replacement for random_shuffle — the position is a pure function
+    of (doc_id, seed), verified hash-exact against ROW_NUMBER() over
+    the same splitmix mix in SQL."""
+    from prase_ray.stages.packing import global_shuffle_rank
+
+    return global_shuffle_rank(_read(sf_dir, "documents"), seed=0, num_parts=16)
+
+
 def q_distinct_exact(sf_dir: str):
     """Exact per-group count-distinct (distinct users per event type):
     per-batch dedup -> one (group, value) groupby -> per-group sum."""
@@ -1337,6 +1359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_exact": q_distinct_exact,
         "distinct_hll": q_distinct_hll,
         "curate_corpus": q_curate_corpus,
+        "pack_sequences": q_pack_sequences,
+        "shuffle_rank": q_shuffle_rank,
     }
 
 
@@ -1725,6 +1749,41 @@ def oracle_sql() -> dict[str, str]:
           AND (k.doc_id IS NULL OR k.doc_id = k.keep_id)
           AND c.doc_id IS NULL
         ORDER BY d.doc_id
+    """
+    # sequence packing: exclusive running token sum in doc_id order
+    d["pack_sequences"] = """
+        WITH t AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM t
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, cum_before,
+               cum_before // 2048 AS seq_id
+        FROM c
+    """
+    # deterministic shuffle order: the SAME splitmix64 mix, reduced to
+    # the int64 bit pattern, ranked with doc_id tiebreak
+    d["shuffle_rank"] = f"""
+        WITH k AS (
+            SELECT doc_id, {_sql_splitmix('doc_id::HUGEINT')} AS ku
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN ku >= 9223372036854775808::HUGEINT
+                        THEN ku - 18446744073709551616::HUGEINT
+                        ELSE ku END AS BIGINT) AS shuffle_key
+            FROM k
+        )
+        SELECT doc_id, shuffle_key,
+               CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1
+                    AS BIGINT) AS pos
+        FROM s
     """
     return d
 

@@ -203,6 +203,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("interval_join", lambda: consume(em.q_interval_join(sf_dir)))
     timed("semantic_dedup", lambda: consume(em.q_semantic_dedup(sf_dir)))
     timed("distinct_hll", lambda: consume(em.q_distinct_hll(sf_dir)))
+    timed("curate_corpus", lambda: consume(em.q_curate_corpus(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     result = {

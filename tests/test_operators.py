@@ -1116,3 +1116,83 @@ def test_group_distinct_hll_vs_exact(ray_session):
         rel = abs(est[g] - exact[g]) / exact[g]
         # 1.04/sqrt(1024) ~ 3.25% standard error; allow 4 sigma
         assert rel < 0.13, (g, est[g], exact[g], rel)
+
+
+def test_pack_sequences_matches_numpy(ray_session):
+    """Global exclusive prefix sum in doc_id order across many blocks,
+    including skewed token counts and a non-zero doc_id offset."""
+    from prase_ray.stages.packing import pack_sequences
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    ids = np.arange(1000, 1000 + n, dtype=np.int64)
+    ntok = rng.integers(1, 400, n)
+    texts = [" ".join(["w"] * int(k)) for k in ntok]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": ids, "text": texts})
+    ).repartition(13)
+
+    out = (
+        pack_sequences(ds, seq_len=512, num_parts=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    cum = np.zeros(n, dtype=np.int64)
+    np.cumsum(ntok[:-1], out=cum[1:])
+    assert (out["doc_id"].to_numpy() == ids).all()
+    np.testing.assert_array_equal(out["n_tokens"].to_numpy(), ntok)
+    np.testing.assert_array_equal(out["cum_before"].to_numpy(), cum)
+    np.testing.assert_array_equal(out["seq_id"].to_numpy(), cum // 512)
+
+
+def test_global_shuffle_rank_permutation(ray_session):
+    """pos is a permutation of 0..n-1, deterministic across runs and
+    partitionings, ordered by the splitmix64 int64 view of doc_id."""
+    from prase_ray.functions.hashing import splitmix64
+    from prase_ray.stages.packing import global_shuffle_rank
+
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids})
+    a = (
+        global_shuffle_rank(ray.data.from_pandas(df).repartition(11), seed=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        global_shuffle_rank(ray.data.from_pandas(df).repartition(3), seed=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    pos = a["pos"].to_numpy()
+    assert sorted(pos) == list(range(n))
+    key = splitmix64(ids.astype(np.uint64)).view(np.int64)
+    expect = np.argsort(np.argsort(key, kind="stable"), kind="stable")
+    np.testing.assert_array_equal(pos, expect)
+
+    # a different seed gives a different permutation
+    c = (
+        global_shuffle_rank(ray.data.from_pandas(df), seed=7)
+        .to_pandas()
+        .sort_values("doc_id")["pos"]
+        .to_numpy()
+    )
+    assert sorted(c) == list(range(n))
+    assert (c != pos).any()
+
+
+def test_range_part_monotone_full_span():
+    """The partitioner must preserve key order over the FULL int64
+    domain (the shuffle-key case) — the overflow-prone path."""
+    from prase_ray.stages.packing import _range_part
+
+    keys = np.array(
+        [-(2**63), -(2**62), -1, 0, 1, 2**62, 2**63 - 1], dtype=np.int64
+    )
+    parts = _range_part(keys, -(2**63), 2**63 - 1, 64)
+    assert (np.diff(parts) >= 0).all()
+    assert parts[0] == 0 and parts[-1] == 63
