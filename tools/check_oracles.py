@@ -6,7 +6,8 @@ rows/schema/values against oracle_sql() via DuckDB.
 Mirrors the grading harness's comparison (sort columns by name, sort
 rows, value-equality) so oracle regressions surface before a round
 ends.  Exit code 1 on any failure."""
-import sys, time
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb, pandas as pd, numpy as np, ray, pyarrow as pa
 
 ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
