@@ -1276,6 +1276,28 @@ def q_shuffle_rank(sf_dir: str):
     return global_shuffle_rank(_read(sf_dir, "documents"), seed=0, num_parts=16)
 
 
+def q_bloom_anti_join(sf_dir: str):
+    """Bloom-prefiltered EXACT anti-join: lineitem rows whose order is
+    NOT among the high-value orders (o_totalprice >= 150000).  The
+    corpus (lineitem) side never shuffles: definite Bloom misses pass
+    straight through; only Bloom-positive rows take the exact
+    left_anti hash join that removes false positives."""
+    from prase_ray.stages.relational import bloom_anti_join
+
+    li = _read(sf_dir, "lineitem").map_batches(
+        lambda b: b[["l_orderkey", "l_linenumber", "l_quantity"]],
+        batch_format="pandas",
+    )
+    big = _read(sf_dir, "orders").map_batches(
+        lambda b: b[b["o_totalprice"] >= 150000.0][["o_orderkey"]],
+        batch_format="pandas",
+    )
+    return bloom_anti_join(
+        li, big, on="l_orderkey", right_on="o_orderkey",
+        m_bits=1 << 20, k=4, num_partitions=8,
+    )
+
+
 def q_distinct_exact(sf_dir: str):
     """Exact per-group count-distinct (distinct users per event type):
     per-batch dedup -> one (group, value) groupby -> per-group sum."""
@@ -1361,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": q_curate_corpus,
         "pack_sequences": q_pack_sequences,
         "shuffle_rank": q_shuffle_rank,
+        "bloom_anti_join": q_bloom_anti_join,
     }
 
 
@@ -1784,6 +1807,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1
                     AS BIGINT) AS pos
         FROM s
+    """
+    # exact result by construction (Bloom FPs removed by the exact
+    # join), so the oracle is the plain NOT EXISTS
+    d["bloom_anti_join"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem l
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_orderkey = l.l_orderkey
+              AND o.o_totalprice >= 150000.0
+        )
     """
     return d
 

@@ -494,3 +494,109 @@ def interval_join(
         return b[keep].drop(columns=["_bin"])
 
     return joined.map_batches(contain, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered distributed anti-join
+# --------------------------------------------------------------------------
+
+def _bloom_hash_pair(keys: np.ndarray, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Double-hashing base pair (h1, h2|1) for k derived Bloom probes."""
+    u = keys.astype(np.int64).view(np.uint64)
+    h1 = splitmix64(u ^ np.uint64((seed * 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF))
+    h2 = splitmix64(h1 ^ np.uint64(0xC2B2AE3D27D4EB4F)) | np.uint64(1)
+    return h1, h2
+
+
+def bloom_anti_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    *,
+    m_bits: int = 1 << 23,
+    k: int = 4,
+    num_partitions: int = 32,
+    seed: int = 0x5EED,
+) -> ray.data.Dataset:
+    """EXACT anti-join (left rows whose key never appears in right)
+    shaped for a corpus-vs-blocklist drop at 100 TB: the corpus side
+    never shuffles.
+
+    Phase 0 builds a Bloom filter over the right keys as per-batch
+    bitmap partials OR-combined through one tiny grouped pass (the
+    exchange carries <= n_batches x m_bits/8 bytes, the driver sees
+    <= 32 combined rows, and the broadcast filter is m_bits/8 bytes
+    regardless of right's row count — size m_bits to the blocklist's
+    cardinality, ~10 bits/key for ~1% FP).
+
+    Phase 1 probes every left row against the broadcast filter:
+    definite misses (the overwhelming majority when the blocklist is
+    sparse relative to the corpus) pass through with NO shuffle at
+    all.  Phase 2 routes only the Bloom-POSITIVE rows — true matches
+    plus the FP-rate-bounded sliver — through an exact hash
+    ``left_anti`` join against the right keys, so false positives are
+    eliminated and the union of both branches is exactly the SQL
+    NOT EXISTS result.  The two branches re-execute the (pruned) left
+    read+probe once each — two cheap scans instead of one corpus-wide
+    shuffle.
+    """
+    right_on = right_on or on
+    rkeys = right.select_columns([right_on])
+    n_bytes = m_bits // 8
+
+    def bitmap_partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys = b[right_on].to_numpy(np.int64)
+        dense = np.zeros(m_bits, dtype=bool)
+        h1, h2 = _bloom_hash_pair(keys, seed)
+        for j in range(k):
+            dense[((h1 + np.uint64(j) * h2) % np.uint64(m_bits)).astype(np.int64)] = True
+        part = int(splitmix64(np.array([len(b)], np.uint64))[0] % 32) if len(b) else 0
+        return pd.DataFrame(
+            {"bpart": [np.int32(part)],
+             "bits": [np.packbits(dense, bitorder="little").tobytes()]}
+        )
+
+    def or_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(n_bytes, dtype=np.uint8)
+        for raw in g["bits"]:
+            np.bitwise_or(acc, np.frombuffer(raw, np.uint8), out=acc)
+        return pd.DataFrame({"bpart": [g["bpart"].iloc[0]], "bits": [acc.tobytes()]})
+
+    combined = (
+        rkeys.map_batches(bitmap_partial, batch_format="pandas")
+        .groupby("bpart")
+        .map_groups(or_group, batch_format="pandas")
+        .to_pandas()
+    )
+    bits = np.zeros(n_bytes, dtype=np.uint8)
+    for raw in combined["bits"]:
+        np.bitwise_or(bits, np.frombuffer(raw, np.uint8), out=bits)
+    bits_ref = ray.put(bits)
+
+    def probe(b: pd.DataFrame, keep_positive: bool) -> pd.DataFrame:
+        flt = ray.get(bits_ref)
+        keys = b[on].to_numpy(np.int64)
+        h1, h2 = _bloom_hash_pair(keys, seed)
+        maybe = np.ones(len(b), dtype=bool)
+        for j in range(k):
+            idx = ((h1 + np.uint64(j) * h2) % np.uint64(m_bits)).astype(np.int64)
+            maybe &= ((flt[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1).astype(bool)
+        return b[maybe] if keep_positive else b[~maybe]
+
+    import functools
+
+    definite = left.map_batches(
+        functools.partial(probe, keep_positive=False), batch_format="pandas"
+    )
+    candidates = left.map_batches(
+        functools.partial(probe, keep_positive=True), batch_format="pandas"
+    )
+    survived = candidates.join(
+        rkeys,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on,),
+    )
+    return definite.union(survived)

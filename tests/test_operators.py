@@ -1196,3 +1196,49 @@ def test_range_part_monotone_full_span():
     parts = _range_part(keys, -(2**63), 2**63 - 1, 64)
     assert (np.diff(parts) >= 0).all()
     assert parts[0] == 0 and parts[-1] == 63
+
+
+def test_bloom_anti_join_exact_under_false_positives(ray_session):
+    """A deliberately tiny filter (m_bits=256) forces heavy Bloom FP
+    traffic; the exact left_anti phase must still remove every false
+    positive — result equals the plain pandas anti-join."""
+    from prase_ray.stages.relational import bloom_anti_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {"key": rng.integers(0, 3000, 8000), "val": np.arange(8000)}
+    )
+    right = pd.DataFrame({"rkey": rng.integers(0, 3000, 900)})
+    out = (
+        bloom_anti_join(
+            ray.data.from_pandas(left).repartition(9),
+            ray.data.from_pandas(right).repartition(4),
+            on="key",
+            right_on="rkey",
+            m_bits=256,
+            k=2,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["key", "val"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        left[~left["key"].isin(set(right["rkey"]))]
+        .sort_values(["key", "val"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[["key", "val"]], expect)
+
+    # sane filter: definite-miss fraction must dominate (no shuffle for
+    # those rows); with m=2^20 over 900 keys the FP rate is ~0
+    out2 = bloom_anti_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        on="key",
+        right_on="rkey",
+        m_bits=1 << 20,
+        k=4,
+        num_partitions=4,
+    ).to_pandas()
+    assert len(out2) == len(expect)
