@@ -1276,6 +1276,39 @@ def q_shuffle_rank(sf_dir: str):
     return global_shuffle_rank(_read(sf_dir, "documents"), seed=0, num_parts=16)
 
 
+def q_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distance over a log-diameter test graph:
+    per-user binary tree linking each event (ranked by ts, event_id) to
+    the event at half its rank; seeds are each user's rank-0 event.
+    Hop distance then has the closed form bit_length(rank), which the
+    oracle restates — while the Ray side runs the real frontier BFS
+    dataflow (join + anti-join + union per round)."""
+    from prase_ray.stages.components import bfs_hops
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    rk = ev.groupby("user_id").cumcount().to_numpy(np.int64)
+    ids = ev["event_id"].to_numpy(np.int64)
+    # rows are user-major and rank-ordered, so the same user's rank r//2
+    # row sits exactly (r - r//2) rows earlier
+    child = rk >= 1
+    parent_idx = np.arange(len(ev)) - (rk - rk // 2)
+    edges_df = pd.DataFrame(
+        {"a": ids[child], "b": ids[parent_idx[child]]}
+    )
+    seeds_df = pd.DataFrame({"node": ids[rk == 0]})
+    import ray.data
+
+    return bfs_hops(
+        ray.data.from_pandas(edges_df),
+        ray.data.from_pandas(seeds_df),
+        max_rounds=40,
+        num_partitions=8,
+    )
+
+
 def q_bloom_anti_join(sf_dir: str):
     """Bloom-prefiltered EXACT anti-join: lineitem rows whose order is
     NOT among the high-value orders (o_totalprice >= 150000).  The
@@ -1384,6 +1417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "shuffle_rank": q_shuffle_rank,
         "bloom_anti_join": q_bloom_anti_join,
+        "bfs_hops": q_bfs_hops,
     }
 
 
@@ -1807,6 +1841,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1
                     AS BIGINT) AS pos
         FROM s
+    """
+    # BFS over the per-user binary-rank tree has the closed form
+    # dist = bit_length(rank) (rank 0 is the seed)
+    d["bfs_hops"] = """
+        WITH r AS (
+            SELECT event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) - 1 AS rk
+            FROM events
+        )
+        SELECT CAST(event_id AS BIGINT) AS node,
+               CAST(CASE WHEN rk = 0 THEN 0
+                    ELSE length(bin(rk)) END AS BIGINT) AS dist
+        FROM r
     """
     # exact result by construction (Bloom FPs removed by the exact
     # join), so the oracle is the plain NOT EXISTS

@@ -126,3 +126,90 @@ def connected_components(
             break
         prev_sum = s
     return labels
+
+
+def bfs_hops(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    *,
+    max_rounds: int = 30,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Multi-source BFS hop distance over an undirected edge list:
+    Dataset(node, dist) with dist = min #edges from ANY seed node;
+    nodes unreachable within ``max_rounds`` are absent from the output.
+
+    Frontier-style dataflow: each round joins only the CURRENT frontier
+    (newly discovered nodes) against the edge list, anti-joins the
+    known-distance set, and unions the survivors in — so per-round
+    exchanged volume is O(frontier x degree), not O(graph), and total
+    work across rounds is O(E + V) like sequential BFS.  Integer
+    distances make the result hash-exact (no float-order sensitivity).
+    Rounds needed = eccentricity of the seed set; keep the input
+    graph's diameter bounded (tree/star-shaped derivations) or raise
+    ``max_rounds``."""
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    num_partitions = ensure_join_cpu_budget(num_partitions)
+
+    def undirect(batch: pd.DataFrame):
+        return pa.table(
+            {
+                "src": np.concatenate(
+                    [batch["a"].to_numpy(np.int64), batch["b"].to_numpy(np.int64)]
+                ),
+                "dst": np.concatenate(
+                    [batch["b"].to_numpy(np.int64), batch["a"].to_numpy(np.int64)]
+                ),
+            }
+        )
+
+    und = edges.map_batches(undirect, batch_format="pandas").materialize()
+
+    def init_seeds(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": b["node"].drop_duplicates().to_numpy(np.int64),
+                "dist": np.int64(0),
+            }
+        )
+
+    frontier = _as_arrow(
+        seeds.map_batches(init_seeds, batch_format="pandas")
+        .groupby("node")
+        .aggregate(Min("dist", alias_name="dist"))
+    ).materialize()
+    dist = frontier
+
+    for r in range(1, max_rounds + 1):
+        reached = und.join(
+            frontier,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        ).select_columns(["dst"])
+        fresh = _as_arrow(reached.rename_columns({"dst": "node"})).join(
+            dist,
+            join_type="left_anti",
+            num_partitions=num_partitions,
+            on=("node",),
+        )
+
+        def stamp(b: pd.DataFrame, d=r) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": b["node"].drop_duplicates().to_numpy(np.int64),
+                    "dist": np.int64(d),
+                }
+            )
+
+        frontier = _as_arrow(
+            fresh.map_batches(stamp, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("dist", alias_name="dist"))
+        ).materialize()
+        if frontier.count() == 0:
+            break
+        dist = dist.union(frontier).materialize()
+    return dist

@@ -1242,3 +1242,48 @@ def test_bloom_anti_join_exact_under_false_positives(ray_session):
         num_partitions=4,
     ).to_pandas()
     assert len(out2) == len(expect)
+
+
+def test_bfs_hops_general_graph(ray_session):
+    """Frontier BFS on a random graph with cycles, two seeds and an
+    unreachable island: distances equal a sequential BFS; island nodes
+    are absent from the output."""
+    import collections
+
+    from prase_ray.stages.components import bfs_hops
+
+    rng = np.random.default_rng(5)
+    n = 300
+    a = rng.integers(0, 200, 600)
+    b = rng.integers(0, 200, 600)
+    island = np.stack([np.arange(250, 299), np.arange(251, 300)])
+    edges = pd.DataFrame(
+        {"a": np.concatenate([a, island[0]]), "b": np.concatenate([b, island[1]])}
+    )
+    seeds = [0, 7]
+
+    adj = collections.defaultdict(set)
+    for x, y in zip(edges["a"], edges["b"]):
+        adj[int(x)].add(int(y))
+        adj[int(y)].add(int(x))
+    expect = {s: 0 for s in seeds}
+    q = collections.deque(seeds)
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in expect:
+                expect[v] = expect[u] + 1
+                q.append(v)
+
+    out = (
+        bfs_hops(
+            ray.data.from_pandas(edges).repartition(5),
+            ray.data.from_pandas(pd.DataFrame({"node": seeds})),
+            max_rounds=50,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("node")["dist"]
+        .to_dict()
+    )
+    assert out == expect  # island (250..300 range) unreachable -> absent
