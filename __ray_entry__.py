@@ -1309,6 +1309,34 @@ def q_bfs_hops(sf_dir: str):
     )
 
 
+def q_bfs_hops_distributed(sf_dir: str):
+    """Same BFS problem FORCED through the distributed frontier
+    dataflow (test-scale edge counts otherwise take the driver CSR
+    branch) — oracle-checks the web-scale code path itself, mirroring
+    q_cc_distributed."""
+    from prase_ray.stages.components import bfs_hops
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    rk = ev.groupby("user_id").cumcount().to_numpy(np.int64)
+    ids = ev["event_id"].to_numpy(np.int64)
+    child = rk >= 1
+    parent_idx = np.arange(len(ev)) - (rk - rk // 2)
+    import ray.data
+
+    return bfs_hops(
+        ray.data.from_pandas(
+            pd.DataFrame({"a": ids[child], "b": ids[parent_idx[child]]})
+        ),
+        ray.data.from_pandas(pd.DataFrame({"node": ids[rk == 0]})),
+        max_rounds=40,
+        num_partitions=8,
+        force_distributed=True,
+    )
+
+
 def q_bloom_anti_join(sf_dir: str):
     """Bloom-prefiltered EXACT anti-join: lineitem rows whose order is
     NOT among the high-value orders (o_totalprice >= 150000).  The
@@ -1418,6 +1446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_rank": q_shuffle_rank,
         "bloom_anti_join": q_bloom_anti_join,
         "bfs_hops": q_bfs_hops,
+        "bfs_hops_distributed": q_bfs_hops_distributed,
     }
 
 
@@ -1857,6 +1886,7 @@ def oracle_sql() -> dict[str, str]:
                     ELSE length(bin(rk)) END AS BIGINT) AS dist
         FROM r
     """
+    d["bfs_hops_distributed"] = d["bfs_hops"]
     # exact result by construction (Bloom FPs removed by the exact
     # join), so the oracle is the plain NOT EXISTS
     d["bloom_anti_join"] = """

@@ -128,29 +128,80 @@ def connected_components(
     return labels
 
 
+def _bfs_hops_driver(
+    edges: pd.DataFrame, seed_ids: np.ndarray, max_rounds: int
+) -> pd.DataFrame:
+    """Vectorized CSR BFS for edge sets that fit one process (same
+    small-side gate pattern as connected_components): per round one
+    gather of the frontier's adjacency slices — rounds cost
+    microseconds, not Dataset-join latencies."""
+    a = edges["a"].to_numpy(np.int64)
+    b = edges["b"].to_numpy(np.int64)
+    # node universe includes edge-less seeds (the distributed path
+    # emits them at dist 0 too)
+    nodes = np.unique(np.concatenate([a, b, seed_ids.astype(np.int64)]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    src = np.concatenate([ia, ib])
+    dst = np.concatenate([ib, ia])
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    starts = np.searchsorted(src_s, np.arange(len(nodes) + 1))
+    dist = np.full(len(nodes), -1, np.int64)
+    fr = np.unique(np.searchsorted(nodes, seed_ids))
+    dist[fr] = 0
+    for r in range(1, max_rounds + 1):
+        if not len(fr):
+            break
+        # neighbor gather: concatenate the frontier's CSR slices
+        cnt = starts[fr + 1] - starts[fr]
+        idx = np.repeat(starts[fr], cnt) + (
+            np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        )
+        nbr = np.unique(dst_s[idx])
+        fr = nbr[dist[nbr] < 0]
+        dist[fr] = r
+    m = dist >= 0
+    return pd.DataFrame({"node": nodes[m], "dist": dist[m]})
+
+
 def bfs_hops(
     edges: ray.data.Dataset,
     seeds: ray.data.Dataset,
     *,
     max_rounds: int = 30,
     num_partitions: int = 16,
+    min_distributed_edges: int = 1_000_000,
+    force_distributed: bool = False,
 ) -> ray.data.Dataset:
     """Multi-source BFS hop distance over an undirected edge list:
     Dataset(node, dist) with dist = min #edges from ANY seed node;
     nodes unreachable within ``max_rounds`` are absent from the output.
 
-    Frontier-style dataflow: each round joins only the CURRENT frontier
-    (newly discovered nodes) against the edge list, anti-joins the
-    known-distance set, and unions the survivors in — so per-round
-    exchanged volume is O(frontier x degree), not O(graph), and total
-    work across rounds is O(E + V) like sequential BFS.  Integer
-    distances make the result hash-exact (no float-order sensitivity).
-    Rounds needed = eccentricity of the seed set; keep the input
-    graph's diameter bounded (tree/star-shaped derivations) or raise
-    ``max_rounds``."""
+    Small edge sets take a vectorized driver CSR-BFS (each distributed
+    round costs whole Dataset-join latencies — pure overhead below the
+    gate, exactly like connected_components' union-find branch).  Above
+    the gate (or with ``force_distributed``), frontier-style dataflow:
+    each round joins only the CURRENT frontier (newly discovered nodes)
+    against the edge list, anti-joins the known-distance set, and
+    unions the survivors in — so per-round exchanged volume is
+    O(frontier x degree), not O(graph), and total work across rounds is
+    O(E + V) like sequential BFS.  Integer distances make the result
+    hash-exact (no float-order sensitivity).  Rounds needed =
+    eccentricity of the seed set; keep the input graph's diameter
+    bounded (tree/star-shaped derivations) or raise ``max_rounds``."""
     from prase_ray.rayctx import ensure_join_cpu_budget
 
     num_partitions = ensure_join_cpu_budget(num_partitions)
+    if not force_distributed and edges.count() <= min_distributed_edges:
+        pdf = edges.to_pandas()
+        sids = seeds.to_pandas()["node"].to_numpy(np.int64)
+        if pdf.empty or not len(sids):
+            return ray.data.from_pandas(
+                pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                              "dist": pd.Series([], dtype=np.int64)})
+            )
+        return ray.data.from_pandas(_bfs_hops_driver(pdf, sids, max_rounds))
 
     def undirect(batch: pd.DataFrame):
         return pa.table(

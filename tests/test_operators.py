@@ -1275,15 +1275,17 @@ def test_bfs_hops_general_graph(ray_session):
                 expect[v] = expect[u] + 1
                 q.append(v)
 
-    out = (
-        bfs_hops(
-            ray.data.from_pandas(edges).repartition(5),
-            ray.data.from_pandas(pd.DataFrame({"node": seeds})),
-            max_rounds=50,
-            num_partitions=4,
+    for force in (False, True):  # driver CSR branch AND frontier dataflow
+        out = (
+            bfs_hops(
+                ray.data.from_pandas(edges).repartition(5),
+                ray.data.from_pandas(pd.DataFrame({"node": seeds})),
+                max_rounds=50,
+                num_partitions=4,
+                force_distributed=force,
+            )
+            .to_pandas()
+            .set_index("node")["dist"]
+            .to_dict()
         )
-        .to_pandas()
-        .set_index("node")["dist"]
-        .to_dict()
-    )
-    assert out == expect  # island (250..300 range) unreachable -> absent
+        assert out == expect  # island (250..300) unreachable -> absent
