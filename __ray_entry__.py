@@ -1276,6 +1276,18 @@ def q_shuffle_rank(sf_dir: str):
     return global_shuffle_rank(_read(sf_dir, "documents"), seed=0, num_parts=16)
 
 
+def q_chunk_documents(sf_dir: str):
+    """Fixed-token chunking with overlap (32-token windows, stride
+    24, small enough that sf docs split into several chunks): no shuffle — each batch expands independently; chunk text is
+    byte-sliced from the batch blob (single-space tokenization, DuckDB
+    string_split parity)."""
+    from prase_ray.stages.text import chunk_documents
+
+    return chunk_documents(
+        _read(sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
 def q_bfs_hops(sf_dir: str):
     """Multi-source BFS hop distance over a log-diameter test graph:
     per-user binary tree linking each event (ranked by ts, event_id) to
@@ -1447,6 +1459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_anti_join": q_bloom_anti_join,
         "bfs_hops": q_bfs_hops,
         "bfs_hops_distributed": q_bfs_hops_distributed,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -1887,6 +1900,31 @@ def oracle_sql() -> dict[str, str]:
         FROM r
     """
     d["bfs_hops_distributed"] = d["bfs_hops"]
+    # fixed-token chunking: same single-space tokenization, 1-based
+    # inclusive list_slice
+    d["chunk_documents"] = """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ), c AS (
+            SELECT doc_id, toks, n,
+                   unnest(range(
+                       0,
+                       CAST(CASE WHEN n <= 32 THEN 0
+                            ELSE ceil((n - 32) / 24.0) END AS BIGINT) + 1
+                   )) AS chunk_id
+            FROM t
+        )
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               array_to_string(
+                   list_slice(toks, chunk_id * 24 + 1,
+                              LEAST(chunk_id * 24 + 32, n)), ' '
+               ) AS chunk_text,
+               CAST(LEAST(chunk_id * 24 + 32, n) - chunk_id * 24
+                    AS BIGINT) AS n_chunk_tokens
+        FROM c
+    """
     # exact result by construction (Bloom FPs removed by the exact
     # join), so the oracle is the plain NOT EXISTS
     d["bloom_anti_join"] = """

@@ -311,3 +311,84 @@ def tfidf_topk(
         .map_groups(final_topk, batch_format="pandas")
         .select_columns([id_col, "rank", "term", "tf", "df", "score"])
     )
+
+
+# --------------------------------------------------------------------------
+# document chunking (fixed-token windows with overlap)
+# --------------------------------------------------------------------------
+
+def chunk_documents_batch(
+    batch: pd.DataFrame, chunk_tokens: int, overlap: int
+) -> pd.DataFrame:
+    """Split each doc into chunk_tokens-token windows advancing by
+    (chunk_tokens - overlap): chunk c covers tokens
+    [c*stride, min(c*stride + chunk_tokens, n)) under single-space
+    tokenization (DuckDB ``string_split(text, ' ')`` parity, empties
+    included).  Token boundaries are found as 0x20 bytes in the UTF-8
+    blob of the whole batch (a space byte can never occur inside a
+    multi-byte sequence), so the per-doc work is numpy; the only
+    per-chunk step is a C-level bytes slice + decode."""
+    stride = chunk_tokens - overlap
+    assert stride > 0, "overlap must be smaller than chunk_tokens"
+    enc = [t.encode("utf-8") for t in batch["text"].tolist()]
+    blen = np.fromiter((len(e) for e in enc), np.int64, len(enc))
+    bounds = np.zeros(len(enc) + 1, np.int64)
+    np.cumsum(blen, out=bounds[1:])
+    blob = b"".join(enc)
+    arr = np.frombuffer(blob, np.uint8)
+    space_pos = np.flatnonzero(arr == 0x20).astype(np.int64)
+    sp_off = np.searchsorted(space_pos, bounds)      # spaces before each doc
+    n_tok = np.diff(sp_off) + 1                      # tokens per doc
+    n_chunks = np.where(
+        n_tok <= chunk_tokens,
+        1,
+        (n_tok - chunk_tokens + stride - 1) // stride + 1,
+    ).astype(np.int64)
+
+    rep = np.repeat(np.arange(len(enc), dtype=np.int64), n_chunks)
+    coff = np.zeros(len(enc) + 1, np.int64)
+    np.cumsum(n_chunks, out=coff[1:])
+    cid = np.arange(int(n_chunks.sum()), dtype=np.int64) - coff[rep]
+    tok_s = cid * stride
+    tok_e = np.minimum(tok_s + chunk_tokens, n_tok[rep])
+
+    # byte range of token span [tok_s, tok_e) within doc rep[j]; clip the
+    # space-array indexes because np.where evaluates both branches
+    base = sp_off[rep]
+    sp_safe = space_pos if len(space_pos) else np.zeros(1, np.int64)
+    hi = len(sp_safe) - 1
+    byte_s = np.where(
+        tok_s == 0,
+        bounds[rep],
+        sp_safe[np.clip(base + tok_s - 1, 0, hi)] + 1,
+    )
+    byte_e = np.where(
+        tok_e == n_tok[rep],
+        bounds[rep + 1],
+        sp_safe[np.clip(base + tok_e - 1, 0, hi)],
+    )
+    texts = [blob[s:e].decode("utf-8") for s, e in zip(byte_s, byte_e)]
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].to_numpy(np.int64)[rep],
+            "chunk_id": cid,
+            "chunk_text": texts,
+            "n_chunk_tokens": (tok_e - tok_s).astype(np.int64),
+        }
+    )
+
+
+def chunk_documents(
+    docs: ray.data.Dataset, chunk_tokens: int = 128, overlap: int = 16
+) -> ray.data.Dataset:
+    """Embarrassingly parallel (no shuffle): each batch expands to its
+    chunks independently; downstream block sizes grow by roughly
+    n_tokens/stride, so feed smaller ``batch_size`` for long docs."""
+    import functools
+
+    return docs.map_batches(
+        functools.partial(
+            chunk_documents_batch, chunk_tokens=chunk_tokens, overlap=overlap
+        ),
+        batch_format="pandas",
+    )

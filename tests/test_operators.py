@@ -1289,3 +1289,48 @@ def test_bfs_hops_general_graph(ray_session):
             .to_dict()
         )
         assert out == expect  # island (250..300) unreachable -> absent
+
+
+def test_chunk_documents_token_parity(ray_session):
+    """Byte-level space slicing must equal Python single-space split
+    semantics, including multi-byte UTF-8, empty text, consecutive
+    spaces (empty tokens) and exact chunk-boundary lengths."""
+    from prase_ray.stages.text import chunk_documents
+
+    chunk, overlap = 8, 3
+    stride = chunk - overlap
+    texts = [
+        "",                                  # 1 empty token
+        "one",                               # single token
+        " ".join(f"t{i}" for i in range(8)),   # exactly one chunk
+        " ".join(f"t{i}" for i in range(9)),   # one token past boundary
+        " ".join(f"t{i}" for i in range(40)),  # many chunks
+        "汉字 токен mixé  double  spaces here x y z a b c",  # UTF-8 + empties
+        " lead and trail ",                  # boundary empties
+    ]
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    out = (
+        chunk_documents(
+            ray.data.from_pandas(docs).repartition(3),
+            chunk_tokens=chunk,
+            overlap=overlap,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+
+    rows = []
+    for did, text in zip(docs["doc_id"], texts):
+        toks = text.split(" ")
+        n = len(toks)
+        n_chunks = 1 if n <= chunk else -((n - chunk) // -stride) + 1
+        for c in range(n_chunks):
+            s, e = c * stride, min(c * stride + chunk, n)
+            rows.append((did, c, " ".join(toks[s:e]), e - s))
+    expect = pd.DataFrame(
+        rows, columns=["doc_id", "chunk_id", "chunk_text", "n_chunk_tokens"]
+    )
+    pd.testing.assert_frame_equal(
+        out[expect.columns], expect, check_dtype=False
+    )
