@@ -80,6 +80,11 @@ def ordered_prefix_sum(
 
     Returns the relation + ``cum_before`` (int64).
     """
+    # materialize the SLIM relation first so the upstream (payload-
+    # carrying) pipeline runs exactly once — the bounds pass, the
+    # part-sum pass and the shuffle all consume this 24-bytes/row
+    # materialization (object-store spillable)
+    rel = rel.materialize()
     if lo is None or hi is None:
         mm = rel.aggregate(
             ray.data.aggregate.Min(key_col), ray.data.aggregate.Max(key_col)
@@ -92,9 +97,7 @@ def ordered_prefix_sum(
         b["part"] = _range_part(b[key_col].to_numpy(np.int64), lo, hi, num_parts)
         return b
 
-    # materialize ONCE: both the part-sum pass and the shuffle pass
-    # consume this slim relation (24 bytes/row; object-store spillable)
-    tagged = rel.map_batches(tag, batch_format="pandas").materialize()
+    tagged = rel.map_batches(tag, batch_format="pandas")
 
     # pass 1: per-part sums -> P rows -> driver exclusive scan
     def part_partials(b: pd.DataFrame) -> pd.DataFrame:
