@@ -1276,6 +1276,31 @@ def q_shuffle_rank(sf_dir: str):
     return global_shuffle_rank(_read(sf_dir, "documents"), seed=0, num_parts=16)
 
 
+def q_mix_corpus(sf_dir: str):
+    """COMPOSITION: epoch-stream construction — source-weighted
+    stratified sampling (X26) followed by a deterministic global
+    shuffle order (X36) over the survivors, joined back to the sampled
+    relation for the source column.  Both stages are pure functions of
+    (doc_id, seed): the epoch is reproducible and resumable, unlike
+    random_shuffle."""
+    from prase_ray.stages.packing import global_shuffle_rank
+    from prase_ray.stages.relational import stratified_sample
+
+    kept = stratified_sample(
+        _read(sf_dir, "documents").select_columns(["doc_id", "source"]),
+        key_fn=lambda b: b["doc_id"].to_numpy(np.uint64)
+        * np.uint64(2654435761),
+        group_col="source",
+        rates_permille=_STRAT_RATES,
+        default_permille=500,
+        seed=7,
+    )
+    ranked = global_shuffle_rank(kept, seed=3, num_parts=16)
+    return ranked.join(
+        kept, join_type="inner", num_partitions=8, on=("doc_id",)
+    )
+
+
 def q_chunk_documents(sf_dir: str):
     """Fixed-token chunking with overlap (32-token windows, stride
     24, small enough that sf docs split into several chunks): no shuffle — each batch expands independently; chunk text is
@@ -1460,6 +1485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": q_bfs_hops,
         "bfs_hops_distributed": q_bfs_hops_distributed,
         "chunk_documents": q_chunk_documents,
+        "mix_corpus": q_mix_corpus,
     }
 
 
@@ -1900,6 +1926,36 @@ def oracle_sql() -> dict[str, str]:
         FROM r
     """
     d["bfs_hops_distributed"] = d["bfs_hops"]
+    # composed epoch stream: the stratified-sample predicate nested
+    # under the shuffle-rank mix (seed 3 -> xor constant 3*2654435761)
+    d["mix_corpus"] = f"""
+        WITH samp AS (
+            SELECT doc_id, source,
+                   xor(CAST(doc_id AS HUGEINT) * 2654435761 % {_U64},
+                       7::HUGEINT) AS h
+            FROM documents
+        ), keep AS (
+            SELECT doc_id, source FROM samp
+            WHERE ({_sql_splitmix('h')}) % 1000 <
+                  CASE source {_STRAT_RATES_SQL} ELSE 500 END
+        ), k0 AS (
+            SELECT doc_id, source,
+                   xor(CAST(doc_id AS HUGEINT), 7963307307::HUGEINT) AS x
+            FROM keep
+        ), k AS (
+            SELECT doc_id, source, {_sql_splitmix('x')} AS ku FROM k0
+        ), s AS (
+            SELECT doc_id, source,
+                   CAST(CASE WHEN ku >= 9223372036854775808::HUGEINT
+                        THEN ku - 18446744073709551616::HUGEINT
+                        ELSE ku END AS BIGINT) AS shuffle_key
+            FROM k
+        )
+        SELECT doc_id, source, shuffle_key,
+               CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1
+                    AS BIGINT) AS pos
+        FROM s
+    """
     # fixed-token chunking: same single-space tokenization, 1-based
     # inclusive list_slice
     d["chunk_documents"] = """
