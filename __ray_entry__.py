@@ -1276,6 +1276,44 @@ def q_shuffle_rank(sf_dir: str):
     return global_shuffle_rank(_read(sf_dir, "documents"), seed=0, num_parts=16)
 
 
+def q_quality_buckets(sf_dir: str):
+    """Curriculum binning: global quartile bucket of every doc by its
+    quality score — a global rank over a COMPUTED float key.  The float
+    is bit-cast to int64 (order-preserving for non-negative doubles) and
+    ranked with the prefix-sum primitive; n comes free from parquet
+    metadata.  Only the slim (doc_id, quality, key) relation shuffles."""
+    from prase_ray.stages.packing import ordered_rank
+    from prase_ray.stages.text import quality_score_batch
+
+    docs = _read(sf_dir, "documents")
+    n = docs.count()  # parquet metadata, no scan
+    K = 4
+
+    def slim(b: pd.DataFrame) -> pd.DataFrame:
+        q = quality_score_batch(b)["quality"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "quality": q,
+                "qkey": q.view(np.int64),
+            }
+        )
+
+    ranked = ordered_rank(
+        docs.map_batches(slim, batch_format="pandas"),
+        "qkey",
+        tiebreak_col="doc_id",
+        num_parts=16,
+    )
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["q_bucket"] = b["pos"].to_numpy(np.int64) * np.int64(K) // np.int64(n)
+        return b.drop(columns=["qkey"])
+
+    return ranked.map_batches(bucket, batch_format="pandas")
+
+
 def q_mix_corpus(sf_dir: str):
     """COMPOSITION: epoch-stream construction — source-weighted
     stratified sampling (X26) followed by a deterministic global
@@ -1486,6 +1524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops_distributed": q_bfs_hops_distributed,
         "chunk_documents": q_chunk_documents,
         "mix_corpus": q_mix_corpus,
+        "quality_buckets": q_quality_buckets,
     }
 
 
@@ -1991,6 +2030,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.o_orderkey = l.l_orderkey
               AND o.o_totalprice >= 150000.0
         )
+    """
+    # global quartile by quality: SQL orders by the float, the engine
+    # by its int64 bit pattern — identical order for non-negative
+    # doubles; quality expr is the quality_score oracle verbatim
+    d["quality_buckets"] = f"""
+        WITH q AS (
+            SELECT doc_id, quality FROM ({d["quality_score"]})
+        ), r AS (
+            SELECT doc_id, quality,
+                   CAST(ROW_NUMBER() OVER (ORDER BY quality, doc_id) - 1
+                        AS BIGINT) AS pos,
+                   COUNT(*) OVER () AS cnt
+            FROM q
+        )
+        SELECT doc_id, quality, pos,
+               CAST(pos * 4 // cnt AS BIGINT) AS q_bucket
+        FROM r
     """
     return d
 

@@ -207,6 +207,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("bloom_anti_join", lambda: consume(em.q_bloom_anti_join(sf_dir)))
     timed("bfs_hops", lambda: consume(em.q_bfs_hops(sf_dir)))
     timed("chunk_documents", lambda: consume(em.q_chunk_documents(sf_dir)))
+    timed("mix_corpus", lambda: consume(em.q_mix_corpus(sf_dir)))
+    timed("quality_buckets", lambda: consume(em.q_quality_buckets(sf_dir)))
     timed("pack_sequences", lambda: consume(em.q_pack_sequences(sf_dir)))
     timed("shuffle_rank", lambda: consume(em.q_shuffle_rank(sf_dir)))
 

@@ -215,3 +215,40 @@ def global_shuffle_rank(
         )
 
     return pre.map_batches(finish, batch_format="pandas")
+
+
+def ordered_rank(
+    rel: ray.data.Dataset,
+    key_col: str,
+    *,
+    tiebreak_col: str,
+    num_parts: int = 64,
+    lo: int | None = None,
+    hi: int | None = None,
+) -> ray.data.Dataset:
+    """Global 0-based rank (ROW_NUMBER() - 1) over (key_col,
+    tiebreak_col): the prefix-sum primitive with val=1.  Keys must be
+    int64; for non-negative float64 keys, bit-cast them first
+    (``f.view(np.int64)``) — the IEEE bit pattern of non-negative
+    doubles is order-preserving as a signed integer."""
+
+    def one(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["one"] = np.ones(len(b), dtype=np.int64)
+        return b
+
+    pre = ordered_prefix_sum(
+        rel.map_batches(one, batch_format="pandas"),
+        key_col,
+        "one",
+        num_parts=num_parts,
+        lo=lo,
+        hi=hi,
+        tiebreak_col=tiebreak_col,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"cum_before": "pos"})
+        return b.drop(columns=["one"])
+
+    return pre.map_batches(finish, batch_format="pandas")
