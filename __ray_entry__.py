@@ -1455,6 +1455,80 @@ def q_distinct_hll(sf_dir: str):
     )
 
 
+def _plant_messy_urls(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic Common-Crawl-style messy URL + coarse crawl ts per
+    doc (the sf corpora carry no URLs) — mixed-case scheme/host,
+    default port, tracking params, fragment.  doc_id % 20 path keys ×
+    doc_id % 7 hosts give real post-canonicalization collisions; ts =
+    doc_id % 100 forces ts TIES inside a key so the id tie-break is
+    exercised.  The oracle replants the identical expression in SQL."""
+    i = b["doc_id"].astype(str)
+    b = b[["doc_id"]].copy()
+    b["url"] = (
+        "HTTPS://WWW.Site" + (b["doc_id"] % 7).astype(str)
+        + ".COM:443/Page/" + (b["doc_id"] % 20).astype(str)
+        + "/?utm_source=s" + i + "&ref=r" + (b["doc_id"] % 20 % 3).astype(str)
+        + "&utm_campaign=c#sec" + i
+    )
+    b["crawl_ts"] = (b["doc_id"] % 100).astype(np.int64)
+    return b
+
+
+_PLANT_URL_SQL = (
+    "'HTTPS://WWW.Site' || (doc_id % 7) || '.COM:443/Page/' || (doc_id % 20)"
+    " || '/?utm_source=s' || doc_id || '&ref=r' || (doc_id % 20 % 3)"
+    " || '&utm_campaign=c#sec' || doc_id"
+)
+
+
+def q_canonicalize_url(sf_dir: str):
+    """Per-row URL canonicalizer (lowercase scheme/host, strip default
+    port / fragment / tracking params / trailing slashes) — the
+    upstream normalizer every crawl pipeline runs before url-keyed
+    dedup.  RE2 on both sides → byte parity."""
+    from prase_ray.stages.urls import canonicalize_url
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+    out = canonicalize_url(
+        docs.map_batches(_plant_messy_urls, batch_format="pandas")
+    ).to_pandas()
+    return out[["doc_id", "url", "canon_url"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def q_url_dedup_latest(sf_dir: str):
+    """Composed keep-latest-crawl: canonicalize planted messy URLs
+    (collisions exist ONLY after canonicalization — tracking params
+    differ per doc), then one winner row per canonical URL by
+    (crawl_ts, doc_id) max.  Slim per-batch partial winners bound the
+    exchange at distinct-keys-per-batch."""
+    from prase_ray.stages.urls import canonicalize_url, keep_latest
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+    pages = canonicalize_url(
+        docs.map_batches(_plant_messy_urls, batch_format="pandas")
+    )
+    out = keep_latest(
+        pages, key_col="canon_url", ts_col="crawl_ts", id_col="doc_id"
+    ).to_pandas()
+    return out[["canon_url", "doc_id", "crawl_ts"]].sort_values(
+        "canon_url"
+    ).reset_index(drop=True)
+
+
+def q_unigram_surprise(sf_dir: str):
+    """Corpus-level unigram-LM surprisal per document (fixed-point
+    integer, partition-order invariant) — the model-free rare-token
+    quality signal; one term-hash exchange, no join."""
+    from prase_ray.stages.text import unigram_surprise
+
+    out = unigram_surprise(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_triples_docs": q_extract_triples_docs,
@@ -1525,6 +1599,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "mix_corpus": q_mix_corpus,
         "quality_buckets": q_quality_buckets,
+        "canonicalize_url": q_canonicalize_url,
+        "url_dedup_latest": q_url_dedup_latest,
+        "unigram_surprise": q_unigram_surprise,
     }
 
 
@@ -1536,7 +1613,9 @@ _U64 = "18446744073709551616::HUGEINT"
 from prase_ray.stages.text import (  # noqa: E402 (regex shared with oracle)
     PII_EMAIL_RE as _PII_EMAIL_SQL,
     PII_PHONE_RE as _PII_PHONE_SQL,
+    UNIGRAM_SCALE,
 )
+from prase_ray.stages.urls import url_canon_sql as _url_canon_sql  # noqa: E402
 
 _STRAT_RATES_SQL = " ".join(
     f"WHEN '{s}' THEN {r}" for s, r in _STRAT_RATES.items()
@@ -2822,5 +2901,55 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE ({_sql_splitmix('h')}) % 1000 <
                   CASE source {_STRAT_RATES_SQL} ELSE 500 END
             ORDER BY doc_id
+        """,
+        # same planted messy-URL expression as the engine side; the
+        # canonicalization chain is rendered from URL_CANON_STEPS, the
+        # single RE2 program both engines share (byte parity)
+        "canonicalize_url": f"""
+            WITH p AS (
+                SELECT doc_id, {_PLANT_URL_SQL} AS url FROM documents
+            )
+            SELECT doc_id, url, {_url_canon_sql('url')} AS canon_url
+            FROM p ORDER BY doc_id
+        """,
+        # winner per canonical url = max (crawl_ts, doc_id), expressed
+        # as one packed-integer MAX (ts < 100, doc_id < 2^32 at sf)
+        "url_dedup_latest": f"""
+            WITH p AS (
+                SELECT doc_id, {_PLANT_URL_SQL} AS url,
+                       CAST(doc_id % 100 AS BIGINT) AS crawl_ts
+                FROM documents
+            ), c AS (
+                SELECT doc_id, crawl_ts,
+                       {_url_canon_sql('url')} AS canon_url
+                FROM p
+            ), w AS (
+                SELECT canon_url,
+                       MAX(crawl_ts * 4294967296 + doc_id) AS packed
+                FROM c GROUP BY 1
+            )
+            SELECT canon_url,
+                   CAST(packed % 4294967296 AS BIGINT) AS doc_id,
+                   CAST(packed // 4294967296 AS BIGINT) AS crawl_ts
+            FROM w ORDER BY canon_url
+        """,
+        # integer fixed-point surprisal: // is exact floor division on
+        # BIGINT in both DuckDB and numpy, and int64 sums are
+        # associative — hash-exact under any partitioning
+        "unigram_surprise": rf"""
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ), cnt AS (
+                SELECT term, SUM(tf) AS cnt FROM tf GROUP BY 1
+            )
+            SELECT tf.doc_id,
+                   CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+                   CAST(SUM(tf.tf * ({UNIGRAM_SCALE} // cnt.cnt))
+                        AS BIGINT) AS surprise_fp
+            FROM tf JOIN cnt USING (term)
+            GROUP BY tf.doc_id ORDER BY tf.doc_id
         """,
     }

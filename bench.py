@@ -211,6 +211,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("quality_buckets", lambda: consume(em.q_quality_buckets(sf_dir)))
     timed("pack_sequences", lambda: consume(em.q_pack_sequences(sf_dir)))
     timed("shuffle_rank", lambda: consume(em.q_shuffle_rank(sf_dir)))
+    timed("url_dedup_latest", lambda: consume(em.q_url_dedup_latest(sf_dir)))
+    timed("unigram_surprise", lambda: consume(em.q_unigram_surprise(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -392,3 +392,97 @@ def chunk_documents(
         ),
         batch_format="pandas",
     )
+
+
+# --------------------------------------------------------------------------
+# unigram LM surprise score (corpus-level quality signal)
+# --------------------------------------------------------------------------
+
+UNIGRAM_SCALE = 10**12
+
+
+def unigram_surprise(
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-document unigram-LM surprisal: documents dominated by rare
+    tokens score high, boilerplate built from the corpus's most common
+    tokens scores low — the classic model-free quality/novelty signal
+    a pretraining curation pipeline thresholds on.
+
+    Per doc: ``n_tokens`` = token count and
+    ``surprise_fp = Σ_tokens (UNIGRAM_SCALE // corpus_count(token))``
+    — a fixed-point INTEGER surprisal proxy (1/p up to the constant
+    total-token factor, which cancels in any ranking/threshold use).
+    Deliberately integer: int64 sums are associative, so the score is
+    bit-identical regardless of partitioning AND restates exactly in
+    SQL (``//`` both sides), unlike a float Σ -log p whose summation
+    order differs per plan.  A deployment wanting true log-probs maps
+    cnt → -log2(cnt/total) in the same vectorized kernel; the dataflow
+    below is unchanged.
+
+    Shape (the tfidf_topk shape, ONE term-hash exchange + one slim
+    regroup, NO join): (1) per-batch (doc, term, tf) counts
+    hash-partition by term — every row of a term lands in its
+    partition, so the partition's Σtf IS the global corpus count; each
+    partition pre-aggregates to ONE (doc, partial_tokens,
+    partial_surprise) row per doc it saw, (2) regroup by doc sums the
+    ≤ num_partitions integer partials.  The second exchange is bounded
+    by docs × num_partitions slim rows; raw tokens never shuffle twice.
+    """
+
+    def doc_terms(b: pd.DataFrame) -> pd.DataFrame:
+        import re
+
+        s = b[[id_col, text_col]].copy()
+        # ASCII \S+ to match DuckDB's RE2 split (see tfidf_topk)
+        s["term"] = s[text_col].str.findall(r"\S+", flags=re.ASCII)
+        e = s[[id_col, "term"]].explode("term").dropna(subset=["term"])
+        if e.empty:
+            return pd.DataFrame(
+                {"part": pd.Series([], dtype=np.int32),
+                 id_col: pd.Series([], dtype=np.int64),
+                 "term": pd.Series([], dtype=object),
+                 "tf": pd.Series([], dtype=np.int64)}
+            )
+        tf = e.groupby([id_col, "term"], as_index=False).size().rename(
+            columns={"size": "tf"}
+        )
+        part = (
+            pd.util.hash_array(tf["term"].to_numpy(dtype=object))
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        tf.insert(0, "part", part)
+        return tf
+
+    def score_part(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (
+            g.groupby("term", as_index=False)["tf"].sum()
+            .rename(columns={"tf": "cnt"})
+        )
+        g = g.merge(cnt, on="term")
+        tf = g["tf"].to_numpy(np.int64)
+        per = UNIGRAM_SCALE // g["cnt"].to_numpy(np.int64)
+        g["surprise_fp"] = tf * per
+        out = g.groupby(id_col, as_index=False).agg(
+            n_tokens=("tf", "sum"), surprise_fp=("surprise_fp", "sum")
+        )
+        out["n_tokens"] = out["n_tokens"].astype(np.int64)
+        out["surprise_fp"] = out["surprise_fp"].astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(id_col, as_index=False).agg(
+            n_tokens=("n_tokens", "sum"), surprise_fp=("surprise_fp", "sum")
+        )
+
+    return (
+        docs.map_batches(doc_terms, batch_format="pandas")
+        .groupby("part")
+        .map_groups(score_part, batch_format="pandas")
+        .groupby(id_col)
+        .map_groups(combine, batch_format="pandas")
+    )

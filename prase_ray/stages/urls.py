@@ -1,0 +1,160 @@
+"""URL canonicalization and keep-latest-crawl dedup over web_pages.
+
+A Common-Crawl-style corpus (BASELINE.json input_hint: ``url, warc_ts,
+html, text, lang``) carries many crawls of the same logical page: the
+same URL re-fetched over time, plus URL-spelling variants (mixed-case
+scheme/host, default ports, tracking query params, fragments, trailing
+slashes).  Upstream of everything else a webtext pipeline needs
+
+  1. a per-row URL NORMALIZER collapsing spelling variants
+     (``canonicalize_url``), and
+  2. a per-canonical-URL keep-latest reducer (``keep_latest``) so one
+     crawl — the newest — represents each page.
+
+The reference engine has no URL stage (its inputs are pre-built triple
+TSVs, test.py:10-55); this extends the same interning/normalization
+idea (objects/KG.py:59-87: canonical ``value`` next to raw ``name``)
+upstream to the web-page layer.
+
+Both sides of the oracle contract share one RE2 program: pyarrow's
+``replace_substring_regex`` / ``extract_regex`` and DuckDB's
+``regexp_replace`` / ``regexp_extract`` are both RE2, so applying the
+SAME ordered chain of replaces yields byte-identical output
+(``URL_CANON_STEPS`` below is that chain; the entry module renders it
+into SQL).  RE2 has no lookahead and GlobalReplace never rescans
+rewritten text, so runs of consecutive tracking params cannot be
+removed by ONE global replace — the chain instead unrolls the
+param-strip pair ``_TRACK_ROUNDS`` times (a bounded fixpoint: handles
+up to that many consecutive tracking params, documented trade).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# --------------------------------------------------------------------------
+# canonicalize_url
+# --------------------------------------------------------------------------
+
+_SPLIT_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)(.*)$"
+_TRACKING = r"(utm_[A-Za-z0-9_]*|fbclid|gclid)"
+_TRACK_ROUNDS = 3
+
+# ordered (pattern, replacement) chain applied AFTER scheme/host
+# lowercasing; identical in pyarrow and in the SQL the oracle renders
+URL_CANON_STEPS: list[tuple[str, str]] = (
+    [
+        (r"#.*$", ""),  # fragment
+        (r"^(https://[^/:?#]*):443(/|\?|$)", r"\1\2"),  # default ports
+        (r"^(http://[^/:?#]*):80(/|\?|$)", r"\1\2"),
+    ]
+    + [
+        # tracking params: mid-query then trailing, unrolled fixpoint
+        step
+        for _ in range(_TRACK_ROUNDS)
+        for step in (
+            (r"([?&])" + _TRACKING + r"=[^&#]*&", r"\1"),
+            (r"[?&]" + _TRACKING + r"=[^&#]*$", ""),
+        )
+    ]
+    + [
+        (r"/+(\?|$)", r"\1"),  # trailing path slashes
+        (r"\?$", ""),  # empty leftover query
+    ]
+)
+
+
+def canonicalize_url_array(urls: pa.Array) -> pa.Array:
+    """Vectorized canonicalizer over one Arrow string array (RE2 only,
+    zero Python per row).  Non-URL rows (no ``scheme://host`` shape)
+    pass through unchanged."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    m = pc.extract_regex(
+        urls,
+        r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)(?P<rest>.*)$",
+    )
+    sep = pa.array(["://"] * len(urls))
+    lowered = pc.binary_join_element_wise(
+        pc.utf8_lower(pc.struct_field(m, "scheme")),
+        pc.binary_join_element_wise(sep, pc.utf8_lower(pc.struct_field(m, "host")), ""),
+        pc.struct_field(m, "rest"),
+        "",
+    )
+    canon = pc.if_else(pc.is_valid(m), lowered, urls)
+    for pat, repl in URL_CANON_STEPS:
+        canon = pc.replace_substring_regex(canon, pattern=pat, replacement=repl)
+    return canon
+
+
+def canonicalize_url(
+    pages: ray.data.Dataset, *, url_col: str = "url", out_col: str = "canon_url"
+) -> ray.data.Dataset:
+    """Append ``out_col`` = canonical form of ``url_col``.  One
+    zero-copy Arrow pass; no shuffle, no state — scale-free."""
+
+    def add(t: pa.Table) -> pa.Table:
+        return t.append_column(out_col, canonicalize_url_array(t[url_col]))
+
+    return pages.map_batches(add, batch_format="pyarrow")
+
+
+def url_canon_sql(expr: str) -> str:
+    """Render the SAME canonicalization chain as one nested DuckDB SQL
+    expression over ``expr`` (byte parity: both engines are RE2 and the
+    chain order is identical)."""
+    # DuckDB standard string literals do NOT process backslash escapes,
+    # so the regex text goes in verbatim — only quotes need escaping
+    g = f"regexp_extract({expr}, '{_SPLIT_RE}', ['scheme','host','rest'])"
+    out = (
+        f"CASE WHEN {g}['scheme'] IS NULL OR {g}['scheme']='' THEN {expr} "
+        f"ELSE lower({g}['scheme'])||'://'||lower({g}['host'])||{g}['rest'] END"
+    )
+    for pat, repl in URL_CANON_STEPS:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+    return out
+
+
+# --------------------------------------------------------------------------
+# keep_latest
+# --------------------------------------------------------------------------
+
+def keep_latest(
+    pages: ray.data.Dataset,
+    *,
+    key_col: str = "canon_url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """One row per ``key_col``: the row with the greatest
+    (``ts_col``, ``id_col``) — newest crawl, deterministic tie-break on
+    id.  Reference analog: first-hit-wins interning dedup
+    (objects/KG.py:95-109) with the opposite, time-aware winner rule.
+
+    Scale shape: per-batch partial winner per key FIRST (each task
+    emits ≤ one row per distinct key it saw — the A7 cross-worker
+    max-merge shape, objects/KGs.py argmax semantics), so the groupby
+    exchange carries O(distinct keys per batch) rows with the payload
+    riding the winner row, never all crawls of a hot page.  No
+    corpus-sized driver state; output stays a Dataset.
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # lexicographic (ts, id) max per key, payload rides
+        b = b.sort_values([key_col, ts_col, id_col], kind="stable")
+        return b.groupby(key_col, as_index=False, sort=False).tail(1)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="stable")
+        return g.tail(1)
+
+    return (
+        pages.map_batches(partial, batch_format="pandas")
+        .groupby(key_col)
+        .map_groups(final, batch_format="pandas")
+    )

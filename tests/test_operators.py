@@ -1334,3 +1334,105 @@ def test_chunk_documents_token_parity(ray_session):
     pd.testing.assert_frame_equal(
         out[expect.columns], expect, check_dtype=False
     )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + keep-latest crawl dedup (urls.py)
+# --------------------------------------------------------------------------
+
+def test_canonicalize_url_cases(ray_session):
+    """Normalizer rules: case, default ports, fragments, tracking
+    params (incl. a run of three — the unrolled-fixpoint bound),
+    trailing slashes, non-URL passthrough; and SQL-render parity."""
+    import duckdb
+    from prase_ray.stages.urls import canonicalize_url, url_canon_sql
+
+    cases = {
+        "HTTPS://WWW.Ex.COM:443/A/B/?utm_source=x&id=1&utm_medium=y#f":
+            "https://www.ex.com/A/B?id=1",
+        "http://Host.Org:80/p/": "http://host.org/p",
+        "https://h.co/?utm_a=1&utm_b=2&utm_c=3": "https://h.co",
+        "https://h.co/x?fbclid=z&gclid=w&q=1": "https://h.co/x?q=1",
+        "https://h.co//": "https://h.co",
+        "https://h.co": "https://h.co",
+        "not a url at all": "not a url at all",
+        "ftp://Mixed.Case/KeepPath": "ftp://mixed.case/KeepPath",
+    }
+    ds = ray.data.from_pandas(pd.DataFrame({"url": list(cases)}))
+    got = canonicalize_url(ds).to_pandas()
+    assert dict(zip(got["url"], got["canon_url"])) == cases
+    # the SQL rendering is the same RE2 program
+    con = duckdb.connect()
+    vals = ", ".join("('" + u + "')" for u in cases)
+    sql = f"SELECT {url_canon_sql('url')} FROM (VALUES {vals}) t(url)"
+    assert [r[0] for r in con.execute(sql).fetchall()] == list(cases.values())
+
+
+def test_keep_latest_tiebreak_multiblock(ray_session):
+    """Winner = max (ts, id) per key, exercised across MANY blocks so
+    both the per-batch partial and the cross-block final reduce run;
+    ties on ts fall to the max id."""
+    from prase_ray.stages.urls import keep_latest
+
+    n = 400
+    df = pd.DataFrame(
+        {
+            "canon_url": [f"u{i % 10}" for i in range(n)],
+            "warc_ts": [(i * 7) % 5 for i in range(n)],  # heavy ts ties
+            "doc_id": list(range(n)),
+            "payload": [f"p{i}" for i in range(n)],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = (
+        keep_latest(ds, key_col="canon_url", ts_col="warc_ts", id_col="doc_id")
+        .to_pandas()
+        .sort_values("canon_url")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["warc_ts", "doc_id"])
+        .groupby("canon_url", as_index=False)
+        .tail(1)
+        .sort_values("canon_url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["canon_url", "warc_ts", "doc_id", "payload"]],
+        exp[["canon_url", "warc_ts", "doc_id", "payload"]],
+    )
+
+
+def test_unigram_surprise_closed_form_and_partition_invariance(ray_session):
+    """Tiny corpus with hand-computable counts, plus bit-equality
+    between 1 and 32 term partitions (int64 sums are associative)."""
+    from prase_ray.stages.text import UNIGRAM_SCALE, unigram_surprise
+
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["a a b", "a c", "b b c c c"]}
+    )
+    # corpus counts: a=3, b=3, c=4
+    sa, sb, sc = (UNIGRAM_SCALE // 3, UNIGRAM_SCALE // 3, UNIGRAM_SCALE // 4)
+    exp = {
+        0: (3, 2 * sa + sb),
+        1: (2, sa + sc),
+        2: (5, 2 * sb + 3 * sc),
+    }
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = unigram_surprise(ds).to_pandas().set_index("doc_id")
+    for did, (nt, s) in exp.items():
+        assert out.loc[did, "n_tokens"] == nt
+        assert out.loc[did, "surprise_fp"] == s
+    one = (
+        unigram_surprise(ds, num_partitions=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    many = (
+        unigram_surprise(ds, num_partitions=32)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)
