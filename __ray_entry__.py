@@ -1463,7 +1463,7 @@ def _plant_messy_urls(b: pd.DataFrame) -> pd.DataFrame:
     doc_id % 100 forces ts TIES inside a key so the id tie-break is
     exercised.  The oracle replants the identical expression in SQL."""
     i = b["doc_id"].astype(str)
-    b = b[["doc_id"]].copy()
+    b = b.copy()  # extra input columns (e.g. n_chars) ride along
     b["url"] = (
         "HTTPS://WWW.Site" + (b["doc_id"] % 7).astype(str)
         + ".COM:443/Page/" + (b["doc_id"] % 20).astype(str)
@@ -1515,6 +1515,33 @@ def q_url_dedup_latest(sf_dir: str):
     return out[["canon_url", "doc_id", "crawl_ts"]].sort_values(
         "canon_url"
     ).reset_index(drop=True)
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-registered-domain crawl report (page counts + char volume)
+    over canonicalized planted URLs — the source-mix aggregate a
+    curation pipeline keys per-source quotas on.  Partial per-batch
+    sums bound the exchange at domains-per-batch."""
+    from prase_ray.stages.urls import canonicalize_url, domain_stats
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    pages = canonicalize_url(
+        docs.map_batches(_plant_messy_urls, batch_format="pandas")
+    )
+    out = domain_stats(pages, sum_cols=("n_chars",)).to_pandas()
+    return out[["domain", "n_pages", "n_chars"]].sort_values(
+        "domain"
+    ).reset_index(drop=True)
+
+
+def q_embedding_gram(sf_dir: str):
+    """Corpus Gram matrix XᵀX over the embedding column in fixed-point
+    int64 (the PCA/whitening reduction): one matmul per batch, d²-row
+    exchange independent of corpus size — exact under any partitioning."""
+    from prase_ray.stages.linalg import embedding_gram
+
+    out = embedding_gram(_read(sf_dir, "embeddings")).to_pandas()
+    return out.sort_values(["i", "j"]).reset_index(drop=True)
 
 
 def q_unigram_surprise(sf_dir: str):
@@ -1602,6 +1629,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonicalize_url": q_canonicalize_url,
         "url_dedup_latest": q_url_dedup_latest,
         "unigram_surprise": q_unigram_surprise,
+        "domain_stats": q_domain_stats,
+        "embedding_gram": q_embedding_gram,
     }
 
 
@@ -1615,7 +1644,11 @@ from prase_ray.stages.text import (  # noqa: E402 (regex shared with oracle)
     PII_PHONE_RE as _PII_PHONE_SQL,
     UNIGRAM_SCALE,
 )
-from prase_ray.stages.urls import url_canon_sql as _url_canon_sql  # noqa: E402
+from prase_ray.stages.urls import (  # noqa: E402
+    url_canon_sql as _url_canon_sql,
+    domain_sql as _domain_sql,
+)
+from prase_ray.stages.linalg import GRAM_SCALE as _GRAM_SCALE  # noqa: E402
 
 _STRAT_RATES_SQL = " ".join(
     f"WHEN '{s}' THEN {r}" for s, r in _STRAT_RATES.items()
@@ -2932,6 +2965,38 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(packed % 4294967296 AS BIGINT) AS doc_id,
                    CAST(packed // 4294967296 AS BIGINT) AS crawl_ts
             FROM w ORDER BY canon_url
+        """,
+        # domain = two nested RE2 extracts over the canonical URL;
+        # integer sums → hash-exact
+        "domain_stats": f"""
+            WITH p AS (
+                SELECT doc_id, n_chars, {_PLANT_URL_SQL} AS url
+                FROM documents
+            ), c AS (
+                SELECT n_chars, {_url_canon_sql('url')} AS canon FROM p
+            ), d AS (
+                SELECT {_domain_sql('canon')} AS domain, n_chars FROM c
+            )
+            SELECT domain,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars
+            FROM d GROUP BY domain ORDER BY domain
+        """,
+        # fixed-point Gram: float32→double cast, double multiply and
+        # floor are IEEE-identical in numpy and DuckDB; int64 partials
+        # sum associatively — the full matmul restated exactly in SQL
+        "embedding_gram": f"""
+            WITH q AS (
+                SELECT vec_id,
+                       unnest(range(1, len(embedding)+1)) AS i,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                  * {_GRAM_SCALE}) AS BIGINT) AS v
+                FROM embeddings
+            )
+            SELECT a.i AS i, b.i AS j,
+                   CAST(SUM(a.v * b.v) AS BIGINT) AS gram
+            FROM q a JOIN q b USING (vec_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # integer fixed-point surprisal: // is exact floor division on
         # BIGINT in both DuckDB and numpy, and int64 sums are

@@ -213,6 +213,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("shuffle_rank", lambda: consume(em.q_shuffle_rank(sf_dir)))
     timed("url_dedup_latest", lambda: consume(em.q_url_dedup_latest(sf_dir)))
     timed("unigram_surprise", lambda: consume(em.q_unigram_surprise(sf_dir)))
+    timed("embedding_gram", lambda: consume(em.q_embedding_gram(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -158,3 +158,75 @@ def keep_latest(
         .groupby(key_col)
         .map_groups(final, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+# registered-domain extraction + per-domain aggregates
+# --------------------------------------------------------------------------
+
+_HOST_RE = r"^[a-z][a-z0-9+.\-]*://([^/:?#]*)"
+_DOMAIN_RE = r"([^./:?#]+\.[^./:?#]+)$"
+
+
+def extract_domain(
+    pages: ray.data.Dataset, *, url_col: str = "canon_url", out_col: str = "domain"
+) -> ray.data.Dataset:
+    """Append ``out_col`` = registered domain (last two dot-labels of
+    the host — a public-suffix list is out of scope in this
+    environment, documented approximation).  Rows with no host yield
+    ''.  Two RE2 extracts, shared verbatim with the SQL oracle."""
+
+    def add(t: pa.Table) -> pa.Table:
+        urls = t[url_col]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        host = pc.struct_field(pc.extract_regex(urls, _HOST_RE.replace("(", "(?P<h>", 1)), "h")
+        dom = pc.struct_field(
+            pc.extract_regex(host, _DOMAIN_RE.replace("(", "(?P<d>", 1)), "d"
+        )
+        dom = pc.fill_null(dom, "")
+        return t.append_column(out_col, dom)
+
+    return pages.map_batches(add, batch_format="pyarrow")
+
+
+def domain_sql(expr: str) -> str:
+    """The same two extracts as one SQL expression (both engines RE2)."""
+    host = f"regexp_extract({expr}, '{_HOST_RE}', 1)"
+    return f"COALESCE(regexp_extract({host}, '{_DOMAIN_RE}', 1), '')"
+
+
+def domain_stats(
+    pages: ray.data.Dataset,
+    *,
+    url_col: str = "canon_url",
+    sum_cols: tuple = (),
+) -> ray.data.Dataset:
+    """Per-registered-domain page counts + integer column sums — the
+    crawl-health / source-mix report a curation pipeline keys its
+    per-source quotas on.  Per-batch partial aggregation FIRST, so the
+    exchange carries O(domains per batch) rows, never pages (int64
+    sums are associative → partition-order invariant)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("domain", as_index=False).agg(
+            n_pages=("domain", "size"),
+            **{c: (c, "sum") for c in sum_cols},
+        )
+        g["n_pages"] = g["n_pages"].astype(np.int64)
+        for c in sum_cols:
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("domain", as_index=False).agg(
+            n_pages=("n_pages", "sum"),
+            **{c: (c, "sum") for c in sum_cols},
+        )
+
+    return (
+        extract_domain(pages, url_col=url_col)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("domain")
+        .map_groups(final, batch_format="pandas")
+    )

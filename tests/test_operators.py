@@ -1436,3 +1436,70 @@ def test_unigram_surprise_closed_form_and_partition_invariance(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(one, many)
+
+
+def test_extract_domain_and_stats(ray_session):
+    """Registered-domain extraction edge cases + partial/final sum
+    equality across many blocks."""
+    from prase_ray.stages.urls import domain_stats, extract_domain
+
+    df = pd.DataFrame(
+        {
+            "canon_url": [
+                "https://www.a.example.com/x",
+                "https://a.example.com/y",
+                "https://b.org",
+                "https://b.org/z?q=1",
+                "not a url",
+                "https://localhost/p",  # single-label host -> ''
+            ],
+            "n_chars": [10, 20, 1, 2, 100, 7],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    dom = extract_domain(ds).to_pandas()
+    assert list(dom["domain"]) == [
+        "example.com", "example.com", "b.org", "b.org", "", ""
+    ]
+    got = (
+        domain_stats(ds, sum_cols=("n_chars",))
+        .to_pandas()
+        .sort_values("domain")
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        {
+            "domain": ["", "b.org", "example.com"],
+            "n_pages": np.array([2, 2, 2], np.int64),
+            "n_chars": np.array([107, 3, 30], np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(got[["domain", "n_pages", "n_chars"]], exp)
+
+
+def test_embedding_gram_and_pca(ray_session):
+    """Gram partials across blocks equal one numpy matmul; PCA finish
+    recovers a planted dominant axis and matches numpy eigh on the
+    same quantized covariance."""
+    from prase_ray.stages.linalg import (
+        GRAM_SCALE, embedding_gram, gram_to_matrix, pca_components,
+    )
+
+    rng = np.random.default_rng(11)
+    d, n = 8, 300
+    axis = rng.normal(size=d); axis /= np.linalg.norm(axis)
+    X = (
+        np.outer(rng.normal(size=n) * 3.0, axis)
+        + rng.normal(size=(n, d)) * 0.05
+    ).astype(np.float32)
+    df = pd.DataFrame({"embedding": [r for r in X]})
+    ds = ray.data.from_pandas(df).repartition(7)
+    gram = embedding_gram(ds).to_pandas()
+    Q = np.floor(X.astype(np.float64) * GRAM_SCALE).astype(np.int64)
+    np.testing.assert_array_equal(gram_to_matrix(gram), Q.T @ Q)
+
+    mean_fp = Q.sum(axis=0)
+    w, comps = pca_components(gram, n_rows=n, mean_fp=mean_fp, k=2)
+    assert w[0] > 50 * w[1]  # planted axis dominates
+    cos = abs(float(comps[0] @ axis))
+    assert cos > 0.999
