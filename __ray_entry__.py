@@ -1544,6 +1544,16 @@ def q_embedding_gram(sf_dir: str):
     return out.sort_values(["i", "j"]).reset_index(drop=True)
 
 
+def q_random_projection(sf_dir: str):
+    """JL sign projection of the embedding column onto k=8
+    deterministic ±1 axes (int64 fixed point, zero shuffle) — the
+    dim-reduction front of clustering/ANN at scale."""
+    from prase_ray.stages.linalg import random_projection
+
+    out = random_projection(_read(sf_dir, "embeddings"), k=8, seed=5).to_pandas()
+    return out.sort_values(["vec_id", "comp"]).reset_index(drop=True)
+
+
 def q_unigram_surprise(sf_dir: str):
     """Corpus-level unigram-LM surprisal per document (fixed-point
     integer, partition-order invariant) — the model-free rare-token
@@ -1631,6 +1641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_surprise": q_unigram_surprise,
         "domain_stats": q_domain_stats,
         "embedding_gram": q_embedding_gram,
+        "random_projection": q_random_projection,
     }
 
 
@@ -2996,6 +3007,32 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT a.i AS i, b.i AS j,
                    CAST(SUM(a.v * b.v) AS BIGINT) AS gram
             FROM q a JOIN q b USING (vec_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # the ±1 sign matrix is rebuilt in SQL from the same splitmix64
+        # keys (comp*d+dim ^ seed); d=64 is the testdata embedding dim
+        # (the engine side reads it from the data)
+        "random_projection": f"""
+            WITH q AS (
+                SELECT vec_id,
+                       unnest(range(1, len(embedding)+1)) AS dim,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                  * {_GRAM_SCALE}) AS BIGINT) AS v
+                FROM embeddings
+            ), keys AS (
+                SELECT c.range AS comp, d.range AS dim,
+                       xor(CAST(c.range * 64 + d.range AS HUGEINT),
+                           5::HUGEINT) AS ky
+                FROM range(1, 9) c, range(1, 65) d
+            ), r AS (
+                SELECT comp, dim,
+                       CAST(({_sql_splitmix('ky')}) % 2 AS BIGINT) * 2 - 1
+                           AS sign
+                FROM keys
+            )
+            SELECT q.vec_id, r.comp,
+                   CAST(SUM(q.v * r.sign) AS BIGINT) AS val
+            FROM q JOIN r USING (dim)
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # integer fixed-point surprisal: // is exact floor division on

@@ -95,3 +95,53 @@ def pca_components(
     if k is not None:
         order = order[:k]
     return w[order], v[:, order].T
+
+
+# --------------------------------------------------------------------------
+# Johnson–Lindenstrauss sign random projection
+# --------------------------------------------------------------------------
+
+def projection_signs(k: int, d: int, seed: int) -> np.ndarray:
+    """Deterministic ±1 sign matrix R[k, d] from splitmix64 over the
+    flat key comp·d + dim (1-based), XORed with the seed — tiny, built
+    identically on every worker AND restatable in SQL (the sign JL
+    variant of Achlioptas 2003: E[Rx·Ry] ∝ x·y)."""
+    from prase_ray.functions.hashing import splitmix64
+
+    comp = np.repeat(np.arange(1, k + 1, dtype=np.uint64), d)
+    dim = np.tile(np.arange(1, d + 1, dtype=np.uint64), k)
+    h = splitmix64((comp * np.uint64(d) + dim) ^ np.uint64(seed))
+    return ((h % np.uint64(2)).astype(np.int64) * 2 - 1).reshape(k, d)
+
+
+def random_projection(
+    embs: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    seed: int = 5,
+    scale: float = GRAM_SCALE,
+) -> ray.data.Dataset:
+    """Project every embedding onto k deterministic ±1 axes →
+    ``(id, comp, val)`` rows, val = Σ_dim sign·floor(x·scale) in int64
+    — the JL dimensionality reduction in front of clustering/ANN at
+    scale.  Embarrassingly parallel: the k×d sign matrix is rebuilt
+    from (seed, k, d) inside each task (cheaper than shipping it; no
+    broadcast, no shuffle, no state), one int64 matmul per batch."""
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        Q = np.floor(X * scale).astype(np.int64)
+        R = projection_signs(k, X.shape[1], seed)
+        V = Q @ R.T  # (rows, k)
+        n = len(b)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(b[id_col].to_numpy(np.int64), k),
+                "comp": np.tile(np.arange(1, k + 1, dtype=np.int64), n),
+                "val": V.ravel(),
+            }
+        )
+
+    return embs.map_batches(project, batch_format="pandas")

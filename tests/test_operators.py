@@ -1503,3 +1503,43 @@ def test_embedding_gram_and_pca(ray_session):
     assert w[0] > 50 * w[1]  # planted axis dominates
     cos = abs(float(comps[0] @ axis))
     assert cos > 0.999
+
+
+def test_random_projection_jl_property(ray_session):
+    """Projection is partition-invariant (pure function of the row)
+    and approximately preserves pairwise cosine structure (sign-JL)."""
+    from prase_ray.stages.linalg import GRAM_SCALE, projection_signs, random_projection
+
+    rng = np.random.default_rng(3)
+    n, d, k = 200, 64, 16
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [r for r in X]})
+    one = (
+        random_projection(ray.data.from_pandas(df), k=k, seed=5)
+        .to_pandas().sort_values(["vec_id", "comp"]).reset_index(drop=True)
+    )
+    many = (
+        random_projection(ray.data.from_pandas(df).repartition(9), k=k, seed=5)
+        .to_pandas().sort_values(["vec_id", "comp"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)
+    # closed form: V = floor(X*scale) @ R.T
+    Q = np.floor(X.astype(np.float64) * GRAM_SCALE).astype(np.int64)
+    V = Q @ projection_signs(k, d, 5).T
+    np.testing.assert_array_equal(
+        one["val"].to_numpy().reshape(n, k), V
+    )
+    # JL: the hash signs behave like iid random signs.  Norm
+    # preservation is the tight guarantee (E||Rx/sqrt(k)||^2 = ||x||^2,
+    # relative sd ~ sqrt(2/k)); dot-product correlation on
+    # near-orthogonal gaussian data is variance-dominated at k=16
+    # (true iid signs measure ~0.48 here), so bound it loosely.
+    Vf = V.astype(np.float64) / (GRAM_SCALE * np.sqrt(k))
+    ratio = (Vf**2).sum(axis=1) / (X.astype(np.float64) ** 2).sum(axis=1)
+    assert abs(ratio.mean() - 1.0) < 0.1
+    assert ratio.std() < 3 * np.sqrt(2.0 / k)
+    orig = (X.astype(np.float64) @ X.T)[np.triu_indices(n, 1)]
+    proj = (Vf @ Vf.T)[np.triu_indices(n, 1)]
+    r = np.corrcoef(orig, proj)[0, 1]
+    assert r > 0.35
