@@ -1554,6 +1554,99 @@ def q_random_projection(sf_dir: str):
     return out.sort_values(["vec_id", "comp"]).reset_index(drop=True)
 
 
+def q_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank (3 iterations) over the
+    supplier↔part bipartite graph derived from lineitem — the
+    KG-downstream graph-centrality operator.  Integer floor arithmetic
+    end-to-end makes the APPROXIMATE iterative computation itself
+    hash-exact (oracle: 3 unrolled CTE iterations)."""
+    from prase_ray.stages.graph import pagerank
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["l_suppkey"].to_numpy(np.int64)
+        p = b["l_partkey"].to_numpy(np.int64) + np.int64(10_000_000)
+        return pd.DataFrame(
+            {"src": np.concatenate([s, p]), "dst": np.concatenate([p, s])}
+        )
+
+    edges = _read(sf_dir, "lineitem").select_columns(
+        ["l_suppkey", "l_partkey"]
+    ).map_batches(to_edges, batch_format="pandas")
+    out = pagerank(edges, iterations=3, num_partitions=4).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_pagerank_distributed(sf_dir: str):
+    """Same PageRank FORCED through the join + part-hash-grouped-sum
+    dataflow (sf-scale edge counts otherwise take the driver twin,
+    graph.py gate) — oracle-checks the web-scale code path itself."""
+    from prase_ray.stages.graph import pagerank
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["l_suppkey"].to_numpy(np.int64)
+        p = b["l_partkey"].to_numpy(np.int64) + np.int64(10_000_000)
+        return pd.DataFrame(
+            {"src": np.concatenate([s, p]), "dst": np.concatenate([p, s])}
+        )
+
+    edges = _read(sf_dir, "lineitem").select_columns(
+        ["l_suppkey", "l_partkey"]
+    ).map_batches(to_edges, batch_format="pandas")
+    out = pagerank(
+        edges, iterations=3, num_partitions=4, force_distributed=True
+    ).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_triangle_counts(sf_dir: str):
+    """Per-node triangle participation in the co-purchase graph (parts
+    sharing an order), via degree-ordered wedge enumeration.  The
+    pair derivation is query-fixture construction (driver pandas merge
+    on the 2-column projection); the counting itself is the
+    distributed operator."""
+    from prase_ray.stages.graph import triangle_counts
+
+    import ray.data
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas().drop_duplicates()
+    pairs = li.merge(li, on="l_orderkey")
+    pairs = pairs[pairs["l_partkey_x"] < pairs["l_partkey_y"]]
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {"a": pairs["l_partkey_x"].to_numpy(np.int64),
+             "b": pairs["l_partkey_y"].to_numpy(np.int64)}
+        )
+    )
+    out = triangle_counts(edges, num_partitions=4).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_triangles_distributed(sf_dir: str):
+    """Same triangle problem FORCED through the oriented wedge-join
+    dataflow (graph.py gate) — oracle-checks the distributed path."""
+    from prase_ray.stages.graph import triangle_counts
+
+    import ray.data
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas().drop_duplicates()
+    pairs = li.merge(li, on="l_orderkey")
+    pairs = pairs[pairs["l_partkey_x"] < pairs["l_partkey_y"]]
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {"a": pairs["l_partkey_x"].to_numpy(np.int64),
+             "b": pairs["l_partkey_y"].to_numpy(np.int64)}
+        )
+    )
+    out = triangle_counts(
+        edges, num_partitions=4, force_distributed=True
+    ).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_unigram_surprise(sf_dir: str):
     """Corpus-level unigram-LM surprisal per document (fixed-point
     integer, partition-order invariant) — the model-free rare-token
@@ -1642,6 +1735,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": q_domain_stats,
         "embedding_gram": q_embedding_gram,
         "random_projection": q_random_projection,
+        "pagerank": q_pagerank,
+        "pagerank_distributed": q_pagerank_distributed,
+        "triangle_counts": q_triangle_counts,
+        "triangles_distributed": q_triangles_distributed,
     }
 
 
@@ -1965,6 +2062,9 @@ def oracle_sql() -> dict[str, str]:
     # each is independently checked against the SAME closed-form SQL
     d["paris_half_iteration_join"] = d["paris_half_iteration"]
     d["paris_half_iteration_ds"] = d["paris_half_iteration"]
+    # driver-gated and forced-distributed graph paths are bit-equal by
+    # design — both checked against the same SQL
+    d["triangles_distributed"] = d["triangle_counts"]
     d["web_extract"] = _web_extract_oracle_sql()
     d["dup_ngrams"] = _sql_dup_ngrams()
     d["decontaminate"] = _sql_decontaminate()
@@ -2209,6 +2309,48 @@ def _web_extract_oracle_sql() -> str:
                pred IN ({attrs}) AS obj_is_literal
         FROM tri
     """
+
+
+def _pagerank_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled fixed-point PageRank CTEs over the supplier↔part
+    bipartite graph (same derivation as q_pagerank: both directed
+    directions of every distinct supplier-part incidence).  All
+    quantities BIGINT with explicit casts — DuckDB's `//` on HUGEINT
+    intermediates otherwise promotes to DOUBLE."""
+    sql = """
+        WITH e AS (
+            SELECT DISTINCT l_suppkey AS src,
+                            l_partkey + 10000000 AS dst FROM lineitem
+            UNION
+            SELECT DISTINCT l_partkey + 10000000 AS src,
+                            l_suppkey AS dst FROM lineitem
+        ), nodes AS (
+            SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e
+        ), od AS (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM e GROUP BY 1
+        ), r0 AS (
+            SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes
+        )"""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f""", r{i} AS (
+            SELECT n.node,
+                   CAST(150000000
+                        + (85 * COALESCE(s.inc, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM(CAST(r.rank // od.odeg AS BIGINT))
+                            AS BIGINT) AS inc
+                FROM e
+                JOIN {prev} r ON r.node = e.src
+                JOIN od ON od.src = e.src
+                GROUP BY 1
+            ) s ON s.node = n.node
+        )"""
+        prev = f"r{i}"
+    sql += f"\n        SELECT node, rank FROM {prev} ORDER BY node"
+    return sql
 
 
 def _oracle_sql_base() -> dict[str, str]:
@@ -3034,6 +3176,52 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(SUM(q.v * r.sign) AS BIGINT) AS val
             FROM q JOIN r USING (dim)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # fixed-point PageRank: every quantity is BIGINT with floor
+        # division, so the 3 unrolled CTE iterations reproduce the
+        # engine bit-for-bit (lazy-teleport variant: dangling mass
+        # dropped; base = r0*(100-85)//100 = 150000000)
+        "pagerank": _pagerank_oracle_sql(iterations=3),
+        "pagerank_distributed": _pagerank_oracle_sql(iterations=3),
+        # degree-ordered triangle enumeration: orientation and wedge
+        # ordering both use the (deg, id) lexicographic key, so each
+        # triangle closes exactly once; integer counts → exact
+        "triangle_counts": """
+            WITH li AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), e AS (
+                SELECT DISTINCT a.p AS lo, b.p AS hi
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+            ), deg AS (
+                SELECT node, COUNT(*) AS deg FROM (
+                    SELECT lo AS node FROM e
+                    UNION ALL SELECT hi FROM e
+                ) GROUP BY 1
+            ), o AS (
+                SELECT CASE WHEN dl.deg < dh.deg
+                                 OR (dl.deg = dh.deg AND e.lo < e.hi)
+                            THEN e.lo ELSE e.hi END AS u,
+                       CASE WHEN dl.deg < dh.deg
+                                 OR (dl.deg = dh.deg AND e.lo < e.hi)
+                            THEN e.hi ELSE e.lo END AS v
+                FROM e
+                JOIN deg dl ON dl.node = e.lo
+                JOIN deg dh ON dh.node = e.hi
+            ), od AS (
+                SELECT o.u, o.v, d.deg AS dv
+                FROM o JOIN deg d ON d.node = o.v
+            ), tri AS (
+                SELECT o1.u AS x, o1.v AS y, o2.v AS z
+                FROM od o1
+                JOIN od o2 ON o1.u = o2.u
+                    AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+                JOIN o o3 ON o3.u = o1.v AND o3.v = o2.v
+            )
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ) GROUP BY 1 ORDER BY 1
         """,
         # integer fixed-point surprisal: // is exact floor division on
         # BIGINT in both DuckDB and numpy, and int64 sums are

@@ -214,6 +214,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("url_dedup_latest", lambda: consume(em.q_url_dedup_latest(sf_dir)))
     timed("unigram_surprise", lambda: consume(em.q_unigram_surprise(sf_dir)))
     timed("embedding_gram", lambda: consume(em.q_embedding_gram(sf_dir)))
+    # at sf0.1 both graphs cross the 1M-edge gate → these time the
+    # distributed join/wedge dataflows, not the driver twins
+    timed("pagerank", lambda: consume(em.q_pagerank(sf_dir)))
+    timed("triangle_counts", lambda: consume(em.q_triangle_counts(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -1,0 +1,450 @@
+"""Graph analytics over the constructed KG (SURVEY.md §2.12 X49/X50).
+
+PageRank and triangle counting are the canonical downstream consumers
+of KG materialization — `web_kg.materialize_canonical_graph` emits
+exactly the (src, dst) edge shape these read.  The reference has no
+graph analytics (its scope ends at alignment, `objects/KGs.py`); these
+are beyond-reference training-data/KG operators.
+
+Both operators are size-gated like `connected_components` / `bfs_hops`
+(components.py:45,196): below ``min_distributed_edges`` the whole
+computation runs as one vectorized numpy/pandas task on the driver
+(distributed rounds are pure Dataset-join latency there); above the
+gate — or with ``force_distributed=True``, which the oracle rows use —
+the dataflow path runs.  Both paths produce bit-identical int64
+output (integer floor arithmetic end-to-end).
+
+Scale shapes of the distributed paths:
+
+- ``pagerank``: per iteration ONE hash join (edges ⋈ rank on src — the
+  exchange is bounded by |E|) plus a grouped sum in the repo's
+  partial-then-part-hash shape (per-batch pandas pre-sum, then ONE
+  groupby on a small int ``part`` key with a vectorized per-partition
+  combine) — the combine exchange carries distinct-dst-per-batch rows,
+  not |E|.  int64 fixed point: floor divisions and integer sums are
+  associative → partition-order invariant AND restatable exactly in
+  SQL (unrolled CTEs — the driver oracle).  Dangling-node mass is
+  dropped (the "lazy teleport" variant); requires
+  ``n_nodes · r0 · damping_num < 2^63``.
+- ``triangle_counts``: degree orientation (every undirected edge
+  points from the lexicographically smaller (deg, id) endpoint) bounds
+  oriented out-degree at O(sqrt(E)), so the wedge self-join exchanges
+  Σ outdeg² = O(E^1.5) rows worst case instead of the hub-quadratic
+  Σ deg².  Two hash joins + part-hash grouped counts; integer outputs
+  → hash-exact oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from prase_ray.functions.hashing import splitmix64
+
+
+def _as_arrow(ds):
+    return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def _part_of(keys: np.ndarray, num_partitions: int) -> np.ndarray:
+    return (
+        splitmix64(keys.astype(np.uint64)) % np.uint64(num_partitions)
+    ).astype(np.int32)
+
+
+def _grouped_sum(
+    ds: ray.data.Dataset, key: str, val: str, num_partitions: int
+) -> ray.data.Dataset:
+    """Σ val per key: per-batch pandas pre-sum (exchange carries
+    distinct-keys-per-batch rows), ONE shuffle on the int ``part``
+    key, vectorized per-partition combine.  int64 throughout."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(key, as_index=False)[val].sum()
+        g[val] = g[val].astype(np.int64)
+        g["part"] = _part_of(g[key].to_numpy(np.int64), num_partitions)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key, as_index=False)[val].sum()
+        out[val] = out[val].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def _distinct_pairs(
+    ds: ray.data.Dataset, a: str, b: str, num_partitions: int
+) -> ray.data.Dataset:
+    """Distinct (a, b) rows: per-batch dedup first, then one part-hash
+    shuffle (the X1 exact-dedup shape — dedup.py:40-57)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[[a, b]].drop_duplicates()
+        d["part"] = _part_of(
+            d[a].to_numpy(np.int64) * np.int64(0x9E3779B9)
+            + d[b].to_numpy(np.int64),
+            num_partitions,
+        )
+        return d
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g[[a, b]].drop_duplicates()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# PageRank
+# --------------------------------------------------------------------------
+
+def _pagerank_driver(
+    e: pd.DataFrame, iterations: int, r0: int, dnum: int, dden: int
+) -> pd.DataFrame:
+    """Vectorized driver twin: identical integer math on dense ids."""
+    src = e["src"].to_numpy(np.int64)
+    dst = e["dst"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    odeg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
+    base = (r0 * (dden - dnum)) // dden
+    rank = np.full(len(nodes), r0, np.int64)
+    for _ in range(iterations):
+        contrib = rank[si] // odeg[si]
+        inc = np.zeros(len(nodes), np.int64)
+        np.add.at(inc, di, contrib)
+        rank = base + (dnum * inc) // dden
+    return pd.DataFrame({"node": nodes, "rank": rank})
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    *,
+    iterations: int = 3,
+    r0: int = 1_000_000_000,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    num_partitions: int = 16,
+    min_distributed_edges: int = 1_000_000,
+    force_distributed: bool = False,
+) -> ray.data.Dataset:
+    """Fixed-point integer PageRank over a directed edge list
+    Dataset(src, dst) → Dataset(node, rank).
+
+    rank_0 = r0 for every node; each iteration
+    ``rank' = base + damping_num·(Σ_in rank//outdeg) // damping_den``
+    with ``base = r0·(damping_den−damping_num)//damping_den``.
+    Multi-edges are collapsed (distinct src→dst); nodes = every edge
+    endpoint.  Dangling nodes contribute no mass (lazy-teleport
+    variant).  Integer floor arithmetic end-to-end: deterministic
+    under any partitioning and bit-reproducible across runs."""
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    jp = ensure_join_cpu_budget(num_partitions)
+
+    if not force_distributed and edges.count() <= min_distributed_edges:
+        pdf = edges.to_pandas().drop_duplicates()
+        if pdf.empty:
+            return ray.data.from_pandas(
+                pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                              "rank": pd.Series([], dtype=np.int64)})
+            )
+        return ray.data.from_pandas(
+            _pagerank_driver(pdf, iterations, r0, damping_num, damping_den)
+        )
+
+    e = _as_arrow(
+        _distinct_pairs(edges, "src", "dst", jp)
+    ).materialize()
+
+    def endpoint_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        n = pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [batch["src"].to_numpy(np.int64),
+                     batch["dst"].to_numpy(np.int64)]
+                )
+            }
+        ).drop_duplicates()
+        n["inc"] = np.int64(0)
+        return n
+
+    # zeros: one (node, 0) row per node — unioned into every grouped
+    # sum so rank rows exist for in-degree-0 nodes too
+    zeros = _as_arrow(
+        _distinct_pairs(
+            edges.map_batches(endpoint_rows, batch_format="pandas"),
+            "node", "inc", jp,
+        )
+    ).materialize()
+
+    def deg_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": batch["src"].to_numpy(np.int64),
+             "one": np.ones(len(batch), np.int64)}
+        )
+
+    outdeg = _as_arrow(
+        _grouped_sum(
+            e.map_batches(deg_rows, batch_format="pandas"), "src", "one", jp
+        ).map_batches(
+            lambda b: b.rename(columns={"one": "odeg"}), batch_format="pandas"
+        )
+    ).materialize()
+
+    # (src, dst, odeg) — built once, reused every iteration
+    ed = _as_arrow(
+        e.join(outdeg, join_type="inner", num_partitions=jp, on=("src",))
+    ).materialize()
+
+    base = (r0 * (damping_den - damping_num)) // damping_den
+
+    rank = _as_arrow(
+        zeros.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["node"].to_numpy(np.int64),
+                 "rank": np.full(len(b), r0, np.int64)}
+            ),
+            batch_format="pandas",
+        )
+    ).materialize()
+
+    for _ in range(iterations):
+        contrib = ed.join(
+            rank, join_type="inner", num_partitions=jp,
+            on=("src",), right_on=("node",),
+        )
+
+        def msg(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": batch["dst"].to_numpy(np.int64),
+                    "inc": batch["rank"].to_numpy(np.int64)
+                    // batch["odeg"].to_numpy(np.int64),
+                }
+            )
+
+        def finish(batch: pd.DataFrame) -> pd.DataFrame:
+            inc = batch["inc"].to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    "node": batch["node"].to_numpy(np.int64),
+                    "rank": base + (damping_num * inc) // damping_den,
+                }
+            )
+
+        rank = _as_arrow(
+            _grouped_sum(
+                _as_arrow(
+                    contrib.map_batches(msg, batch_format="pandas")
+                ).union(zeros),
+                "node", "inc", jp,
+            ).map_batches(finish, batch_format="pandas")
+        ).materialize()
+    return rank
+
+
+# --------------------------------------------------------------------------
+# Triangle counting
+# --------------------------------------------------------------------------
+
+def _orient_frame(e: pd.DataFrame) -> pd.DataFrame:
+    """Degree-orient canonical (lo, hi) edges → (u, v, dv) with
+    rank(x) = (deg(x), x) and u the smaller-ranked endpoint."""
+    deg = (
+        pd.concat([e["lo"], e["hi"]])
+        .value_counts()
+        .astype(np.int64)
+    )
+    lo = e["lo"].to_numpy(np.int64)
+    hi = e["hi"].to_numpy(np.int64)
+    dlo = deg.loc[lo].to_numpy(np.int64)
+    dhi = deg.loc[hi].to_numpy(np.int64)
+    lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+    return pd.DataFrame(
+        {
+            "u": np.where(lo_first, lo, hi),
+            "v": np.where(lo_first, hi, lo),
+            "dv": np.where(lo_first, dhi, dlo),
+        }
+    )
+
+
+def _close_wedges(wed: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+    """Inner-merge ordered wedges with the oriented edge set on (v, w)
+    and explode surviving triangles into per-node rows."""
+    tri = wed.merge(
+        o[["u", "v"]].rename(columns={"u": "v", "v": "w"}), on=["v", "w"]
+    )
+    return pd.DataFrame(
+        {
+            "node": np.concatenate(
+                [tri["u"].to_numpy(np.int64),
+                 tri["v"].to_numpy(np.int64),
+                 tri["w"].to_numpy(np.int64)]
+            )
+        }
+    )
+
+
+def _triangles_driver(edges: pd.DataFrame) -> pd.DataFrame:
+    a = edges["a"].to_numpy(np.int64)
+    b = edges["b"].to_numpy(np.int64)
+    e = pd.DataFrame(
+        {"lo": np.minimum(a, b), "hi": np.maximum(a, b)}
+    )
+    e = e[e["lo"] != e["hi"]].drop_duplicates()
+    if e.empty:
+        return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                             "triangles": pd.Series([], dtype=np.int64)})
+    o = _orient_frame(e)
+    wed = o.merge(o.rename(columns={"v": "w", "dv": "dw"}), on="u")
+    wed = wed[
+        (wed["dv"] < wed["dw"])
+        | ((wed["dv"] == wed["dw"]) & (wed["v"] < wed["w"]))
+    ]
+    nodes = _close_wedges(wed[["u", "v", "w"]], o)
+    out = nodes.groupby("node", as_index=False).size()
+    return pd.DataFrame(
+        {"node": out["node"].to_numpy(np.int64),
+         "triangles": out["size"].to_numpy(np.int64)}
+    )
+
+
+def triangle_counts(
+    edges: ray.data.Dataset,
+    *,
+    num_partitions: int = 16,
+    min_distributed_edges: int = 1_000_000,
+    force_distributed: bool = False,
+) -> ray.data.Dataset:
+    """Per-node triangle participation counts over an undirected edge
+    list Dataset(a, b) → Dataset(node, triangles); nodes in no
+    triangle are absent.  Self-loops dropped, multi-edges collapsed.
+
+    Degree-ordered orientation: every edge points from the smaller
+    (deg, id) endpoint, so each triangle is enumerated exactly once as
+    a wedge (u→v, u→w) with rank(v) < rank(w) closed by the oriented
+    edge v→w.  The wedge self-join on u is the only super-linear step
+    and is bounded by Σ outdeg² = O(E^1.5) thanks to the orientation."""
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    jp = ensure_join_cpu_budget(num_partitions)
+
+    if not force_distributed and edges.count() <= min_distributed_edges:
+        pdf = edges.to_pandas()
+        return ray.data.from_pandas(_triangles_driver(pdf))
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["a"].to_numpy(np.int64)
+        b = batch["b"].to_numpy(np.int64)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        m = lo != hi
+        return pd.DataFrame({"lo": lo[m], "hi": hi[m]})
+
+    e = _as_arrow(
+        _distinct_pairs(
+            edges.map_batches(canon, batch_format="pandas"), "lo", "hi", jp
+        )
+    ).materialize()
+
+    def end_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [batch["lo"].to_numpy(np.int64),
+                     batch["hi"].to_numpy(np.int64)]
+                ),
+                "one": np.int64(1),
+            }
+        )
+
+    deg = _as_arrow(
+        _grouped_sum(
+            e.map_batches(end_rows, batch_format="pandas"), "node", "one", jp
+        )
+    ).materialize()
+
+    dl = deg.rename_columns({"node": "lo", "one": "dlo"})
+    dh = deg.rename_columns({"node": "hi", "one": "dhi"})
+    ej = _as_arrow(
+        e.join(dl, join_type="inner", num_partitions=jp, on=("lo",))
+    ).join(dh, join_type="inner", num_partitions=jp, on=("hi",))
+
+    def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        lo = batch["lo"].to_numpy(np.int64)
+        hi = batch["hi"].to_numpy(np.int64)
+        dlo = batch["dlo"].to_numpy(np.int64)
+        dhi = batch["dhi"].to_numpy(np.int64)
+        lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        return pd.DataFrame(
+            {
+                "u": np.where(lo_first, lo, hi),
+                "v": np.where(lo_first, hi, lo),
+                "dv": np.where(lo_first, dhi, dlo),
+            }
+        )
+
+    o = _as_arrow(ej.map_batches(orient, batch_format="pandas")).materialize()
+
+    o2 = o.rename_columns({"v": "w", "dv": "dw"})
+    wedges = o.join(o2, join_type="inner", num_partitions=jp, on=("u",))
+
+    def order_wedge(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["v"].to_numpy(np.int64)
+        w = batch["w"].to_numpy(np.int64)
+        dv = batch["dv"].to_numpy(np.int64)
+        dw = batch["dw"].to_numpy(np.int64)
+        m = (dv < dw) | ((dv == dw) & (v < w))
+        return pd.DataFrame(
+            {"u": batch["u"].to_numpy(np.int64)[m], "v": v[m], "w": w[m]}
+        )
+
+    wed = _as_arrow(wedges.map_batches(order_wedge, batch_format="pandas"))
+
+    def as_closing(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"v": batch["u"].to_numpy(np.int64),
+             "w": batch["v"].to_numpy(np.int64)}
+        )
+
+    closing = _as_arrow(o.map_batches(as_closing, batch_format="pandas"))
+    tri = wed.join(
+        closing, join_type="inner", num_partitions=jp, on=("v", "w")
+    )
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [
+                        batch["u"].to_numpy(np.int64),
+                        batch["v"].to_numpy(np.int64),
+                        batch["w"].to_numpy(np.int64),
+                    ]
+                ),
+                "one": np.int64(1),
+            }
+        )
+
+    counted = _grouped_sum(
+        tri.map_batches(explode, batch_format="pandas"), "node", "one", jp
+    )
+    return _as_arrow(
+        counted.map_batches(
+            lambda b: b.rename(columns={"one": "triangles"}),
+            batch_format="pandas",
+        )
+    )

@@ -1543,3 +1543,96 @@ def test_random_projection_jl_property(ray_session):
     proj = (Vf @ Vf.T)[np.triu_indices(n, 1)]
     r = np.corrcoef(orig, proj)[0, 1]
     assert r > 0.35
+
+
+def test_pagerank_paths_bit_equal(ray_session):
+    """Driver twin and forced-distributed dataflow produce bit-equal
+    int64 ranks; math matches a per-edge python reference including
+    dangling nodes (lazy-teleport: they keep base-only mass flow)."""
+    from prase_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 50, 400)
+    dst = rng.integers(0, 60, 400)  # nodes 50..59 are dangling
+    df = pd.DataFrame({"src": src, "dst": dst})
+
+    gated = (
+        pagerank(ray.data.from_pandas(df), iterations=3)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    forced = (
+        pagerank(
+            ray.data.from_pandas(df).repartition(7),
+            iterations=3, num_partitions=4, force_distributed=True,
+        )
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(gated, forced)
+
+    ed = df.drop_duplicates()
+    nodes = np.unique(np.concatenate([ed.src, ed.dst]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    odeg = ed.groupby("src").size()
+    r0, dn, dd = 10**9, 85, 100
+    base = (r0 * (dd - dn)) // dd
+    rank = np.full(len(nodes), r0, np.int64)
+    for _ in range(3):
+        inc = np.zeros(len(nodes), np.int64)
+        for s, d in zip(ed.src, ed.dst):
+            inc[idx[d]] += rank[idx[s]] // odeg[s]
+        rank = base + (dn * inc) // dd
+    np.testing.assert_array_equal(gated["rank"].to_numpy(), rank)
+    # dangling nodes got rank rows (they receive, never emit)
+    assert set(range(50, 60)) <= set(gated["node"])
+
+
+def test_triangle_counts_paths_bit_equal(ray_session):
+    """Both triangle paths equal the adjacency-matrix brute force;
+    multi-edges and self-loops are ignored."""
+    from prase_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(12)
+    a = rng.integers(0, 40, 300)
+    b = rng.integers(0, 40, 300)
+    df = pd.DataFrame({"a": a, "b": b})
+
+    gated = (
+        triangle_counts(ray.data.from_pandas(df))
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    forced = (
+        triangle_counts(
+            ray.data.from_pandas(df).repartition(7),
+            num_partitions=4, force_distributed=True,
+        )
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        gated.astype(np.int64), forced.astype(np.int64)
+    )
+
+    A = np.zeros((40, 40), bool)
+    A[a, b] = True
+    A[b, a] = True
+    np.fill_diagonal(A, False)
+    cnt = ((A.astype(np.int64) @ A.astype(np.int64)) * A).sum(axis=1) // 2
+    want = pd.DataFrame(
+        {"node": np.arange(40)[cnt > 0], "triangles": cnt[cnt > 0]}
+    )
+    pd.testing.assert_frame_equal(
+        gated.astype(np.int64), want.astype(np.int64).reset_index(drop=True)
+    )
+
+
+def test_graph_ops_empty_and_degenerate(ray_session):
+    """Empty edge lists and all-self-loop inputs return empty typed
+    frames instead of raising."""
+    from prase_ray.stages.graph import pagerank, triangle_counts
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                      "dst": pd.Series([], dtype=np.int64)})
+    )
+    assert pagerank(empty).count() == 0
+    loops = ray.data.from_pandas(pd.DataFrame({"a": [3, 4], "b": [3, 4]}))
+    assert triangle_counts(loops).count() == 0
