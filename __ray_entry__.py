@@ -1647,6 +1647,20 @@ def q_triangles_distributed(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_countmin_counts(sf_dir: str):
+    """Count-Min-sketch frequency estimate for every distinct user in
+    events (width=1024, depth=4).  Integer counters + min over
+    splitmix-keyed rows make the APPROXIMATE estimate bit-deterministic
+    and SQL-reproducible — the same pattern as the HLL oracle."""
+    from prase_ray.stages.sketches import countmin_estimate
+
+    out = countmin_estimate(
+        _read(sf_dir, "events").select_columns(["user_id"]),
+        "user_id", width=1024, depth=4, seed=29, num_partitions=4,
+    ).to_pandas()
+    return out.sort_values("key").reset_index(drop=True)
+
+
 def q_unigram_surprise(sf_dir: str):
     """Corpus-level unigram-LM surprisal per document (fixed-point
     integer, partition-order invariant) — the model-free rare-token
@@ -1735,6 +1749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": q_domain_stats,
         "embedding_gram": q_embedding_gram,
         "random_projection": q_random_projection,
+        "countmin_counts": q_countmin_counts,
         "pagerank": q_pagerank,
         "pagerank_distributed": q_pagerank_distributed,
         "triangle_counts": q_triangle_counts,
@@ -3176,6 +3191,26 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(SUM(q.v * r.sign) AS BIGINT) AS val
             FROM q JOIN r USING (dim)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Count-Min sketch restated: counters are grouped sums over the
+        # same splitmix bucket keys; estimate = MIN over depths.  All
+        # integers → the approximate estimate is hash-exact.
+        "countmin_counts": f"""
+            WITH kd AS (
+                SELECT user_id, d.range AS d,
+                       ({_sql_splitmix('xor(CAST(user_id AS HUGEINT), '
+                                       'CAST(29 + d.range AS HUGEINT))')})
+                           % 1024 AS bucket
+                FROM events, range(0, 4) d
+            ), sk AS (
+                SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM kd GROUP BY 1, 2
+            ), kb AS (
+                SELECT DISTINCT user_id, d, bucket FROM kd
+            )
+            SELECT kb.user_id AS key, CAST(MIN(sk.cnt) AS BIGINT) AS est
+            FROM kb JOIN sk ON sk.d = kb.d AND sk.bucket = kb.bucket
+            GROUP BY 1 ORDER BY 1
         """,
         # fixed-point PageRank: every quantity is BIGINT with floor
         # division, so the 3 unrolled CTE iterations reproduce the

@@ -159,3 +159,96 @@ def group_distinct_exact(
         .groupby(group_col)
         .aggregate(Sum("n", alias_name="n_distinct"))
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# --------------------------------------------------------------------------
+
+def countmin_estimate(
+    ds: ray.data.Dataset,
+    key_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 29,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Approximate frequency of every distinct ``key_col`` value via a
+    Count-Min sketch: Dataset(key, est) with
+    ``est = min_d counter[d][splitmix64(key ^ (seed+d)) % width]``.
+
+    Scale shape: each batch reduces to at most width·depth counter
+    partials (np.bincount over flat slots) — the shuffle carries
+    counter rows, never raw values, and the grouped int64 sum is
+    associative → the APPROXIMATE estimate itself is bit-deterministic
+    under any partitioning and restatable exactly in SQL (the driver
+    oracle).  The merged sketch is width·depth rows — broadcast once
+    via ``ray.put`` into the estimate pass over the (part-hash
+    deduped) distinct keys.  Guarantees: est ≥ true count always;
+    est ≤ true + 2e/width·N with prob 1-exp(-depth) (standard CM
+    bound)."""
+    from prase_ray.functions.hashing import splitmix64 as _sm
+
+    n_slots = width * depth
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        slots = []
+        for d in range(depth):
+            h = _value_hash(b[key_col], seed + d)
+            slots.append(
+                np.int64(d) * width + (h % np.uint64(width)).astype(np.int64)
+            )
+        flat = np.concatenate(slots)
+        cnt = np.bincount(flat, minlength=n_slots).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        out = pd.DataFrame({"slot": nz.astype(np.int64), "cnt": cnt[nz]})
+        out["part"] = (out["slot"].to_numpy(np.int64)
+                       % np.int64(num_partitions)).astype(np.int32)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("slot", as_index=False)["cnt"].sum()
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    sketch_rows = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )  # ≤ width·depth rows by construction — driver-bounded constant
+    counters = np.zeros(n_slots, np.int64)
+    counters[sketch_rows["slot"].to_numpy(np.int64)] = (
+        sketch_rows["cnt"].to_numpy(np.int64)
+    )
+    import ray as _ray
+
+    ref = _ray.put(counters)
+
+    def dedup_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[[key_col]].drop_duplicates()
+        d["part"] = (
+            _sm(d[key_col].to_numpy(np.uint64)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return d
+
+    def dedup_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g[[key_col]].drop_duplicates()
+
+    keys = (
+        ds.map_batches(dedup_partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(dedup_combine, batch_format="pandas")
+    )
+
+    def estimate(b: pd.DataFrame) -> pd.DataFrame:
+        c = _ray.get(ref)
+        est = np.full(len(b), np.iinfo(np.int64).max, np.int64)
+        for d in range(depth):
+            h = _value_hash(b[key_col], seed + d)
+            slot = d * width + (h % np.uint64(width)).astype(np.int64)
+            est = np.minimum(est, c[slot])
+        return pd.DataFrame({"key": b[key_col].to_numpy(), "est": est})
+
+    return keys.map_batches(estimate, batch_format="pandas")

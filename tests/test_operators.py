@@ -1636,3 +1636,36 @@ def test_graph_ops_empty_and_degenerate(ray_session):
     assert pagerank(empty).count() == 0
     loops = ray.data.from_pandas(pd.DataFrame({"a": [3, 4], "b": [3, 4]}))
     assert triangle_counts(loops).count() == 0
+
+
+def test_countmin_estimate(ray_session):
+    """Count-Min(w=256,d=4): est >= true always, exact for keys with no
+    slot collisions, and bit-identical across reruns / block layouts."""
+    from prase_ray.stages.sketches import countmin_estimate
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 300, 30000).astype(np.int64)
+    df = pd.DataFrame({"k": keys})
+    true = df["k"].value_counts()
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(
+            [df.iloc[i::nblocks].reset_index(drop=True) for i in range(nblocks)]
+        )
+        return (
+            countmin_estimate(ds, "k", width=256, depth=4, seed=29)
+            .to_pandas()
+            .set_index("key")["est"]
+            .sort_index()
+        )
+
+    est = run(1)
+    est7 = run(7)
+    pd.testing.assert_series_equal(est, est7)  # partition-order invariant
+    assert len(est) == true.size
+    for k, t in true.items():
+        assert est[k] >= t  # CM never underestimates
+    # with 300 keys in 256*4 slots, most keys collide in <4 depths ->
+    # the min is exact for a majority
+    exact_frac = np.mean([est[k] == t for k, t in true.items()])
+    assert exact_frac > 0.5, exact_frac
