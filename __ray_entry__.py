@@ -476,6 +476,25 @@ def q_ngram_jaccard(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_fuzzy_dedup(sf_dir: str):
+    """Levenshtein near-dup pairs over documents: prefix-16 blocking,
+    |len diff| ≤ 24 filter, exact batched DP within blocks.  Integer
+    distances → hash-exact against DuckDB's levenshtein() (testdata
+    text is ASCII, where the engine's byte-level DP coincides with
+    DuckDB's character-level distance)."""
+    from prase_ray.stages.dedup import edit_distance_pairs
+
+    out = edit_distance_pairs(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        max_dist=24, prefix_len=16, max_block=2000,
+    ).to_pandas()
+    if out.empty and "a" not in out.columns:
+        out = pd.DataFrame({"a": [], "b": [], "dist": []}).astype(
+            {"a": np.int64, "b": np.int64, "dist": np.int64}
+        )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_embedding_neardup(sf_dir: str):
     """SRP near-dup over embeddings ∪ planted exact twins (each vector
     re-appears under vec_id + 1_000_000).  Exact duplicates always share
@@ -1697,6 +1716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_corpus": q_dedup_corpus,
         "simhash_candidates": q_simhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
+        "fuzzy_dedup": q_fuzzy_dedup,
         "embedding_neardup": q_embedding_neardup,
         "cosine_pairs_exact": q_cosine_pairs_exact,
         "media_pixel_stats": q_media_pixel_stats,
@@ -2768,6 +2788,26 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.4
+        """,
+        # Levenshtein fuzzy dedup restated: same prefix-16 blocking,
+        # same |len diff| <= 24 filter, same overfull-block drop;
+        # DuckDB levenshtein == the engine's byte DP on ASCII text
+        "fuzzy_dedup": """
+            WITH d AS (
+                SELECT doc_id, text, substr(text, 1, 16) AS block,
+                       length(text) AS len
+                FROM documents
+            ), ok AS (
+                SELECT block FROM d GROUP BY block HAVING COUNT(*) <= 2000
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+            FROM d a JOIN d b
+              ON a.block = b.block AND a.doc_id < b.doc_id
+             AND abs(a.len - b.len) <= 24
+            WHERE a.block IN (SELECT block FROM ok)
+              AND levenshtein(a.text, b.text) <= 24
+            ORDER BY 1, 2
         """,
         # hash-exact end-to-end MinHash+LSH near-dup: see _sql_minhash_dedup
         "minhash_dedup": _sql_minhash_dedup(),

@@ -1129,3 +1129,152 @@ def semantic_dedup_keep_ids(
     return assigned.groupby("_cluster").map_groups(
         dedup_cluster, batch_format="pandas"
     )
+
+
+# --------------------------------------------------------------------------
+# edit-distance (Levenshtein) fuzzy near-dup join
+# --------------------------------------------------------------------------
+
+def _levenshtein_batch(A: list, B: list) -> np.ndarray:
+    """Unit-cost Levenshtein distance for a BATCH of byte-string pairs,
+    vectorized across the pair axis: the classic row DP with the
+    insertion term closed via the ``j + cummin(row - j)`` identity, so
+    each of the max_len(A) steps is pure numpy over (pairs, len(B)+1).
+    Exact — matches DuckDB ``levenshtein`` on ASCII input (byte-level;
+    document that at call sites for non-ASCII text)."""
+    n = len(A)
+    if n == 0:
+        return np.empty(0, np.int64)
+    la = np.fromiter((len(x) for x in A), np.int64, n)
+    lb = np.fromiter((len(x) for x in B), np.int64, n)
+    ma, mb = int(la.max(initial=0)), int(lb.max(initial=0))
+    a = np.zeros((n, ma), np.uint8)
+    b = np.zeros((n, mb), np.uint8)
+    for r in range(n):  # fill only — O(total bytes), not part of the DP
+        a[r, : la[r]] = np.frombuffer(A[r], np.uint8)
+        b[r, : lb[r]] = np.frombuffer(B[r], np.uint8)
+    jj = np.arange(mb + 1, dtype=np.int64)
+    prev = np.broadcast_to(jj, (n, mb + 1)).copy()
+    res = np.where(la == 0, lb, 0).astype(np.int64)
+    cur = np.empty_like(prev)
+    for i in range(1, ma + 1):
+        ai = a[:, i - 1]
+        # delete-from-a and substitute terms (pad bytes never reach the
+        # read cell (la, lb): row i stops mattering past la, col j past lb)
+        cur[:, 0] = i
+        cur[:, 1:] = np.minimum(
+            prev[:, 1:] + 1, prev[:, :-1] + (b != ai[:, None])
+        )
+        # insertion closure: cur[j] = min_{k<=j} pre[k] + (j-k)
+        cur = np.minimum.accumulate(cur - jj, axis=1) + jj
+        done = la == i
+        if done.any():
+            res[done] = cur[done, lb[done]]
+        prev, cur = cur, prev
+    return res
+
+
+def edit_distance_pairs(
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 24,
+    prefix_len: int = 16,
+    max_block: int = 2000,
+    chunk_pairs: int = 8192,
+) -> ray.data.Dataset:
+    """Fuzzy near-dup pairs by Levenshtein distance ≤ ``max_dist`` →
+    Dataset(a, b, dist).  Blocking: candidates share their first
+    ``prefix_len`` bytes (prefix blocking — the standard cheap key for
+    boilerplate-prefixed near-dups) and differ in length by at most
+    ``max_dist`` (a sound filter: |len(a)-len(b)| lower-bounds the
+    distance).  Pairs in different blocks are the documented recall
+    trade; pairs within surviving blocks are EXACT.
+
+    Scale shape: one shuffle keyed on the prefix block (each row
+    carries its text once), all-pairs only within a block, with the
+    same overfull-block guard as ``ngram_jaccard_pairs`` — blocks
+    larger than ``max_block`` docs are dropped entirely, bounding any
+    task at O(max_block²) DP cells × avg length.  The DP itself is
+    ``_levenshtein_batch`` (numpy across pairs, ``chunk_pairs`` rows
+    per call to bound the (pairs × len) working set)."""
+
+    def block_rows(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].astype(str)
+        out = pd.DataFrame(
+            {
+                "block": t.str.slice(0, prefix_len),
+                "doc": b[id_col].to_numpy(np.int64),
+                "text": t,
+            }
+        )
+        return out
+
+    rows = docs.map_batches(block_rows, batch_format="pandas")
+
+    # overfull-block pre-pass: one row per doc, so per-batch block
+    # sizes are exact partials; two-level combine, only OVERFULL keys
+    # (tiny by definition) reach the driver
+    def size_partials(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("block", as_index=False).size()
+        key = pd.util.hash_array(g["block"].to_numpy())
+        g.insert(0, "part", (key % np.uint64(32)).astype(np.int32))
+        return g
+
+    def overfull(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("block", as_index=False)["size"].sum()
+        return g[g["size"] > max_block][["block"]]
+
+    big = (
+        rows.map_batches(size_partials, batch_format="pandas")
+        .groupby("part")
+        .map_groups(overfull, batch_format="pandas")
+        .to_pandas()
+    )
+    if not big.empty and "block" in big.columns:
+        ban_ref = ray.put(set(big["block"].tolist()))
+
+        def flt(b: pd.DataFrame) -> pd.DataFrame:
+            banned = ray.get(ban_ref)
+            return b[~b["block"].isin(banned)]
+
+        rows = rows.map_batches(flt, batch_format="pandas")
+
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series(dtype=np.int64),
+            "b": pd.Series(dtype=np.int64),
+            "dist": pd.Series(dtype=np.int64),
+        }
+    )
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc")
+        ids = g["doc"].to_numpy(np.int64)
+        enc = [t.encode("utf-8") for t in g["text"]]
+        lens = np.fromiter((len(e) for e in enc), np.int64, len(enc))
+        n = len(ids)
+        if n < 2:
+            return empty.copy()
+        ii, j4 = np.triu_indices(n, 1)
+        keep = np.abs(lens[ii] - lens[j4]) <= max_dist
+        ii, j4 = ii[keep], j4[keep]
+        outs = [empty.copy()]
+        for s in range(0, len(ii), chunk_pairs):
+            ci, cj = ii[s : s + chunk_pairs], j4[s : s + chunk_pairs]
+            d = _levenshtein_batch(
+                [enc[x] for x in ci], [enc[x] for x in cj]
+            )
+            ok = d <= max_dist
+            outs.append(
+                pd.DataFrame(
+                    {"a": ids[ci[ok]], "b": ids[cj[ok]],
+                     "dist": d[ok].astype(np.int64)}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return rows.groupby("block").map_groups(
+        block_pairs, batch_format="pandas"
+    )

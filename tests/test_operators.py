@@ -1669,3 +1669,68 @@ def test_countmin_estimate(ray_session):
     # the min is exact for a majority
     exact_frac = np.mean([est[k] == t for k, t in true.items()])
     assert exact_frac > 0.5, exact_frac
+
+
+def test_levenshtein_batch_exact():
+    """Batched numpy DP == textbook DP on random byte pairs, including
+    empty strings and equal strings."""
+    from prase_ray.stages.dedup import _levenshtein_batch
+
+    def ref(a, b):
+        D = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, D[0] = D[0], i
+            for j in range(1, len(b) + 1):
+                prev, D[j] = D[j], min(
+                    D[j] + 1, D[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return D[len(b)]
+
+    rng = np.random.default_rng(3)
+    A, B = [], []
+    for _ in range(200):
+        A.append(bytes(rng.integers(97, 102, rng.integers(0, 25)).tolist()))
+        B.append(bytes(rng.integers(97, 102, rng.integers(0, 25)).tolist()))
+    A += [b"", b"abc", b"same"]
+    B += [b"xyz", b"", b"same"]
+    got = _levenshtein_batch(A, B)
+    want = np.array([ref(a, b) for a, b in zip(A, B)], np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_edit_distance_pairs(ray_session):
+    """Prefix-blocked fuzzy dedup: finds planted near-dups, respects the
+    length filter, bans overfull blocks, block-layout invariant."""
+    from prase_ray.stages.dedup import edit_distance_pairs
+
+    base = "shared-prefix-0123 lorem ipsum dolor sit amet consectetur"
+    docs = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base + " x"},            # dist 2
+        {"doc_id": 2, "text": base.replace("lorem", "XXREM")},  # small dist
+        {"doc_id": 3, "text": "different-prefix!! " + base},    # other block
+        {"doc_id": 4, "text": base + " " + "pad " * 40},  # len diff > max
+    ]
+    # an overfull block: 30 docs sharing a prefix, pairwise near
+    for i in range(30):
+        docs.append({"doc_id": 100 + i, "text": f"hot-block-prefix-- tail {i}"})
+    df = pd.DataFrame(docs)
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(
+            [df.iloc[i::nblocks].reset_index(drop=True) for i in range(nblocks)]
+        )
+        return (
+            edit_distance_pairs(ds, max_dist=7, prefix_len=16, max_block=10)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+
+    out = run(1)
+    got = set(map(tuple, out[["a", "b"]].to_numpy()))
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert not any(3 in p or 4 in p for p in got)      # blocked / len-filtered
+    assert not any(p[0] >= 100 for p in got)           # overfull block banned
+    assert int(out.set_index(["a", "b"]).loc[(0, 1), "dist"]) == 2
+    pd.testing.assert_frame_equal(out, run(5))         # layout invariant
