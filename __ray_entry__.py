@@ -476,6 +476,28 @@ def q_ngram_jaccard(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_trailing_window(sf_dir: str):
+    """Per-event trailing 1-hour count + fixed-point value sum per user
+    (SQL RANGE INTERVAL PRECEDING semantics, ties-as-peers).  Integer
+    cents make the running sums hash-exact."""
+    from prase_ray.stages.windows import trailing_window_agg
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["cents"] = np.rint(b["value"].to_numpy() * 100).astype(np.int64)
+        return b
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "ts", "user_id", "value"]
+    ).map_batches(cents, batch_format="pandas")
+    out = trailing_window_agg(
+        ev, window_s=3600, key="user_id", bucket_s=4 * 3600
+    ).to_pandas()
+    out = out.rename(columns={"id": "event_id", "key": "user_id",
+                              "trailing_sum": "trailing_cents"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_fuzzy_dedup(sf_dir: str):
     """Levenshtein near-dup pairs over documents: prefix-16 blocking,
     |len diff| ≤ 24 filter, exact batched DP within blocks.  Integer
@@ -1717,6 +1739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_candidates": q_simhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
         "fuzzy_dedup": q_fuzzy_dedup,
+        "trailing_window": q_trailing_window,
         "embedding_neardup": q_embedding_neardup,
         "cosine_pairs_exact": q_cosine_pairs_exact,
         "media_pixel_stats": q_media_pixel_stats,
@@ -2788,6 +2811,22 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.4
+        """,
+        # per-row trailing time-range aggregate: the engine's closed
+        # [ts-1h, ts] ties-as-peers frame IS SQL's RANGE INTERVAL
+        # PRECEDING; integer cents keep the running sums hash-exact
+        "trailing_window": """
+            SELECT event_id, user_id,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS trailing_cents
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 3600 SECOND PRECEDING
+                          AND CURRENT ROW
+            )
+            ORDER BY event_id
         """,
         # Levenshtein fuzzy dedup restated: same prefix-16 blocking,
         # same |len diff| <= 24 filter, same overfull-block drop;

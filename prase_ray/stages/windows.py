@@ -232,3 +232,98 @@ def session_stats(
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
     )
+
+def trailing_window_agg(
+    events: ray.data.Dataset,
+    *,
+    window_s: int,
+    key: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    value_col: str = "cents",
+    bucket_s: int | None = None,
+    num_key_parts: int = 8,
+) -> ray.data.Dataset:
+    """Per-ROW trailing time-range aggregate — for every event, the
+    count and integer sum of ``value_col`` over the same key's events
+    with ``ts ∈ [ts_i − window, ts_i]`` (closed both ends, ties-as-peers:
+    exactly SQL's ``RANGE BETWEEN INTERVAL window PRECEDING AND CURRENT
+    ROW``).  Output Dataset(id, key, trailing_n, trailing_sum).
+
+    Unlike the tumbling/hopping aggregates (one row per window, built
+    from partials), this emits one row per EVENT — partial aggregation
+    can't help, so the scale shape is bucket+halo: each row's home is a
+    time bucket of ``bucket_s`` (default 4× window, must be ≥ window so
+    the halo reaches exactly one bucket back); rows within ``window``
+    of their bucket's end are REPLICATED once into the next bucket as
+    non-emitting context.  One shuffle keyed on (bucket, hash(key) %
+    num_key_parts); replication factor ≤ 1 + window/bucket.  Inside a
+    group: sort by a composite (key-code << 34 | ts − group-min) int64,
+    integer prefix sums, two searchsorteds per row — no Python loop,
+    and int64 sums make the result bit-exact under any partitioning.
+    """
+    if bucket_s is None:
+        bucket_s = 4 * window_s
+    if window_s > bucket_s:
+        raise ValueError("halo spans one bucket: need window_s <= bucket_s")
+    w_us = np.int64(window_s) * 1_000_000
+    b_us = np.int64(bucket_s) * 1_000_000
+
+    def route(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch[ts_col].astype("int64").to_numpy()
+        k = batch[key].to_numpy(np.int64)
+        ids = batch[id_col].to_numpy(np.int64)
+        v = batch[value_col].to_numpy(np.int64)
+        bkt = ts // b_us
+        part = (pd.util.hash_array(k.astype(np.uint64))
+                % np.uint64(num_key_parts)).astype(np.int32)
+        home = pd.DataFrame(
+            {"bucket": bkt, "part": part, "id": ids, "k": k,
+             "ts_us": ts, "v": v, "emit": True}
+        )
+        halo = ts >= (bkt + 1) * b_us - w_us
+        ctx = pd.DataFrame(
+            {"bucket": bkt[halo] + 1, "part": part[halo], "id": ids[halo],
+             "k": k[halo], "ts_us": ts[halo], "v": v[halo], "emit": False}
+        )
+        return pd.concat([home, ctx], ignore_index=True)
+
+    routed = events.map_batches(route, batch_format="pandas")
+
+    def group_scan(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        # key code + ts offset into one sortable int64: ts spans at
+        # most bucket + window from the group min → fits 36 bits for
+        # buckets up to ~19h; codes get the remaining 27 bits
+        rel = ts - ts.min()
+        assert rel.max(initial=0) < (1 << 36), "bucket too wide for packing"
+        code = pd.factorize(k, sort=False)[0].astype(np.int64)
+        comp = (code << np.int64(36)) | rel
+        order = np.argsort(comp, kind="stable")
+        comp_s = comp[order]
+        v_s = g["v"].to_numpy(np.int64)[order]
+        csum = np.concatenate([[0], np.cumsum(v_s)])
+        emit = g["emit"].to_numpy(bool)
+        qi = np.flatnonzero(emit)
+        qc = comp[qi]
+        # clamp the left probe at the key segment start: an emit row
+        # whose rel-offset is < window would otherwise underflow into
+        # the previous key code's range (rows below the segment start
+        # are other keys — same-key rows in [ts−w, ts] are all ≥ it by
+        # the halo guarantee)
+        probe = np.maximum(qc - w_us, code[qi] << np.int64(36))
+        lo = np.searchsorted(comp_s, probe, side="left")
+        hi = np.searchsorted(comp_s, qc, side="right")
+        return pd.DataFrame(
+            {
+                "id": g["id"].to_numpy(np.int64)[qi],
+                "key": k[qi],
+                "trailing_n": (hi - lo).astype(np.int64),
+                "trailing_sum": csum[hi] - csum[lo],
+            }
+        )
+
+    return routed.groupby(["bucket", "part"]).map_groups(
+        group_scan, batch_format="pandas"
+    )

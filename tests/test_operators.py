@@ -1734,3 +1734,56 @@ def test_edit_distance_pairs(ray_session):
     assert not any(p[0] >= 100 for p in got)           # overfull block banned
     assert int(out.set_index(["a", "b"]).loc[(0, 1), "dist"]) == 2
     pd.testing.assert_frame_equal(out, run(5))         # layout invariant
+
+
+def test_trailing_window_agg(ray_session):
+    """Per-row trailing RANGE window: halo across bucket boundaries,
+    ties-as-peers, cross-key probe clamp, layout invariance — all vs a
+    brute-force O(n²) reference."""
+    from prase_ray.stages.windows import trailing_window_agg
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    # ts clustered tightly around bucket boundaries of 40s buckets so
+    # halo rows are plentiful; two keys share boundary-adjacent events
+    ts = np.sort(rng.integers(0, 400_000_000, n))  # 400s span, µs
+    ts[100:110] = ts[100]  # a run of exact ties
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(ts, unit="us"),
+            "user_id": rng.integers(0, 5, n).astype(np.int64),
+            "cents": rng.integers(-50, 100, n).astype(np.int64),
+        }
+    )
+
+    def brute():
+        t = df["ts"].astype("int64").to_numpy()
+        k = df["user_id"].to_numpy()
+        v = df["cents"].to_numpy()
+        w = 10 * 1_000_000
+        nn, ss = [], []
+        for i in range(n):
+            m = (k == k[i]) & (t >= t[i] - w) & (t <= t[i])
+            nn.append(m.sum()); ss.append(v[m].sum())
+        return pd.DataFrame(
+            {"id": df["event_id"], "key": k,
+             "trailing_n": np.array(nn, np.int64),
+             "trailing_sum": np.array(ss, np.int64)}
+        )
+
+    want = brute().sort_values("id").reset_index(drop=True)
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(
+            [df.iloc[i::nblocks].reset_index(drop=True) for i in range(nblocks)]
+        )
+        return (
+            trailing_window_agg(ds, window_s=10, bucket_s=40,
+                                value_col="cents")
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+
+    got = run(1)
+    pd.testing.assert_frame_equal(got, want)
+    pd.testing.assert_frame_equal(run(6), want)  # layout invariant
