@@ -476,6 +476,18 @@ def q_ngram_jaccard(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_funnel(sf_dir: str):
+    """view → click → purchase funnel per user: greedy-earliest chain
+    with strict ts ordering; int64 epoch-µs outputs (−1 = incomplete)
+    → hash-exact."""
+    from prase_ray.stages.windows import funnel_steps
+
+    out = funnel_steps(
+        _read(sf_dir, "events"), ["view", "click", "purchase"]
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_trailing_window(sf_dir: str):
     """Per-event trailing 1-hour count + fixed-point value sum per user
     (SQL RANGE INTERVAL PRECEDING semantics, ties-as-peers).  Integer
@@ -1740,6 +1752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "fuzzy_dedup": q_fuzzy_dedup,
         "trailing_window": q_trailing_window,
+        "funnel": q_funnel,
         "embedding_neardup": q_embedding_neardup,
         "cosine_pairs_exact": q_cosine_pairs_exact,
         "media_pixel_stats": q_media_pixel_stats,
@@ -2811,6 +2824,39 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.4
+        """,
+        # greedy-earliest funnel: each stage is MIN(ts) strictly after
+        # the previous stage's pick — restated as chained groupby-min
+        # joins; universe = users with ≥1 event of a funnel type
+        "funnel": """
+            WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+            ), u AS (
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            )
+            SELECT u.user_id,
+                   CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                             WHEN t2 IS NOT NULL THEN 2
+                             WHEN t1 IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS steps,
+                   CAST(COALESCE(epoch_us(t1), -1) AS BIGINT) AS t1_us,
+                   CAST(COALESCE(epoch_us(t2), -1) AS BIGINT) AS t2_us,
+                   CAST(COALESCE(epoch_us(t3), -1) AS BIGINT) AS t3_us
+            FROM u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
+            ORDER BY u.user_id
         """,
         # per-row trailing time-range aggregate: the engine's closed
         # [ts-1h, ts] ties-as-peers frame IS SQL's RANGE INTERVAL

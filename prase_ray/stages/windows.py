@@ -14,6 +14,12 @@ import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
 
+def _epoch_us(col: pd.Series) -> np.ndarray:
+    """Epoch microseconds regardless of the column's datetime
+    resolution (parquet loads as us, from_pandas frames as ns)."""
+    return col.astype("datetime64[us]").astype("int64").to_numpy()
+
+
 def add_tumbling_window(
     events: ray.data.Dataset, window_s: int, ts_col: str = "ts"
 ) -> ray.data.Dataset:
@@ -270,7 +276,7 @@ def trailing_window_agg(
     b_us = np.int64(bucket_s) * 1_000_000
 
     def route(batch: pd.DataFrame) -> pd.DataFrame:
-        ts = batch[ts_col].astype("int64").to_numpy()
+        ts = _epoch_us(batch[ts_col])
         k = batch[key].to_numpy(np.int64)
         ids = batch[id_col].to_numpy(np.int64)
         v = batch[value_col].to_numpy(np.int64)
@@ -326,4 +332,77 @@ def trailing_window_agg(
 
     return routed.groupby(["bucket", "part"]).map_groups(
         group_scan, batch_format="pandas"
+    )
+
+
+def funnel_steps(
+    events: ray.data.Dataset,
+    steps: list[str],
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n_parts: int = 32,
+) -> ray.data.Dataset:
+    """Ordered-sequence (funnel) completion per key: how far through
+    ``steps`` each key progressed, taking at every stage the EARLIEST
+    event of that type strictly later than the previous stage's pick
+    (greedy-earliest maximizes completion, the standard funnel rule).
+    Output Dataset(key, steps, t1_us..tS_us) with −1 for uncompleted
+    stages — all int64, so the result is hash-exact.
+
+    Scale shape: the sessionize pattern — ONE shuffle hash-partitioned
+    on the key (a key's funnel needs only its own events), then each
+    partition resolves ALL its keys per stage with vectorized masked
+    groupby-mins; no per-key Python, no driver state.  Events of types
+    outside ``steps`` are dropped before the shuffle."""
+    wanted = set(steps)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[type_col].isin(wanted)
+        out = batch.loc[m, [key, type_col, ts_col, id_col]].copy()
+        out.insert(
+            0,
+            "part",
+            (
+                pd.util.hash_array(out[key].to_numpy(np.int64).astype(np.uint64))
+                % np.uint64(n_parts)
+            ).astype(np.int32),
+        )
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        users = np.unique(g[key].to_numpy(np.int64))
+        ts = _epoch_us(g[ts_col])
+        ku = g[key].to_numpy(np.int64)
+        et = g[type_col].to_numpy()
+        # prev[u] = ts picked at the previous stage (−inf before stage 1)
+        prev = pd.Series(np.int64(-(2**62)), index=users)
+        cols = {}
+        done = np.ones(len(users), bool)
+        steps_done = np.zeros(len(users), np.int64)
+        for si, s in enumerate(steps):
+            m = et == s
+            cand = pd.DataFrame({"u": ku[m], "t": ts[m]})
+            cand = cand[cand["t"].to_numpy()
+                        > prev.reindex(cand["u"]).to_numpy()]
+            picked = cand.groupby("u")["t"].min()
+            t_full = picked.reindex(users)
+            ok = done & t_full.notna().to_numpy()
+            steps_done[ok] += 1
+            done = ok
+            col = np.full(len(users), np.int64(-1))
+            col[ok] = t_full.to_numpy()[ok].astype(np.int64)
+            cols[f"t{si + 1}_us"] = col
+            prev = pd.Series(
+                np.where(ok, np.where(ok, col, 0), np.int64(2**62)),
+                index=users,
+            )
+        return pd.DataFrame({key: users, "steps": steps_done, **cols})
+
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
     )

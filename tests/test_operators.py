@@ -1758,7 +1758,7 @@ def test_trailing_window_agg(ray_session):
     )
 
     def brute():
-        t = df["ts"].astype("int64").to_numpy()
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         k = df["user_id"].to_numpy()
         v = df["cents"].to_numpy()
         w = 10 * 1_000_000
@@ -1787,3 +1787,52 @@ def test_trailing_window_agg(ray_session):
     got = run(1)
     pd.testing.assert_frame_equal(got, want)
     pd.testing.assert_frame_equal(run(6), want)  # layout invariant
+
+
+def test_funnel_steps(ray_session):
+    """Greedy-earliest funnel: strict ordering (same-ts next step does
+    NOT count), partial completion, layout invariance."""
+    from prase_ray.stages.windows import funnel_steps
+
+    def T(s):
+        return pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+
+    rows = [
+        # user 1: full A->B->C, with a decoy earlier B before A
+        (1, "B", 5), (1, "A", 10), (1, "B", 20), (1, "C", 30),
+        # user 2: B at the SAME ts as A — strict '>' must reject it
+        (2, "A", 10), (2, "B", 10),
+        # user 3: A only
+        (3, "A", 1), (3, "X", 2),
+        # user 4: C then B then A — order wrong, only step 1 counts
+        (4, "C", 1), (4, "B", 2), (4, "A", 3),
+        # user 5: no funnel types at all -> excluded from the universe
+        (5, "X", 1),
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype=np.int64),
+            "user_id": np.array([r[0] for r in rows], np.int64),
+            "event_type": [r[1] for r in rows],
+            "ts": [T(r[2]) for r in rows],
+        }
+    )
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(
+            [df.iloc[i::nblocks].reset_index(drop=True) for i in range(nblocks)]
+        )
+        return (
+            funnel_steps(ds, ["A", "B", "C"])
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+
+    out = run(1).set_index("user_id")
+    assert out.loc[1, "steps"] == 3
+    assert out.loc[1, ["t1_us", "t2_us", "t3_us"]].tolist() == [
+        T(10).value // 1000, T(20).value // 1000, T(30).value // 1000]
+    assert out.loc[2, "steps"] == 1 and out.loc[2, "t2_us"] == -1
+    assert out.loc[3, "steps"] == 1
+    assert out.loc[4, "steps"] == 1
+    assert 5 not in out.index
+    pd.testing.assert_frame_equal(run(1), run(4))
