@@ -529,6 +529,20 @@ def q_fuzzy_dedup(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_allpairs_jaccard(sf_dir: str):
+    """COMPLETE all-pairs 3-gram Jaccard ≥ 0.4 — no blocking column:
+    prefix filtering (Bayardo et al. 2007) makes candidate generation
+    lossless, so the oracle is the plain quadratic Jaccard."""
+    from prase_ray.stages.dedup import allpairs_jaccard
+
+    out = allpairs_jaccard(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        k=3, threshold=0.4,
+    )
+    out["jaccard"] = out["jaccard"].round(6)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_embedding_neardup(sf_dir: str):
     """SRP near-dup over embeddings ∪ planted exact twins (each vector
     re-appears under vec_id + 1_000_000).  Exact duplicates always share
@@ -1751,6 +1765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_candidates": q_simhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
         "fuzzy_dedup": q_fuzzy_dedup,
+        "allpairs_jaccard": q_allpairs_jaccard,
         "trailing_window": q_trailing_window,
         "funnel": q_funnel,
         "embedding_neardup": q_embedding_neardup,
@@ -2893,6 +2908,43 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE a.block IN (SELECT block FROM ok)
               AND levenshtein(a.text, b.text) <= 24
             ORDER BY 1, 2
+        """,
+        # complete prefix-filtered all-pairs Jaccard: candidate gen is
+        # lossless, so the oracle is the PLAIN quadratic Jaccard (the
+        # ngram_jaccard SQL without the source blocking)
+        "allpairs_jaccard": """
+            WITH d AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE
+                         WHEN len(toks) = 0 THEN []
+                         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                         ELSE list_transform(
+                             generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         )
+                       END AS shingles
+                FROM d
+            ), rows_ AS (
+                SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS sz FROM rows_ GROUP BY doc_id
+            ), inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+                FROM rows_ x JOIN rows_ y
+                  ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   ROUND(CAST(i AS DOUBLE) /
+                         (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.4
+            ORDER BY a, b
         """,
         # hash-exact end-to-end MinHash+LSH near-dup: see _sql_minhash_dedup
         "minhash_dedup": _sql_minhash_dedup(),

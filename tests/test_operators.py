@@ -1836,3 +1836,42 @@ def test_funnel_steps(ray_session):
     assert out.loc[4, "steps"] == 1
     assert 5 not in out.index
     pd.testing.assert_frame_equal(run(1), run(4))
+
+
+def test_allpairs_jaccard_complete(ray_session):
+    """Prefix-filtered all-pairs Jaccard equals the quadratic reference
+    with NO blocking — including pairs that cross any blocking column
+    (the documented recall hole of ngram_jaccard_pairs)."""
+    from prase_ray.stages.dedup import allpairs_jaccard
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(60)]
+    texts, srcs = [], []
+    for i in range(80):
+        texts.append(" ".join(rng.choice(vocab, 12)))
+        srcs.append(f"s{i % 4}")
+    # planted near-dup pair in DIFFERENT sources
+    texts[70] = texts[10] + " extra"
+    srcs[70] = "s0" if srcs[10] != "s0" else "s1"
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64),
+                       "text": texts, "source": srcs})
+
+    def shingles(t):
+        w = t.split()
+        return set(" ".join(w[i:i+3]) for i in range(max(len(w)-2, 1)))
+
+    tau = 0.5
+    want = []
+    S = [shingles(t) for t in texts]
+    for a in range(80):
+        for b in range(a + 1, 80):
+            j = len(S[a] & S[b]) / len(S[a] | S[b])
+            if j >= tau:
+                want.append((a, b, round(j, 9)))
+    assert any(p[:2] == (10, 70) for p in want)  # the cross-source pair
+
+    ds = ray.data.from_pandas(df)
+    out = allpairs_jaccard(ds, k=3, threshold=tau)
+    got = [(int(r.a), int(r.b), round(float(r.jaccard), 9))
+           for r in out.itertuples()]
+    assert sorted(got) == sorted(want)
