@@ -212,6 +212,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("pack_sequences", lambda: consume(em.q_pack_sequences(sf_dir)))
     timed("shuffle_rank", lambda: consume(em.q_shuffle_rank(sf_dir)))
     timed("url_dedup_latest", lambda: consume(em.q_url_dedup_latest(sf_dir)))
+    timed("countmin_counts", lambda: consume(em.q_countmin_counts(sf_dir)))
+    timed("fuzzy_dedup", lambda: consume(em.q_fuzzy_dedup(sf_dir)))
+    timed("allpairs_jaccard", lambda: consume(em.q_allpairs_jaccard(sf_dir)))
+    timed("trailing_window", lambda: consume(em.q_trailing_window(sf_dir)))
+    timed("funnel", lambda: consume(em.q_funnel(sf_dir)))
     timed("unigram_surprise", lambda: consume(em.q_unigram_surprise(sf_dir)))
     timed("embedding_gram", lambda: consume(em.q_embedding_gram(sf_dir)))
     # at sf0.1 both graphs cross the 1M-edge gate → these time the
