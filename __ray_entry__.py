@@ -1611,6 +1611,15 @@ def q_embedding_gram(sf_dir: str):
     return out.sort_values(["i", "j"]).reset_index(drop=True)
 
 
+def q_group_centroids(sf_dir: str):
+    """Per-label fixed-point centroid of the embedding column: int64
+    partial sums (associative) + floor division → hash-exact."""
+    from prase_ray.stages.linalg import group_centroids
+
+    out = group_centroids(_read(sf_dir, "embeddings")).to_pandas()
+    return out.sort_values(["group", "dim"]).reset_index(drop=True)
+
+
 def q_random_projection(sf_dir: str):
     """JL sign projection of the embedding column onto k=8
     deterministic ±1 axes (int64 fixed point, zero shuffle) — the
@@ -1820,6 +1829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": q_domain_stats,
         "embedding_gram": q_embedding_gram,
         "random_projection": q_random_projection,
+        "group_centroids": q_group_centroids,
         "countmin_counts": q_countmin_counts,
         "pagerank": q_pagerank,
         "pagerank_distributed": q_pagerank_distributed,
@@ -3342,6 +3352,27 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(SUM(a.v * b.v) AS BIGINT) AS gram
             FROM q a JOIN q b USING (vec_id)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # per-label fixed-point centroid: same floor(x*scale) quantize
+        # as the Gram oracle; floor DIVISION restated exactly (DuckDB
+        # // truncates, numpy // floors) via a modulus adjustment
+        "group_centroids": f"""
+            WITH q AS (
+                SELECT label AS grp,
+                       unnest(range(1, len(embedding)+1)) AS dim,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                  * {_GRAM_SCALE}) AS BIGINT) AS v
+                FROM embeddings
+            ), agg AS (
+                SELECT grp, dim, CAST(SUM(v) AS BIGINT) AS s,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM q GROUP BY 1, 2
+            )
+            SELECT grp AS "group", dim,
+                   CAST((s - ((s % n + n) % n)) // n AS BIGINT)
+                       AS centroid_fp,
+                   n
+            FROM agg ORDER BY 1, 2
         """,
         # the ±1 sign matrix is rebuilt in SQL from the same splitmix64
         # keys (comp*d+dim ^ seed); d=64 is the testdata embedding dim

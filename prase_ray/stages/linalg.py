@@ -145,3 +145,56 @@ def random_projection(
         )
 
     return embs.map_batches(project, batch_format="pandas")
+
+
+def group_centroids(
+    embs: ray.data.Dataset,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale: float = GRAM_SCALE,
+) -> ray.data.Dataset:
+    """Per-group centroid of the embedding column in fixed-point int64
+    → Dataset(group, dim, centroid_fp, n) with
+    ``centroid_fp = floor(Σ floor(x·scale) / n)`` (numpy floor
+    division; the SQL oracle restates it exactly via a modulus
+    adjustment because DuckDB's ``//`` truncates).  The corpus-drift /
+    per-domain embedding report, and the statistic k-means and SemDeDup
+    assignments consume.
+
+    Scale shape: one pass — each batch reduces to ≤ groups·d partial
+    rows (vectorized np.add.at onto a (groups, d) sum grid), the
+    exchange carries partials, never vectors; int64 partial sums are
+    associative → bit-deterministic under any partitioning."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        Q = np.floor(X * scale).astype(np.int64)
+        g = b[group_col].to_numpy(np.int64)
+        ug, inv = np.unique(g, return_inverse=True)
+        d = Q.shape[1]
+        S = np.zeros((len(ug), d), np.int64)
+        np.add.at(S, inv, Q)
+        cnt = np.bincount(inv, minlength=len(ug)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "group": np.repeat(ug, d),
+                "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), len(ug)),
+                "s": S.ravel(),
+                "n": np.repeat(cnt, d),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["group", "dim"], as_index=False)[["s", "n"]].sum()
+        out["centroid_fp"] = out["s"].to_numpy(np.int64) // out[
+            "n"
+        ].to_numpy(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return out[["group", "dim", "centroid_fp", "n"]]
+
+    return (
+        embs.map_batches(partial, batch_format="pandas")
+        .groupby(["group", "dim"])
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -1875,3 +1875,34 @@ def test_allpairs_jaccard_complete(ray_session):
     got = [(int(r.a), int(r.b), round(float(r.jaccard), 9))
            for r in out.itertuples()]
     assert sorted(got) == sorted(want)
+
+
+def test_group_centroids(ray_session):
+    """Fixed-point grouped centroid: equals numpy, floor-division on
+    negative sums, partition-order invariant."""
+    from prase_ray.stages.linalg import group_centroids
+
+    rng = np.random.default_rng(21)
+    n, d = 600, 8
+    V = rng.normal(-0.3, 1.0, (n, d)).astype(np.float32)  # negative-mean
+    g = rng.integers(0, 4, n).astype(np.int64)
+    df = pd.DataFrame({"label": g, "embedding": [v for v in V]})
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(
+            [df.iloc[i::nblocks].reset_index(drop=True) for i in range(nblocks)]
+        )
+        return (
+            group_centroids(ds)
+            .to_pandas().sort_values(["group", "dim"]).reset_index(drop=True)
+        )
+
+    out = run(1)
+    Q = np.floor(V.astype(np.float64) * 1024.0).astype(np.int64)
+    for grp in range(4):
+        m = g == grp
+        want = Q[m].sum(0) // m.sum()
+        got = out[out["group"] == grp].sort_values("dim")
+        np.testing.assert_array_equal(got["centroid_fp"].to_numpy(), want)
+        assert (got["n"] == m.sum()).all()
+    pd.testing.assert_frame_equal(run(1), run(7))
