@@ -1611,6 +1611,18 @@ def q_embedding_gram(sf_dir: str):
     return out.sort_values(["i", "j"]).reset_index(drop=True)
 
 
+def q_reservoir_sample(sf_dir: str):
+    """Exactly-20-per-source deterministic reservoir (bottom-k by
+    splitmix priority, id tiebreak) over documents."""
+    from prase_ray.stages.relational import reservoir_sample_k
+
+    out = reservoir_sample_k(
+        _read(sf_dir, "documents").select_columns(["doc_id", "source"]),
+        group_col="source", id_col="doc_id", k=20, seed=11,
+    )
+    return out.sort_values(["source", "rank"]).reset_index(drop=True)
+
+
 def q_group_centroids(sf_dir: str):
     """Per-label fixed-point centroid of the embedding column: int64
     partial sums (associative) + floor division → hash-exact."""
@@ -1830,6 +1842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": q_embedding_gram,
         "random_projection": q_random_projection,
         "group_centroids": q_group_centroids,
+        "reservoir_sample": q_reservoir_sample,
         "countmin_counts": q_countmin_counts,
         "pagerank": q_pagerank,
         "pagerank_distributed": q_pagerank_distributed,
@@ -3352,6 +3365,30 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(SUM(a.v * b.v) AS BIGINT) AS gram
             FROM q a JOIN q b USING (vec_id)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # bottom-k reservoir: the shuffle_rank int64-view idiom ranked
+        # per group with id tiebreak
+        "reservoir_sample": f"""
+            WITH kk AS (
+                SELECT doc_id, source,
+                       {_sql_splitmix('xor(doc_id::HUGEINT, 11::HUGEINT)')}
+                           AS ku
+                FROM documents
+            ), s AS (
+                SELECT doc_id, source,
+                       CAST(CASE WHEN ku >= 9223372036854775808::HUGEINT
+                            THEN ku - 18446744073709551616::HUGEINT
+                            ELSE ku END AS BIGINT) AS pri
+                FROM kk
+            ), r AS (
+                SELECT doc_id, source,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY source ORDER BY pri, doc_id
+                       ) AS BIGINT) AS rank
+                FROM s
+            )
+            SELECT source, doc_id, rank FROM r WHERE rank <= 20
+            ORDER BY source, rank
         """,
         # per-label fixed-point centroid: same floor(x*scale) quantize
         # as the Gram oracle; floor DIVISION restated exactly (DuckDB

@@ -600,3 +600,49 @@ def bloom_anti_join(
         right_on=(right_on,),
     )
     return definite.union(survived)
+
+
+def reservoir_sample_k(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    id_col: str,
+    k: int,
+    seed: int = 0,
+    payload_cols: list[str] | None = None,
+) -> pd.DataFrame:
+    """Deterministic EXACTLY-min(k, |group|) sample per group — the
+    bottom-k-by-hash reservoir: priority = splitmix64(id ⊕ seed), keep
+    the k smallest (ties broken by id).  Complements stratified_sample
+    (rate-based, size varies) when a fixed per-group quota is needed
+    (eval set carving, per-source caps).  Uniform over the group
+    because the priority is a PRF of the id alone; reproducible and
+    resumable where sample()/random_shuffle are neither.
+
+    Shape: identical bound to group_topk — per-block partial bottom-k
+    caps the shuffle at k × groups × blocks; ONE small groupby
+    finishes."""
+    from prase_ray.functions.hashing import splitmix64
+
+    cols = [group_col, id_col] + (payload_cols or [])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[cols].copy()
+        b["pri"] = splitmix64(
+            b[id_col].to_numpy(np.uint64) ^ np.uint64(seed)
+        ).astype(np.int64)
+        s = b.sort_values([group_col, "pri", id_col])
+        return s.groupby(group_col, as_index=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["pri", id_col]).head(k).reset_index(drop=True)
+        s["rank"] = np.arange(1, len(s) + 1, dtype=np.int64)
+        return s.drop(columns=["pri"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values([group_col, "rank"]).reset_index(drop=True)

@@ -1906,3 +1906,41 @@ def test_group_centroids(ray_session):
         np.testing.assert_array_equal(got["centroid_fp"].to_numpy(), want)
         assert (got["n"] == m.sum()).all()
     pd.testing.assert_frame_equal(run(1), run(7))
+
+
+def test_reservoir_sample_k(ray_session):
+    """Exactly-k per group, deterministic across layouts and reruns,
+    short groups returned whole."""
+    from prase_ray.stages.relational import reservoir_sample_k
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(1000, dtype=np.int64),
+            "grp": np.concatenate(
+                [np.repeat("big", 990), np.repeat("tiny", 10)]
+            ),
+        }
+    )
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(
+            [df.iloc[i::nblocks].reset_index(drop=True) for i in range(nblocks)]
+        )
+        return reservoir_sample_k(
+            ds, group_col="grp", id_col="doc_id", k=25, seed=7
+        )
+
+    out = run(1)
+    assert (out[out["grp"] == "big"]["rank"].to_numpy()
+            == np.arange(1, 26)).all()
+    assert len(out[out["grp"] == "tiny"]) == 10  # short group kept whole
+    pd.testing.assert_frame_equal(out, run(9))
+    # different seed -> different (uniform) pick
+    other = reservoir_sample_k(
+        ray.data.from_pandas(df), group_col="grp", id_col="doc_id",
+        k=25, seed=8,
+    )
+    assert set(other[other["grp"] == "big"]["doc_id"]) != set(
+        out[out["grp"] == "big"]["doc_id"]
+    )
