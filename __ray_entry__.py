@@ -1749,6 +1749,17 @@ def q_countmin_counts(sf_dir: str):
     return out.sort_values("key").reset_index(drop=True)
 
 
+def q_cooccur_lift(sf_dir: str):
+    """Entity co-occurrence lift (monotone PMI) over the extracted SVO
+    triple stream: which (subject, object) pairs co-occur more than
+    their marginals predict."""
+    from prase_ray.stages.graph import cooccur_lift
+
+    tr = q_extract_triples_docs(sf_dir)
+    out = cooccur_lift(tr, min_count=2).to_pandas()
+    return out.sort_values(["subj", "obj"]).reset_index(drop=True)
+
+
 def q_unigram_surprise(sf_dir: str):
     """Corpus-level unigram-LM surprisal per document (fixed-point
     integer, partition-order invariant) — the model-free rare-token
@@ -1843,6 +1854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_projection": q_random_projection,
         "group_centroids": q_group_centroids,
         "reservoir_sample": q_reservoir_sample,
+        "cooccur_lift": q_cooccur_lift,
         "countmin_counts": q_countmin_counts,
         "pagerank": q_pagerank,
         "pagerank_distributed": q_pagerank_distributed,
@@ -2471,6 +2483,31 @@ def _oracle_sql_base() -> dict[str, str]:
                    unnest(regexp_extract_all(text, '{svo}', 2)) AS pred,
                    unnest(regexp_extract_all(text, '{svo}', 3)) AS obj
             FROM documents
+        """,
+        # co-occurrence lift over the SAME extraction CTE: integer
+        # counts, one double division rounded to 6dp (the X45 no-log
+        # dodge) — identical IEEE expression both sides
+        "cooccur_lift": f"""
+            WITH tr AS (
+                SELECT unnest(regexp_extract_all(text, '{svo}', 1)) AS subj,
+                       unnest(regexp_extract_all(text, '{svo}', 3)) AS obj
+                FROM documents
+            ), p AS (
+                SELECT subj, obj, CAST(COUNT(*) AS BIGINT) AS n_pair
+                FROM tr GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ), ma AS (
+                SELECT subj, CAST(COUNT(*) AS BIGINT) AS n_a
+                FROM tr GROUP BY 1
+            ), mb AS (
+                SELECT obj, CAST(COUNT(*) AS BIGINT) AS n_b
+                FROM tr GROUP BY 1
+            ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tr)
+            SELECT p.subj, p.obj, p.n_pair,
+                   ROUND(CAST(nn.n * p.n_pair AS DOUBLE) / (n_a * n_b), 6)
+                       AS lift
+            FROM p
+            JOIN ma USING (subj) JOIN mb USING (obj) CROSS JOIN nn
+            ORDER BY 1, 2
         """,
         "normalize_uri": """
             WITH t AS (

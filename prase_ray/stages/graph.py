@@ -448,3 +448,95 @@ def triangle_counts(
             batch_format="pandas",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# co-occurrence lift (monotone PMI) over a triple/edge stream
+# --------------------------------------------------------------------------
+
+def cooccur_lift(
+    triples: ray.data.Dataset,
+    *,
+    a_col: str = "subj",
+    b_col: str = "obj",
+    min_count: int = 2,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Association strength of (a, b) pairs in an edge/triple stream:
+    ``lift = N·c_ab / (c_a·c_b)`` (= P(a,b)/P(a)P(b); PMI is its log,
+    so lift ranks identically) → Dataset(a, b, n_pair, lift).  The
+    X45 dodge: no transcendental log — integer counts + ONE double
+    division ROUNDed to 6dp, the same IEEE expression the SQL oracle
+    evaluates, keeps the score hash-exact.
+
+    Scale shape: pair and marginal counts are per-batch partials
+    (shuffles carry distinct-keys-per-batch rows, never raw triples);
+    the ``min_count`` filter cuts the pair relation BEFORE the two
+    marginal attaches; N is one driver scalar.  The marginal attach is
+    a part-hash co-group (tag + union + grouped pandas merge) rather
+    than chained Dataset.join: with sparse keys a join leaves empty
+    output partitions as zero-field blocks that break the next join's
+    key resolution."""
+
+    def counted(ds, cols, out_name):
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby(cols, as_index=False).size()
+            g[out_name] = g.pop("size").astype(np.int64)
+            return g
+
+        from ray.data.aggregate import Sum
+
+        return (
+            ds.map_batches(partial, batch_format="pandas")
+            .groupby(cols)
+            .aggregate(Sum(out_name, alias_name=out_name))
+        )
+
+    n_total = triples.count()
+    pairs = counted(triples, [a_col, b_col], "n_pair").filter(
+        lambda r: r["n_pair"] >= min_count
+    )
+    ma = counted(triples.select_columns([a_col]), [a_col], "n_a")
+    mb = counted(triples.select_columns([b_col]), [b_col], "n_b")
+
+    def cogroup_attach(left, right, key, val_col):
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b.insert(
+                0,
+                "part",
+                (
+                    pd.util.hash_array(b[key].to_numpy())
+                    % np.uint64(num_partitions)
+                ).astype(np.int32),
+            )
+            return b
+
+        lt = left.map_batches(tag, batch_format="pandas")
+        rt = right.map_batches(tag, batch_format="pandas")
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            lrows = g[g[val_col].isna()].drop(columns=[val_col, "part"])
+            rrows = g.loc[g[val_col].notna(), [key, val_col]]
+            out = lrows.merge(rrows, on=key, how="inner")
+            out[val_col] = out[val_col].astype(np.int64)
+            return out
+
+        return lt.union(rt).groupby("part").map_groups(
+            merge, batch_format="pandas"
+        )
+
+    j = cogroup_attach(pairs, ma, a_col, "n_a")
+    j = cogroup_attach(j, mb, b_col, "n_b")
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        num = (np.int64(n_total) * b["n_pair"].to_numpy(np.int64)).astype(
+            np.float64
+        )
+        den = (b["n_a"].to_numpy(np.int64)
+               * b["n_b"].to_numpy(np.int64)).astype(np.float64)
+        b = b[[a_col, b_col, "n_pair"]].copy()
+        b["lift"] = np.round(num / den, 6)
+        return b
+
+    return j.map_batches(score, batch_format="pandas")

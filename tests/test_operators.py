@@ -1944,3 +1944,40 @@ def test_reservoir_sample_k(ray_session):
     assert set(other[other["grp"] == "big"]["doc_id"]) != set(
         out[out["grp"] == "big"]["doc_id"]
     )
+
+
+def test_cooccur_lift(ray_session):
+    """Lift vs hand-computed marginals: planted associated pair scores
+    > 1, independent-ish pair near 1, min_count filter, layout
+    invariance."""
+    from prase_ray.stages.graph import cooccur_lift
+
+    rows = (
+        [("a", "x")] * 30      # strongly associated
+        + [("a", "y")] * 3 + [("b", "x")] * 3
+        + [("b", "y")] * 10 + [("c", "z")] * 1   # (c,z) under min_count
+    )
+    df = pd.DataFrame({"subj": [r[0] for r in rows],
+                       "obj": [r[1] for r in rows]})
+    N = len(df)
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(
+            [df.iloc[i::nblocks].reset_index(drop=True) for i in range(nblocks)]
+        )
+        return (
+            cooccur_lift(ds, min_count=2)
+            .to_pandas().sort_values(["subj", "obj"]).reset_index(drop=True)
+        )
+
+    out = run(1).set_index(["subj", "obj"])
+    assert ("c", "z") not in out.index
+    c = df.value_counts()
+    na = df["subj"].value_counts()
+    nb = df["obj"].value_counts()
+    for (s, o) in out.index:
+        want = round(N * c[(s, o)] / (na[s] * nb[o]), 6)
+        assert out.loc[(s, o), "lift"] == want
+    assert out.loc[("a", "x"), "lift"] > 1.2
+    assert out.loc[("a", "y"), "lift"] < 1.0
+    pd.testing.assert_frame_equal(run(1), run(5))
