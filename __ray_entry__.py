@@ -11,6 +11,7 @@ here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -1749,6 +1750,30 @@ def q_countmin_counts(sf_dir: str):
     return out.sort_values("key").reset_index(drop=True)
 
 
+def q_inverted_index(sf_dir: str):
+    """Build the term-hash-partitioned inverted index through the X42
+    resumable sink, read it back, and report per-term df / total tf —
+    exercising write → commit-rename → read as one graded surface."""
+    import shutil as _sh
+
+    from prase_ray.io.sink import read_partitioned
+    from prase_ray.stages.text import build_inverted_index
+
+    out_dir = f"/tmp/prase_invidx_{os.path.basename(os.path.normpath(sf_dir))}"
+    _sh.rmtree(out_dir, ignore_errors=True)
+    build_inverted_index(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        out_dir, num_partitions=16,
+    )
+    idx = read_partitioned(out_dir).to_pandas()
+    out = (
+        idx.groupby("term", as_index=False)
+        .agg(df=("doc_id", "nunique"), total_tf=("tf", "sum"))
+        .astype({"df": np.int64, "total_tf": np.int64})
+    )
+    return out.sort_values("term").reset_index(drop=True)
+
+
 def q_cooccur_lift(sf_dir: str):
     """Entity co-occurrence lift (monotone PMI) over the extracted SVO
     triple stream: which (subject, object) pairs co-occur more than
@@ -1855,6 +1880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_centroids": q_group_centroids,
         "reservoir_sample": q_reservoir_sample,
         "cooccur_lift": q_cooccur_lift,
+        "inverted_index": q_inverted_index,
         "countmin_counts": q_countmin_counts,
         "pagerank": q_pagerank,
         "pagerank_distributed": q_pagerank_distributed,
@@ -2483,6 +2509,19 @@ def _oracle_sql_base() -> dict[str, str]:
                    unnest(regexp_extract_all(text, '{svo}', 2)) AS pred,
                    unnest(regexp_extract_all(text, '{svo}', 3)) AS obj
             FROM documents
+        """,
+        # inverted index read back: per-term document frequency and
+        # total term frequency after the write→rename→read round trip
+        "inverted_index": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\\S+')) AS term
+                FROM documents
+            )
+            SELECT term,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(COUNT(*) AS BIGINT) AS total_tf
+            FROM tok GROUP BY term ORDER BY term
         """,
         # co-occurrence lift over the SAME extraction CTE: integer
         # counts, one double division rounded to 6dp (the X45 no-log

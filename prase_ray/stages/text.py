@@ -486,3 +486,61 @@ def unigram_surprise(
         .groupby(id_col)
         .map_groups(combine, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+# inverted index build through the resumable partitioned sink
+# --------------------------------------------------------------------------
+
+def build_inverted_index(
+    docs: ray.data.Dataset,
+    out_dir: str,
+    *,
+    num_partitions: int = 32,
+    skip_finished: bool = True,
+) -> dict:
+    """Materialize a term → postings inverted index as term-hash-
+    partitioned Parquet (rows ``term, term_hash, doc_id, tf``) through
+    the X42 resumable sink: one writer task per partition committing
+    via tmp-dir rename, reruns skip finished partitions.  A term's
+    postings live entirely inside one partition (hash-partitioned on
+    the term), so per-term readers touch exactly one directory.
+
+    Scale shape: per-batch (doc, term, tf) reduction is exact (a doc's
+    rows come from one batch), the only exchange is the sink's
+    partition shuffle; partition count bounds file count and fan-in."""
+    from prase_ray.functions.hashing import hash_bytes_array
+    from prase_ray.io.sink import write_partitioned
+
+    def posting_rows(b: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = b["text"].str.split()
+        counts = tok_lists.str.len().fillna(0).to_numpy(np.int64)
+        flat = (
+            np.concatenate(
+                [np.asarray(t, dtype=object) for t in tok_lists if len(t)]
+            )
+            if counts.sum()
+            else np.empty(0, dtype=object)
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        b["doc_id"].to_numpy(np.int64), counts
+                    ),
+                    "term": flat,
+                }
+            )
+            .groupby(["doc_id", "term"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        g["tf"] = g["tf"].astype(np.int64)
+        g["term_hash"] = hash_bytes_array(g["term"], seed=3).view(np.int64)
+        return g[["term", "term_hash", "doc_id", "tf"]]
+
+    rows = docs.map_batches(posting_rows, batch_format="pandas")
+    return write_partitioned(
+        rows, out_dir, "term_hash",
+        num_partitions=num_partitions, skip_finished=skip_finished,
+    )

@@ -1981,3 +1981,47 @@ def test_cooccur_lift(ray_session):
     assert out.loc[("a", "x"), "lift"] > 1.2
     assert out.loc[("a", "y"), "lift"] < 1.0
     pd.testing.assert_frame_equal(run(1), run(5))
+
+
+def test_build_inverted_index_resume(ray_session, tmp_path):
+    """Inverted index through the resumable sink: postings are
+    term-local to one partition, rerun rewrites ONLY a deleted
+    partition, and read-back stats equal a pandas reference."""
+    import shutil
+
+    from prase_ray.io.sink import read_partitioned
+    from prase_ray.stages.text import build_inverted_index
+
+    rng = np.random.default_rng(31)
+    vocab = np.array([f"t{i}" for i in range(40)])
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "text": [" ".join(rng.choice(vocab, 15)) for _ in range(200)],
+        }
+    )
+    out_dir = str(tmp_path / "idx")
+    ds = ray.data.from_pandas(df)
+    r1 = build_inverted_index(ds, out_dir, num_partitions=8)
+    assert sorted(r1["written"]) == list(range(8))
+
+    idx = read_partitioned(out_dir).to_pandas()
+    # term-locality: every term lives in exactly one partition dir
+    assert (idx.groupby("term")["term_hash"].nunique() == 1).all()
+    got = idx.groupby("term").agg(df=("doc_id", "nunique"),
+                                  total_tf=("tf", "sum"))
+    toks = df["text"].str.split().explode()
+    want_tf = toks.value_counts()
+    for t, row in got.iterrows():
+        assert row["total_tf"] == want_tf[t]
+
+    # resumability: nuke one partition, rerun writes only that one
+    shutil.rmtree(f"{out_dir}/part=3")
+    r2 = build_inverted_index(ds, out_dir, num_partitions=8)
+    assert r2["written"] == [3] and sorted(r2["skipped"]) == [
+        0, 1, 2, 4, 5, 6, 7]
+    idx2 = read_partitioned(out_dir).to_pandas()
+    pd.testing.assert_frame_equal(
+        idx.sort_values(["term", "doc_id"]).reset_index(drop=True),
+        idx2.sort_values(["term", "doc_id"]).reset_index(drop=True),
+    )
