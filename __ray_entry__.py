@@ -477,6 +477,18 @@ def q_ngram_jaccard(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_window_distinct(sf_dir: str):
+    """Exact distinct users per (event_type, 1-hour tumbling window)."""
+    from prase_ray.stages.windows import tumbling_distinct
+
+    out = tumbling_distinct(
+        _read(sf_dir, "events"), 3600, key="event_type",
+        distinct_col="user_id",
+    ).to_pandas()
+    return out.sort_values(["event_type", "window_start"]).reset_index(
+        drop=True)
+
+
 def q_funnel(sf_dir: str):
     """view → click → purchase funnel per user: greedy-earliest chain
     with strict ts ordering; int64 epoch-µs outputs (−1 = incomplete)
@@ -1825,6 +1837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "allpairs_jaccard": q_allpairs_jaccard,
         "trailing_window": q_trailing_window,
         "funnel": q_funnel,
+        "window_distinct": q_window_distinct,
         "embedding_neardup": q_embedding_neardup,
         "cosine_pairs_exact": q_cosine_pairs_exact,
         "media_pixel_stats": q_media_pixel_stats,
@@ -2938,6 +2951,15 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.4
+        """,
+        # exact distinct per tumbling window (the dedup-first shape)
+        "window_distinct": """
+            SELECT event_type,
+                   CAST((epoch_us(ts) // 1000000) // 3600 * 3600
+                        AS BIGINT) AS window_start,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # greedy-earliest funnel: each stage is MIN(ts) strictly after
         # the previous stage's pick — restated as chained groupby-min

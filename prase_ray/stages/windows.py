@@ -406,3 +406,51 @@ def funnel_steps(
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+def tumbling_distinct(
+    events: ray.data.Dataset,
+    window_s: int,
+    *,
+    key: str = "event_type",
+    distinct_col: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Exact distinct-``distinct_col`` count per (key, tumbling window)
+    → Dataset(key, window_start, n_distinct).  The missing aggregate in
+    the tumbling family (sum/min/max collapse per batch; distinct
+    can't) — so the shape is the X1 dedup idiom: per-batch distinct
+    (key, window, value) rows first, ONE part-hash shuffle of the
+    deduped slim relation, per-partition global dedup + count.  The
+    exchange is bounded by distinct-triples-per-batch, never raw
+    events; for sketch-bounded exchange at extreme cardinality compose
+    group_distinct_hll with the window column instead."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        epoch = _epoch_us(b[ts_col]) // 1_000_000
+        d = pd.DataFrame(
+            {
+                key: b[key],
+                "window_start": (epoch // window_s) * window_s,
+                "v": b[distinct_col],
+            }
+        ).drop_duplicates()
+        h = (
+            pd.util.hash_array(d[key].to_numpy())
+            ^ pd.util.hash_array(d["window_start"].to_numpy(np.uint64))
+        )
+        d.insert(0, "part", (h % np.uint64(num_partitions)).astype(np.int32))
+        return d
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[[key, "window_start", "v"]].drop_duplicates()
+        out = u.groupby([key, "window_start"], as_index=False).size()
+        out["n_distinct"] = out.pop("size").astype(np.int64)
+        return out
+
+    return (
+        events.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(count_part, batch_format="pandas")
+    )

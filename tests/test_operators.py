@@ -2025,3 +2025,47 @@ def test_build_inverted_index_resume(ray_session, tmp_path):
         idx.sort_values(["term", "doc_id"]).reset_index(drop=True),
         idx2.sort_values(["term", "doc_id"]).reset_index(drop=True),
     )
+
+
+def test_tumbling_distinct(ray_session):
+    """Exact windowed distinct vs pandas reference; repeated users in a
+    window count once; layout invariance."""
+    from prase_ray.stages.windows import tumbling_distinct
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                rng.integers(0, 3_000_000_000, n), unit="us"
+            ),
+            "event_type": rng.choice(["a", "b"], n),
+            "user_id": rng.integers(0, 20, n).astype(np.int64),
+        }
+    )
+    w = 600
+    epoch = df["ts"].astype("datetime64[us]").astype("int64") // 1_000_000
+    ref = (
+        df.assign(window_start=(epoch // w) * w)
+        .groupby(["event_type", "window_start"])["user_id"]
+        .nunique()
+        .rename("n_distinct")
+        .reset_index()
+        .astype({"window_start": np.int64, "n_distinct": np.int64})
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(
+            [df.iloc[i::nblocks].reset_index(drop=True) for i in range(nblocks)]
+        )
+        return (
+            tumbling_distinct(ds, w)
+            .to_pandas()
+            .sort_values(["event_type", "window_start"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(1), ref)
+    pd.testing.assert_frame_equal(run(6), ref)
