@@ -220,6 +220,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("group_centroids", lambda: consume(em.q_group_centroids(sf_dir)))
     timed("reservoir_sample", lambda: consume(em.q_reservoir_sample(sf_dir)))
     timed("cooccur_lift", lambda: consume(em.q_cooccur_lift(sf_dir)))
+    timed("window_distinct", lambda: consume(em.q_window_distinct(sf_dir)))
+    timed("inverted_index", lambda: consume(em.q_inverted_index(sf_dir)))
     timed("unigram_surprise", lambda: consume(em.q_unigram_surprise(sf_dir)))
     timed("embedding_gram", lambda: consume(em.q_embedding_gram(sf_dir)))
     # at sf0.1 both graphs cross the 1M-edge gate → these time the
