@@ -1655,6 +1655,21 @@ def q_random_projection(sf_dir: str):
     return out.sort_values(["vec_id", "comp"]).reset_index(drop=True)
 
 
+def q_classifier_scores(sf_dir: str):
+    """Batched linear-model inference (quality/topic classifier) over
+    the embedding column: opaque int64 weights broadcast ONCE via
+    ray.put, per-batch fixed-point matmul, argmax class (ties to
+    lowest id) + confidence margin — hash-exact because every logit is
+    int64.  The fixture model comes from classifier_params(seed=11) so
+    the oracle can rebuild the same weights in SQL; the ENGINE treats
+    them as opaque arrays (the real-model shape)."""
+    from prase_ray.stages.linalg import classifier_params, classifier_scores
+
+    W, b = classifier_params(4, 64, 11)
+    out = classifier_scores(_read(sf_dir, "embeddings"), W, b).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_pagerank(sf_dir: str):
     """Fixed-point integer PageRank (3 iterations) over the
     supplier↔part bipartite graph derived from lineitem — the
@@ -1890,6 +1905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": q_domain_stats,
         "embedding_gram": q_embedding_gram,
         "random_projection": q_random_projection,
+        "classifier_scores": q_classifier_scores,
         "group_centroids": q_group_centroids,
         "reservoir_sample": q_reservoir_sample,
         "cooccur_lift": q_cooccur_lift,
@@ -3534,6 +3550,52 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(SUM(q.v * r.sign) AS BIGINT) AS val
             FROM q JOIN r USING (dim)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # linear classifier inference restated: the fixture weights are
+        # rebuilt in SQL from classifier_params' splitmix keys
+        # ((cls+1)·65 + dim ^ 11; dim 0 = bias, 1..64 = weights, values
+        # uniform in [-1024, 1024] via % 2049); logits are pure int64
+        # sums so argmax/margin are hash-exact.  Ties → lowest class id
+        # (ORDER BY logit DESC, cls ASC == numpy first-max argmax).
+        "classifier_scores": f"""
+            WITH q AS (
+                SELECT vec_id,
+                       unnest(range(1, len(embedding)+1)) AS dim,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                  * {_GRAM_SCALE}) AS BIGINT) AS v
+                FROM embeddings
+            ), keys AS (
+                SELECT c.range AS comp, d.range AS dim,
+                       xor(CAST(c.range * 65 + d.range AS HUGEINT),
+                           11::HUGEINT) AS ky
+                FROM range(1, 5) c, range(0, 65) d
+            ), w AS (
+                SELECT comp - 1 AS cls, dim,
+                       CAST(({_sql_splitmix('ky')}) % 2049 AS BIGINT)
+                           - 1024 AS wv
+                FROM keys
+            ), lg AS (
+                SELECT q.vec_id, w.cls,
+                       CAST(SUM(q.v * w.wv) AS BIGINT) AS dot
+                FROM q JOIN w USING (dim) GROUP BY 1, 2
+            ), lb AS (
+                SELECT lg.vec_id, lg.cls,
+                       lg.dot + CAST({_GRAM_SCALE} AS BIGINT) * b.wv
+                           AS logit
+                FROM lg JOIN w b ON b.cls = lg.cls AND b.dim = 0
+            ), rk AS (
+                SELECT vec_id, cls, logit,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY logit DESC, cls ASC)
+                           AS rn
+                FROM lb
+            )
+            SELECT a.vec_id, CAST(a.cls AS BIGINT) AS pred_class,
+                   CAST(a.logit AS BIGINT) AS logit_fp,
+                   CAST(a.logit - b.logit AS BIGINT) AS margin_fp
+            FROM rk a JOIN rk b ON b.vec_id = a.vec_id AND b.rn = 2
+            WHERE a.rn = 1
+            ORDER BY 1
         """,
         # Count-Min sketch restated: counters are grouped sums over the
         # same splitmix bucket keys; estimate = MIN over depths.  All

@@ -198,3 +198,97 @@ def group_centroids(
         .groupby(["group", "dim"])
         .map_groups(combine, batch_format="pandas")
     )
+
+
+_MODEL_CACHE: dict = {}
+
+
+def classifier_params(
+    n_classes: int, d: int, seed: int, *, weight_range: int = 1024
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic int64 linear-model fixture: W[k, d] and bias[k]
+    with entries uniform in [-weight_range, weight_range], derived from
+    splitmix64 over the flat key (class+1)·(d+1) + dim (dim 0 = bias,
+    dims 1..d = weights) XOR seed — collision-free and restatable in
+    SQL.  Stands in for a TRAINED quality/topic classifier (fastText /
+    logreg over embeddings): the engine treats the returned arrays as
+    opaque data; only the test fixture and the oracle know the seed."""
+    from prase_ray.functions.hashing import splitmix64
+
+    comp = np.repeat(np.arange(1, n_classes + 1, dtype=np.uint64), d + 1)
+    dim = np.tile(np.arange(0, d + 1, dtype=np.uint64), n_classes)
+    h = splitmix64((comp * np.uint64(d + 1) + dim) ^ np.uint64(seed))
+    vals = (h % np.uint64(2 * weight_range + 1)).astype(np.int64)
+    M = (vals - weight_range).reshape(n_classes, d + 1)
+    return np.ascontiguousarray(M[:, 1:]), np.ascontiguousarray(M[:, 0])
+
+
+def classifier_scores(
+    embs: ray.data.Dataset,
+    weights: np.ndarray,
+    bias: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = GRAM_SCALE,
+) -> ray.data.Dataset:
+    """Batched linear-model inference over the embedding column — the
+    model-scoring stage of a training-data pipeline (quality / topic /
+    toxicity classifier applied to every document).  Output one row per
+    input: (id, pred_class, logit_fp, margin_fp) where
+    ``logit_fp[k] = floor(x·scale) · W[k] + bias[k]·scale`` (all
+    int64), ``pred_class`` = argmax with ties to the LOWEST class id,
+    and ``margin_fp`` = best logit − best logit among other classes
+    (0 on a tie) — the standard low-confidence routing signal.
+
+    Scale shape: the weights are OPAQUE MODEL DATA (a real classifier's
+    parameters can't be rebuilt from a seed), so they ship ONCE via
+    ray.put and are worker-cached across batches — zero per-batch
+    serialization, zero shuffle; the whole stage is embarrassingly
+    parallel.  Fixed-point int64 logits make the scores themselves
+    partition-order invariant and hash-exact in SQL.
+
+    Reference has no model stage; closest analog is the precomputed
+    embedding similarity scorer (se_pro/PRASEMap loads ent_embeds and
+    scores pairs) — this is the same broadcast-parameters shape applied
+    per row instead of per pair."""
+    k = weights.shape[0]
+    if bias.shape != (k,):
+        raise ValueError("bias must be (n_classes,)")
+    iscale = int(scale)
+    ref = ray.put(
+        (
+            np.ascontiguousarray(weights.T.astype(np.int64)),
+            bias.astype(np.int64) * iscale,
+        )
+    )
+
+    def score(b: pd.DataFrame, *, ref) -> pd.DataFrame:
+        key = ref.hex()
+        cached = _MODEL_CACHE.get(key)
+        if cached is None:
+            _MODEL_CACHE.clear()
+            cached = _MODEL_CACHE[key] = ray.get(ref)
+        Wt, b_fp = cached
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        Q = np.floor(X * scale).astype(np.int64)
+        L = Q @ Wt + b_fp  # (n, k) int64
+        best = L.argmax(axis=1)  # first max → ties to lowest class
+        n = len(L)
+        rows = np.arange(n)
+        logit = L[rows, best]
+        if L.shape[1] > 1:
+            L[rows, best] = np.iinfo(np.int64).min
+            margin = logit - L.max(axis=1)
+        else:
+            margin = np.zeros(n, np.int64)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                "pred_class": best.astype(np.int64),
+                "logit_fp": logit,
+                "margin_fp": margin,
+            }
+        )
+
+    return embs.map_batches(score, batch_format="pandas", fn_kwargs={"ref": ref})

@@ -2069,3 +2069,54 @@ def test_tumbling_distinct(ray_session):
 
     pd.testing.assert_frame_equal(run(1), ref)
     pd.testing.assert_frame_equal(run(6), ref)
+
+
+def test_classifier_scores(ray_session):
+    """Linear-model inference: logits equal the closed-form int64
+    matmul, argmax ties break to the lowest class id with margin 0,
+    and the output is partition-layout invariant."""
+    from prase_ray.stages.linalg import classifier_params, classifier_scores
+
+    rng = np.random.default_rng(31)
+    n, d, k = 400, 16, 3
+    V = rng.normal(0.0, 1.0, (n, d)).astype(np.float32)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": [v for v in V]}
+    )
+    W, b = classifier_params(k, d, 11)
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(
+            [df.iloc[i::nblocks].reset_index(drop=True) for i in range(nblocks)]
+        )
+        return (
+            classifier_scores(ds, W, b)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+
+    out = run(1)
+    Q = np.floor(V.astype(np.float64) * 1024.0).astype(np.int64)
+    L = Q @ W.T + b * 1024  # (n, k) closed form
+    best = L.argmax(1)
+    np.testing.assert_array_equal(out["pred_class"].to_numpy(), best)
+    np.testing.assert_array_equal(
+        out["logit_fp"].to_numpy(), L[np.arange(n), best]
+    )
+    L2 = L.copy()
+    L2[np.arange(n), best] = np.iinfo(np.int64).min
+    np.testing.assert_array_equal(
+        out["margin_fp"].to_numpy(), L[np.arange(n), best] - L2.max(1)
+    )
+    pd.testing.assert_frame_equal(out, run(5))
+
+    # tie: duplicate weight rows → identical logits for classes 1 and 2
+    # → argmax must pick class 1 (lowest) with margin exactly 0
+    Wt = np.vstack([W[0], W[1], W[1]])
+    bt = np.array([b[0], b[1], b[1]], np.int64)
+    tied = (
+        classifier_scores(ray.data.from_pandas(df), Wt, bt)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    m12 = tied["pred_class"].to_numpy() != 0
+    assert (tied.loc[m12, "pred_class"] == 1).all()
+    assert (tied.loc[m12, "margin_fp"] == 0).all()
