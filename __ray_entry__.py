@@ -1105,6 +1105,22 @@ def q_web_extract(sf_dir: str):
     return tri
 
 
+def q_link_graph(sf_dir: str):
+    """Web-graph anchor aggregation: <a href> links extracted from the
+    synthetic pages' html (Arrow RE2, split-then-anchored-extract),
+    hrefs canonicalized (X43 chain strips the planted tracking params),
+    then per canonical target URL: in-link count + dominant anchor text
+    (ties to smallest anchor) — the entity-alias / authority signal of
+    a web-KG linker.  Integer counts → hash-exact."""
+    from prase_ray.sources.webpages import synth_web_pages
+    from prase_ray.stages.extract import extract_links
+    from prase_ray.stages.urls import link_graph_stats
+
+    pages = synth_web_pages(n_pages=200, n_entities=60, seed=42)
+    out = link_graph_stats(extract_links(pages)).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship: synthetic web pages → extraction → two KGs → PRASE
     alignment → canonical node table (Dataset)."""
@@ -1882,6 +1898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prase_align": q_prase_align,
         "prase_align_dspath": q_prase_align_dspath,
         "web_extract": q_web_extract,
+        "link_graph": q_link_graph,
         "dup_ngrams": q_dup_ngrams,
         "decontaminate": q_decontaminate,
         "interval_join": q_interval_join,
@@ -2242,6 +2259,7 @@ def oracle_sql() -> dict[str, str]:
     # design — both checked against the same SQL
     d["triangles_distributed"] = d["triangle_counts"]
     d["web_extract"] = _web_extract_oracle_sql()
+    d["link_graph"] = _link_graph_oracle_sql()
     d["dup_ngrams"] = _sql_dup_ngrams()
     d["decontaminate"] = _sql_decontaminate()
     d["interval_join"] = _sql_interval_join()
@@ -2484,6 +2502,50 @@ def _web_extract_oracle_sql() -> str:
         SELECT url, subj, pred, obj,
                pred IN ({attrs}) AS obj_is_literal
         FROM tri
+    """
+
+
+def _link_graph_oracle_sql() -> str:
+    """Oracle for q_link_graph: the same deterministic pages are
+    synthesized here with the pure-pandas generator (n_pages_total=200
+    matching synth_web_pages(n_pages=200)) and dumped with html decoded
+    to string; DuckDB then re-extracts every <a href> with its own RE2
+    regexp_extract_all (independent of the engine's
+    split-then-anchored-extract — equivalent because the href group
+    excludes '\"' and the anchor group excludes '<', so no match spans
+    a '<a href=\"' boundary), canonicalizes via the SAME rendered X43
+    chain, and aggregates with window functions."""
+    import pyarrow.parquet as _pq
+
+    from prase_ray.sources.webpages import _page_rows
+    from prase_ray.stages.urls import url_canon_sql
+
+    path = "/tmp/prase_ray_oracle_link_pages.parquet"
+    df = _page_rows(0, 200, 60, 8, 42, 200)[["url", "html"]]
+    df = df.assign(html_str=df.pop("html").str.decode("utf-8"))
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    pat = '<a href="([^"]*)">([^<]*)</a>'
+    canon = url_canon_sql("href")
+    return f"""
+        WITH l AS (
+            SELECT unnest(regexp_extract_all(html_str, '{pat}', 1)) AS href,
+                   unnest(regexp_extract_all(html_str, '{pat}', 2)) AS anchor
+            FROM read_parquet('{path}')
+        ), c AS (
+            SELECT {canon} AS url, anchor,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM l GROUP BY 1, 2
+        ), r AS (
+            SELECT url, anchor, cnt,
+                   SUM(cnt) OVER (PARTITION BY url) AS in_links,
+                   ROW_NUMBER() OVER (PARTITION BY url
+                                      ORDER BY cnt DESC, anchor ASC) AS rn
+            FROM c
+        )
+        SELECT url, CAST(in_links AS BIGINT) AS in_links,
+               anchor AS top_anchor,
+               CAST(cnt AS BIGINT) AS top_anchor_count
+        FROM r WHERE rn = 1 ORDER BY 1
     """
 
 

@@ -42,8 +42,16 @@ def _hash_field(i: np.ndarray, j: int, field: int, seed: int) -> np.ndarray:
     return splitmix64(x)
 
 
+N_LINKS_PER_PAGE = 3
+
+
 def _page_rows(
-    start: int, count: int, n_entities: int, sents_per_page: int, seed: int
+    start: int,
+    count: int,
+    n_entities: int,
+    sents_per_page: int,
+    seed: int,
+    n_pages_total: int = 1000,
 ) -> pd.DataFrame:
     i = np.arange(start, start + count, dtype=np.int64)
     side = (i % 2).astype(np.int64)
@@ -80,12 +88,47 @@ def _page_rows(
     for s in sent_cols[1:]:
         text = text + " " + s
 
+    # deterministic outbound links AFTER the </p> content region (the
+    # byte-exact text-extraction target is untouched): each page links
+    # to N_LINKS_PER_PAGE other pages; the anchor text names an entity
+    # of the TARGET page's domain (the web-KG alias signal), and ~1/4
+    # of hrefs carry a tracking param the canonicalizer must strip
+    link_cols = []
+    for j in range(N_LINKS_PER_PAGE):
+        t = (
+            _hash_field(i, j, 7, seed) % np.uint64(max(n_pages_total, 1))
+        ).astype(np.int64)
+        tdom = np.where(t % 2 == 0, "kg1.example.com", "kg2.example.com")
+        tpre = np.where(t % 2 == 0, "K1_E", "K2_E")
+        aent = (_hash_field(i, j, 8, seed) % np.uint64(n_entities)).astype(
+            np.int64
+        )
+        anchor = pd.Series(tpre, dtype=object) + pd.Series(aent).astype(str)
+        track = np.where(
+            _hash_field(i, j, 9, seed) % np.uint64(4) == 0,
+            "?utm_source=feed",
+            "",
+        )
+        link_cols.append(
+            '<a href="https://'
+            + pd.Series(tdom, dtype=object)
+            + "/page/"
+            + pd.Series(t).astype(str)
+            + pd.Series(track, dtype=object)
+            + '">'
+            + anchor
+            + "</a>"
+        )
+    links = link_cols[0]
+    for c in link_cols[1:]:
+        links = links + c
+
     url = "https://" + pd.Series(domain, dtype=object) + "/page/" + pd.Series(i).astype(str)
     istr = pd.Series(i).astype(str)
     html = (
         "<html><head><title>Page " + istr + "</title></head>"
         "<body><nav>boilerplate nav " + istr + "</nav><p>" + text
-        + "</p><footer>footer " + istr + "</footer></body></html>"
+        + "</p>" + links + "<footer>footer " + istr + "</footer></body></html>"
     )
     return pd.DataFrame(
         {
@@ -101,9 +144,14 @@ def _page_rows(
 
 @ray.remote
 def _gen_shard(
-    start: int, count: int, n_entities: int, sents_per_page: int, seed: int
+    start: int,
+    count: int,
+    n_entities: int,
+    sents_per_page: int,
+    seed: int,
+    n_pages_total: int = 1000,
 ) -> pa.Table:
-    df = _page_rows(start, count, n_entities, sents_per_page, seed)
+    df = _page_rows(start, count, n_entities, sents_per_page, seed, n_pages_total)
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -125,7 +173,8 @@ def synth_web_pages(
     starts = list(range(0, n_pages, shard))
     refs = [
         _gen_shard.remote(
-            s, min(shard, n_pages - s), n_entities, sents_per_page, seed
+            s, min(shard, n_pages - s), n_entities, sents_per_page, seed,
+            n_pages,
         )
         for s in starts
     ]

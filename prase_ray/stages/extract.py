@@ -186,3 +186,75 @@ def extract_triples(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+
+# ---------------------------------------------------------------------------
+# link extraction (web-graph / anchor-text stage)
+# ---------------------------------------------------------------------------
+
+_LINK_SPLIT = b'<a href="'
+# anchored to the segment start: after splitting on the literal
+# '<a href="', a segment matches iff the full pattern
+# '<a href="([^"]*)">([^<]*)</a>' matched at that position in the raw
+# html — the href group can't contain '"' and the anchor group can't
+# contain '<', so no match can span a split boundary (findall
+# equivalence, same argument as the SVO extraction above)
+_LINK_PATTERN = rb'^(?P<href>[^"]*)">(?P<anchor>[^<]*)</a>'
+
+_EMPTY_LINKS = pa.schema(
+    [
+        ("src_url", pa.string()),
+        ("href", pa.string()),
+        ("anchor", pa.string()),
+    ]
+).empty_table()
+
+
+def _links_batch(batch: pa.Table) -> pa.Table:
+    """html:binary → one row per <a href="...">anchor</a> occurrence:
+    (src_url, href, anchor).  Pure Arrow RE2 on the binary payload —
+    zero Python per row, stateless, embarrassingly parallel."""
+    html = batch["html"]
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    html = pc.fill_null(html, b"")
+    segs = pc.split_pattern(html, pattern=_LINK_SPLIT)
+    flat = pc.list_flatten(segs)
+    if len(flat) == 0:
+        return _EMPTY_LINKS
+    parents = pc.list_parent_indices(segs)
+    m = pc.extract_regex(flat, pattern=_LINK_PATTERN)
+    valid_idx = pa.array(
+        np.nonzero(pc.is_valid(m).to_numpy(zero_copy_only=False))[0]
+    )
+    m = m.take(valid_idx)
+    parents = parents.take(valid_idx)
+
+    def _s(col: pa.Array) -> pa.Array:
+        try:
+            return col.cast(pa.string())
+        except pa.ArrowInvalid:
+            return pa.array(
+                [v.decode("utf-8", "replace") for v in col.to_pylist()],
+                type=pa.string(),
+            )
+
+    urls = batch["url"]
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    return pa.table(
+        {
+            "src_url": urls.take(parents),
+            "href": _s(pc.struct_field(m, "href")),
+            "anchor": _s(pc.struct_field(m, "anchor")),
+        }
+    )
+
+
+def extract_links(pages: ray.data.Dataset, *, batch_size: int = 1024) -> ray.data.Dataset:
+    """Pages (url, html) → link rows (src_url, href, anchor) — the
+    web-graph edge stream feeding anchor-text entity aliasing and
+    in-link authority stats (stages/urls.py link_graph_stats)."""
+    return pages.map_batches(
+        _links_batch, batch_format="pyarrow", batch_size=batch_size
+    )

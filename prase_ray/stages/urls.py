@@ -230,3 +230,70 @@ def domain_stats(
         .groupby("domain")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+# link_graph_stats
+# --------------------------------------------------------------------------
+
+def link_graph_stats(
+    links: ray.data.Dataset,
+    *,
+    href_col: str = "href",
+    anchor_col: str = "anchor",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Web-graph in-link aggregation over an extracted link stream
+    (stages/extract.py extract_links): canonicalize the href (the X43
+    chain, so crawl variants of one page collapse), then per canonical
+    target URL report ``in_links`` (total in-edges) and the dominant
+    anchor text (``top_anchor`` / ``top_anchor_count``, ties to the
+    lexicographically smallest anchor) — the entity-alias + authority
+    signal a web-KG linker consumes (reference has no web stage; the
+    KG analog is its name-based seeding, PRASE.py load_ent_links).
+
+    Scale shape: per-batch partial counts on (canon target, anchor)
+    FIRST — the exchange carries distinct (url, anchor) pairs per
+    batch, never raw edges — then ONE part-hash shuffle; each partition
+    resolves all its urls with vectorized pandas groupbys (no per-group
+    Python).  Integer counts + deterministic ties → hash-exact."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        canon = canonicalize_url_array(t[href_col])
+        b = pd.DataFrame(
+            {
+                "url": canon.to_pandas(),
+                "anchor": t[anchor_col].to_pandas(),
+            }
+        )
+        g = b.groupby(["url", "anchor"], as_index=False).size()
+        g["cnt"] = g.pop("size").astype(np.int64)
+        g["part"] = (
+            pd.util.hash_array(g["url"].to_numpy(object)).astype(np.int64)
+            % num_partitions
+        )
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["url", "anchor"], as_index=False)["cnt"].sum()
+        tot = c.groupby("url", as_index=False)["cnt"].sum().rename(
+            columns={"cnt": "in_links"}
+        )
+        top = (
+            c.sort_values(["url", "cnt", "anchor"],
+                          ascending=[True, False, True])
+            .groupby("url", as_index=False)
+            .first()
+            .rename(columns={"anchor": "top_anchor",
+                             "cnt": "top_anchor_count"})
+        )
+        out = tot.merge(top, on="url")
+        out["in_links"] = out["in_links"].astype(np.int64)
+        out["top_anchor_count"] = out["top_anchor_count"].astype(np.int64)
+        return out[["url", "in_links", "top_anchor", "top_anchor_count"]]
+
+    return (
+        links.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(final, batch_format="pandas")
+    )

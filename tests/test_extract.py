@@ -154,3 +154,74 @@ def test_web_to_kg_dataset_state_canonical_graph(ray_session, tmp_path):
         save_results(pair_b, str(tmp_path / "res.tsv"))
     with pytest.raises(RuntimeError, match="save_params_ds"):
         save_params(pair_b, str(tmp_path / "params.tsv"))
+
+
+def test_extract_links_closed_form(pages):
+    """Every synthesized <a href> appears as one (src_url, href, anchor)
+    row; findall equivalence against python re on the raw html."""
+    import re
+
+    from prase_ray.stages.extract import extract_links
+
+    got = extract_links(pages).to_pandas()
+    raw = pages.to_pandas()
+    want = []
+    for _, row in raw.iterrows():
+        for href, anchor in re.findall(
+            r'<a href="([^"]*)">([^<]*)</a>', row["html"].decode()
+        ):
+            want.append((row["url"], href, anchor))
+    assert sorted(map(tuple, got.to_numpy())) == sorted(want)
+    # each page emits exactly N_LINKS_PER_PAGE links
+    from prase_ray.sources.webpages import N_LINKS_PER_PAGE
+
+    assert len(got) == len(raw) * N_LINKS_PER_PAGE
+    # planted tracking params survive extraction (canonicalization is
+    # downstream, not the extractor's job)
+    assert got["href"].str.contains(r"\?utm_source=feed").any()
+
+
+def test_link_graph_stats(ray_session):
+    """Canonicalized in-link counts + dominant anchor: equals a pandas
+    reference, tracking params collapse into the clean URL, ties break
+    to the smallest anchor, and output is partition-layout invariant."""
+    import ray
+
+    from prase_ray.stages.urls import link_graph_stats
+
+    links = pd.DataFrame(
+        {
+            "src_url": [f"https://s.com/{i}" for i in range(8)],
+            "href": [
+                "https://t.com/a",
+                "https://t.com/a?utm_source=feed",  # same canon target
+                "HTTPS://T.com/a",  # scheme/host case-collapse
+                "https://t.com/b",
+                "https://t.com/b",
+                "https://t.com/b",
+                "https://t.com/c",
+                "https://t.com/c",
+            ],
+            "anchor": ["x", "y", "y", "m", "m", "n", "zz", "aa"],
+        }
+    )
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(
+            [links.iloc[i::nblocks].reset_index(drop=True) for i in range(nblocks)]
+        )
+        return (
+            link_graph_stats(ds)
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        )
+
+    out = run(1)
+    by = out.set_index("url")
+    assert by.loc["https://t.com/a", "in_links"] == 3
+    assert by.loc["https://t.com/a", "top_anchor"] == "y"  # y:2 beats x:1
+    assert by.loc["https://t.com/a", "top_anchor_count"] == 2
+    assert by.loc["https://t.com/b", "top_anchor"] == "m"  # m:2, n:1
+    # 1-1 tie on page c → lexicographically smallest anchor wins
+    assert by.loc["https://t.com/c", "top_anchor"] == "aa"
+    assert by.loc["https://t.com/c", "top_anchor_count"] == 1
+    pd.testing.assert_frame_equal(out, run(4))
