@@ -21,8 +21,10 @@ Resume contract:
 """
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import time
 
 import numpy as np
 import pandas as pd
@@ -54,6 +56,7 @@ def write_partitioned(
     *,
     num_partitions: int = 64,
     skip_finished: bool = True,
+    lineage: dict | None = None,
 ) -> dict:
     """Write ``ds`` as ``out_dir/part=K/data.parquet`` with
     K = splitmix64(key) % num_partitions.  Returns
@@ -62,7 +65,19 @@ def write_partitioned(
     One writer task per partition (groupby(part).map_groups), each
     committing via tmp-dir rename; partition count bounds both the
     shuffle fan-in and the file count — size it so a partition is a
-    few hundred MB at the target scale."""
+    few hundred MB at the target scale.
+
+    Per-partition LINEAGE + METRICS (the resume audit trail): every
+    partition commits a ``_meta.json`` beside its data — rows, bytes,
+    key min/max, write wall-time, and the caller-supplied ``lineage``
+    descriptor (stage name, input fingerprint, config hash...).  The
+    meta file is written INSIDE the tmp dir, so it becomes visible
+    atomically with the data at the rename; a partition can never be
+    committed without its metrics.  Each run also appends one line to
+    ``out_dir/_runs.jsonl`` (written/skipped/rows + lineage), giving
+    the job-level history a 256-node operator reads first when a run
+    is re-submitted.  ``read_partition_metrics`` returns the per-
+    partition rows as a DataFrame."""
     os.makedirs(out_dir, exist_ok=True)
     finished = _finished_parts(out_dir) if skip_finished else set()
     if not skip_finished:
@@ -83,19 +98,38 @@ def write_partitioned(
             b = b[~np.isin(part.astype(np.int64), done)]
         return b
 
+    lin = dict(lineage or {})
+
     def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.time()
         part = int(g["__part"].iloc[0])
         tmp = os.path.join(out_dir, f"part={part}.tmp")
         final = os.path.join(out_dir, f"part={part}")
         if os.path.exists(tmp):
             shutil.rmtree(tmp)  # crashed earlier attempt
         os.makedirs(tmp)
+        data_path = os.path.join(tmp, "data.parquet")
         pq.write_table(
             pa.Table.from_pandas(
                 g.drop(columns=["__part"]), preserve_index=False
             ),
-            os.path.join(tmp, "data.parquet"),
+            data_path,
         )
+        keys = g[key_col]
+        kmin, kmax = keys.min(), keys.max()
+        cast = int if pd.api.types.is_integer_dtype(keys) else str
+        meta = {
+            "part": part,
+            "rows": int(len(g)),
+            "bytes": int(os.path.getsize(data_path)),
+            "key_col": key_col,
+            "key_min": cast(kmin),
+            "key_max": cast(kmax),
+            "write_sec": round(time.time() - t0, 4),
+            "lineage": lin,
+        }
+        with open(os.path.join(tmp, "_meta.json"), "w") as f:
+            json.dump(meta, f)
         os.rename(tmp, final)  # commit point
         return pd.DataFrame({"part": [part], "rows": [len(g)]})
 
@@ -106,11 +140,14 @@ def write_partitioned(
         .to_pandas()
     )
     written = sorted(int(p) for p in summaries.get("part", []))
-    return {
+    summary = {
         "written": written,
         "skipped": sorted(finished),
         "rows_written": int(summaries["rows"].sum()) if len(summaries) else 0,
     }
+    with open(os.path.join(out_dir, "_runs.jsonl"), "a") as f:
+        f.write(json.dumps({**summary, "lineage": lin}) + "\n")
+    return summary
 
 
 def read_partitioned(out_dir: str) -> ray.data.Dataset:
@@ -124,3 +161,15 @@ def read_partitioned(out_dir: str) -> ray.data.Dataset:
     # partitioning=None: the part=K path segment is a COMMIT marker,
     # not a hive column — don't resurface it in the schema
     return ray.data.read_parquet(files, partitioning=None)
+
+
+def read_partition_metrics(out_dir: str) -> pd.DataFrame:
+    """Per-partition lineage + metrics rows (one per committed
+    ``part=K/_meta.json``) — what a monitoring / resume audit reads."""
+    rows = []
+    for k in sorted(_finished_parts(out_dir)):
+        p = os.path.join(out_dir, f"part={k}", "_meta.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                rows.append(json.load(f))
+    return pd.DataFrame(rows)

@@ -467,3 +467,66 @@ def test_write_partitioned_resume(ray_session, tmp_path):
     assert s3["skipped"] == [] and s3["rows_written"] == 500
     back3 = read_partitioned(out).to_pandas().sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(back3, df)
+
+
+def test_write_partitioned_lineage_metrics(ray_session, tmp_path):
+    """Per-partition lineage + metrics: every committed partition
+    carries a _meta.json (atomic with the data), resume preserves the
+    untouched partitions' metadata, and _runs.jsonl logs one line per
+    run with the caller's lineage descriptor."""
+    import json
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from prase_ray.io.sink import (
+        read_partition_metrics,
+        write_partitioned,
+    )
+
+    df = pd.DataFrame(
+        {"k": np.arange(300, dtype=np.int64), "v": np.arange(300) * 3}
+    )
+    out = str(tmp_path / "sink")
+    ds = ray.data.from_pandas(df).repartition(3)
+    lin = {"stage": "unit", "input_fingerprint": "fixture-300", "config": "p8"}
+    write_partitioned(ds, out, "k", num_partitions=8, lineage=lin)
+
+    m = read_partition_metrics(out).sort_values("part").reset_index(drop=True)
+    assert m["rows"].sum() == 300
+    assert (m["bytes"] > 0).all()
+    assert (m["key_col"] == "k").all()
+    assert (m["key_min"] <= m["key_max"]).all()
+    assert all(x == lin for x in m["lineage"])
+    # metrics agree with the data files partition by partition
+    for _, row in m.iterrows():
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(
+            os.path.join(out, f"part={int(row['part'])}", "data.parquet")
+        ).num_rows
+        assert n == row["rows"]
+
+    # resume run: only the victim's meta is rewritten, lineage of the
+    # second run recorded in _runs.jsonl
+    victim = int(m["part"].iloc[0])
+    shutil.rmtree(os.path.join(out, f"part={victim}"))
+    lin2 = {**lin, "attempt": 2}
+    s2 = write_partitioned(ds, out, "k", num_partitions=8, lineage=lin2)
+    assert s2["written"] == [victim]
+    m2 = read_partition_metrics(out)
+    assert m2["rows"].sum() == 300
+    got_lin = m2.set_index("part")["lineage"]
+    assert got_lin[victim] == lin2
+    assert all(v == lin for p, v in got_lin.items() if p != victim)
+
+    runs = [
+        json.loads(line)
+        for line in open(os.path.join(out, "_runs.jsonl"))
+    ]
+    assert len(runs) == 2
+    assert runs[0]["lineage"] == lin and runs[1]["lineage"] == lin2
+    assert runs[1]["written"] == [victim]
