@@ -1730,6 +1730,47 @@ def q_pagerank_distributed(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def _supplier_part_edges(sf_dir: str):
+    """Directed supplier↔part edge stream from lineitem (the shared
+    graph fixture for pagerank / kcore)."""
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["l_suppkey"].to_numpy(np.int64)
+        p = b["l_partkey"].to_numpy(np.int64) + np.int64(10_000_000)
+        return pd.DataFrame(
+            {"src": np.concatenate([s, p]), "dst": np.concatenate([p, s])}
+        )
+
+    return _read(sf_dir, "lineitem").select_columns(
+        ["l_suppkey", "l_partkey"]
+    ).map_batches(to_edges, batch_format="pandas")
+
+
+def q_kcore(sf_dir: str):
+    """k-core (k=27) of the supplier↔part graph by BOUNDED peeling
+    (rounds=3 — the fixed-round contract that makes deletion-based
+    peeling hash-exact in unrolled SQL; fixpoint mode is pytest-pinned
+    against brute force).  Integer degrees → exact."""
+    from prase_ray.stages.graph import kcore
+
+    out = kcore(
+        _supplier_part_edges(sf_dir), k=27, rounds=3, num_partitions=4
+    ).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_kcore_distributed(sf_dir: str):
+    """Same k-core FORCED through the per-round alive-join + grouped
+    degree dataflow — oracle-checks the web-scale path itself."""
+    from prase_ray.stages.graph import kcore
+
+    out = kcore(
+        _supplier_part_edges(sf_dir), k=27, rounds=3, num_partitions=4,
+        force_distributed=True,
+    ).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_triangle_counts(sf_dir: str):
     """Per-node triangle participation in the co-purchase graph (parts
     sharing an order), via degree-ordered wedge enumeration.  The
@@ -1930,6 +1971,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_counts": q_countmin_counts,
         "pagerank": q_pagerank,
         "pagerank_distributed": q_pagerank_distributed,
+        "kcore": q_kcore,
+        "kcore_distributed": q_kcore_distributed,
         "triangle_counts": q_triangle_counts,
         "triangles_distributed": q_triangles_distributed,
     }
@@ -2260,6 +2303,9 @@ def oracle_sql() -> dict[str, str]:
     d["triangles_distributed"] = d["triangle_counts"]
     d["web_extract"] = _web_extract_oracle_sql()
     d["link_graph"] = _link_graph_oracle_sql()
+    d["kcore"] = _kcore_oracle_sql(k=27, rounds=3)
+    # gated and forced-distributed peels are bit-equal by design
+    d["kcore_distributed"] = d["kcore"]
     d["dup_ngrams"] = _sql_dup_ngrams()
     d["decontaminate"] = _sql_decontaminate()
     d["interval_join"] = _sql_interval_join()
@@ -2547,6 +2593,37 @@ def _link_graph_oracle_sql() -> str:
                CAST(cnt AS BIGINT) AS top_anchor_count
         FROM r WHERE rn = 1 ORDER BY 1
     """
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peel over the supplier↔part graph: round r's
+    degrees count only edges whose BOTH endpoints survived round r-1's
+    ``deg >= k`` filter — exactly the engine's fixed-round contract
+    (peeling is deletion-based, so no recursive CTE; bounded unrolling
+    is the hash-exact restatement)."""
+    ctes = [
+        "raw AS (SELECT l_suppkey AS src, l_partkey + 10000000 AS dst"
+        " FROM lineitem)",
+        "e AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM raw"
+        " UNION ALL SELECT dst, src FROM raw) t WHERE src <> dst)",
+        "d0 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg"
+        " FROM e GROUP BY 1)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"a{r} AS (SELECT node FROM d{r-1} WHERE deg >= {k})"
+        )
+        ctes.append(
+            f"d{r} AS (SELECT e.src AS node,"
+            f" CAST(COUNT(*) AS BIGINT) AS deg FROM e"
+            f" JOIN a{r} x ON x.node = e.src"
+            f" JOIN a{r} y ON y.node = e.dst GROUP BY 1)"
+        )
+    return (
+        "WITH " + ",\n             ".join(ctes)
+        + f"\n        SELECT node, deg AS core_deg FROM d{rounds}"
+        f" WHERE deg >= {k} ORDER BY node"
+    )
 
 
 def _pagerank_oracle_sql(iterations: int = 3) -> str:

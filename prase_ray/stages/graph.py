@@ -540,3 +540,153 @@ def cooccur_lift(
         return b
 
     return j.map_batches(score, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (bounded peeling)
+# --------------------------------------------------------------------------
+
+def _kcore_driver(
+    e: pd.DataFrame, k: int, rounds: int | None
+) -> pd.DataFrame:
+    """Vectorized driver twin: identical peeling on dense ids.  ``e``
+    must already be symmetrized + self-loop-free + distinct."""
+    src = e["src"].to_numpy(np.int64)
+    dst = e["dst"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    alive = np.ones(len(nodes), bool)
+    deg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
+    r = 0
+    while rounds is None or r < rounds:
+        new_alive = alive & (deg >= k)
+        if rounds is None and bool((new_alive == alive).all()):
+            break
+        alive = new_alive
+        em = alive[si] & alive[di]
+        deg = np.bincount(si[em], minlength=len(nodes)).astype(np.int64)
+        r += 1
+    keep = alive & (deg >= k)
+    return pd.DataFrame(
+        {"node": nodes[keep], "core_deg": deg[keep]}
+    )
+
+
+def kcore(
+    edges: ray.data.Dataset,
+    *,
+    k: int = 2,
+    rounds: int | None = None,
+    num_partitions: int = 16,
+    min_distributed_edges: int = 1_000_000,
+    force_distributed: bool = False,
+) -> ray.data.Dataset:
+    """k-core of an undirected graph by iterative peeling:
+    Dataset(src, dst) → Dataset(node, core_deg) for the nodes whose
+    degree within the surviving subgraph is ≥ k.  Edges are
+    symmetrized, self-loops dropped, multi-edges collapsed.
+
+    ``rounds=None`` (default) peels to the FIXPOINT — the true k-core
+    (pytest-pinned against a brute-force peel).  ``rounds=R`` runs
+    EXACTLY R peel rounds — the bounded-determinism contract the
+    hash-exact SQL oracle unrolls (peeling is deletion-based, so no
+    recursive CTE restates it; a fixed round count makes engine and
+    SQL bit-equal REGARDLESS of convergence, and extra rounds past the
+    fixpoint are no-ops).  Worst-case rounds to converge is O(n) (a
+    path graph unravels one layer per round); real web/KG graphs
+    converge in a few rounds.
+
+    Scale shape (above the X9-style gate, or ``force_distributed``):
+    per round TWO hash joins (edges ⋈ alive on src, ⋈ alive on dst —
+    each exchange ≤ |E| surviving rows) + the partial-then-part-hash
+    grouped degree count; the alive relation shrinks monotonically.
+    Fixpoint mode adds one driver-side count() per round (a scalar
+    aggregate, not a materialization) to detect an empty peel."""
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    jp = ensure_join_cpu_budget(num_partitions)
+
+    def sym(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {"src": np.concatenate([s, d]), "dst": np.concatenate([d, s])}
+        )
+        return out[out["src"] != out["dst"]]
+
+    if not force_distributed and edges.count() <= min_distributed_edges:
+        pdf = sym(edges.to_pandas()).drop_duplicates()
+        if pdf.empty:
+            return ray.data.from_pandas(
+                pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                              "core_deg": pd.Series([], dtype=np.int64)})
+            )
+        return ray.data.from_pandas(_kcore_driver(pdf, k, rounds))
+
+    e = _as_arrow(
+        _distinct_pairs(
+            edges.map_batches(sym, batch_format="pandas"), "src", "dst", jp
+        )
+    ).materialize()
+
+    def deg_of(sub: ray.data.Dataset) -> ray.data.Dataset:
+        return _as_arrow(
+            _grouped_sum(
+                sub.map_batches(
+                    lambda b: pd.DataFrame(
+                        {"node": b["src"].to_numpy(np.int64),
+                         "one": np.ones(len(b), np.int64)}
+                    ),
+                    batch_format="pandas",
+                ),
+                "node", "one", jp,
+            )
+        )
+
+    deg = deg_of(e).materialize()
+    r = 0
+    while rounds is None or r < rounds:
+        alive = _as_arrow(
+            deg.map_batches(
+                lambda b, k=k: b[b["one"] >= k][["node"]],
+                batch_format="pandas",
+            )
+        ).materialize()
+        n_alive = alive.count()
+        if n_alive == 0:
+            # everything peeled — short-circuit (joining an empty
+            # relation would also trip Ray's hash-join finalize on the
+            # empty partition schema)
+            return ray.data.from_pandas(
+                pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                              "core_deg": pd.Series([], dtype=np.int64)})
+            )
+        if rounds is None and n_alive == deg.count():
+            break  # filter removed nobody → fixpoint
+        deg = deg_of(
+            _as_arrow(
+                e.join(alive, join_type="inner", num_partitions=jp,
+                       on=("src",), right_on=("node",))
+                .join(alive, join_type="inner", num_partitions=jp,
+                      on=("dst",), right_on=("node",))
+                .select_columns(["src", "dst"])
+            ).materialize()
+        ).materialize()
+        r += 1
+
+    return _as_arrow(
+        deg.map_batches(
+            lambda b, k=k: pd.DataFrame(
+                {
+                    "node": b["node"].to_numpy(np.int64)[
+                        b["one"].to_numpy(np.int64) >= k
+                    ],
+                    "core_deg": b["one"].to_numpy(np.int64)[
+                        b["one"].to_numpy(np.int64) >= k
+                    ],
+                }
+            ),
+            batch_format="pandas",
+        )
+    )

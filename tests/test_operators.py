@@ -2120,3 +2120,69 @@ def test_classifier_scores(ray_session):
     m12 = tied["pred_class"].to_numpy() != 0
     assert (tied.loc[m12, "pred_class"] == 1).all()
     assert (tied.loc[m12, "margin_fp"] == 0).all()
+
+
+def test_kcore(ray_session):
+    """k-core peeling: fixpoint mode equals a brute-force peel on a
+    cascading graph (path + clique), bounded-rounds mode equals the
+    driver twin through the FORCED distributed dataflow, fully-peeled
+    graphs come back empty, and output is layout invariant."""
+    from prase_ray.stages.graph import kcore
+
+    # 6-clique (3-core survivors) + a path of 30 nodes hanging off it
+    # (peels one layer per round → exercises multi-round cascade)
+    clique = [(i, j) for i in range(100, 106) for j in range(100, 106) if i < j]
+    path = [(i, i + 1) for i in range(30)] + [(30, 100)]
+    edges = pd.DataFrame(
+        np.array(clique + path, np.int64), columns=["src", "dst"]
+    )
+
+    def brute(e, k):
+        import collections
+
+        adj = collections.defaultdict(set)
+        for s, d in e.to_numpy():
+            if s != d:
+                adj[s].add(d)
+                adj[d].add(s)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj.pop(n):
+                        adj[m].discard(n)
+                    changed = True
+        return {n: len(v) for n, v in adj.items() if v}
+
+    def run(k, nblocks=1, **kw):
+        ds = ray.data.from_pandas(
+            [edges.iloc[i::nblocks].reset_index(drop=True) for i in range(nblocks)]
+        )
+        out = kcore(ds, k=k, **kw).to_pandas()
+        if len(out) == 0:
+            return out
+        return out.sort_values("node").reset_index(drop=True)
+
+    for k in (2, 3):
+        got = run(k)
+        want = brute(edges, k)
+        assert dict(zip(got["node"], got["core_deg"])) == want
+    # path nodes peel away entirely at k=2 fixpoint except none; the
+    # 30-node path needs ~30 rounds — fixpoint must still terminate
+    got2 = run(2)
+    assert set(got2["node"]) == set(range(100, 106))
+
+    # bounded-rounds: driver twin == forced distributed dataflow
+    a = run(2, rounds=3)
+    b = run(2, nblocks=4, rounds=3, force_distributed=True,
+            num_partitions=2)
+    pd.testing.assert_frame_equal(a, b)
+    # after only 3 rounds the path tail hasn't fully unraveled
+    assert len(a) > 6
+
+    # k larger than any degree → empty core on both paths
+    empty = run(40)
+    assert len(empty) == 0
+    empty_d = run(40, nblocks=2, force_distributed=True, num_partitions=2)
+    assert len(empty_d) == 0
