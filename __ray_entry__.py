@@ -1686,6 +1686,47 @@ def q_classifier_scores(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Incremental-crawl diff: documents as crawl A; crawl B is a
+    deterministic perturbation (doc_id%7 dropped, %5 of survivors
+    edited — text + ' edited!', %11 re-added under key+10M).  Both
+    sides reduce to slim (key, fp=char length) relations, then ONE
+    tagged part-hash co-group classifies added/removed/changed/same —
+    the change feed that lets a new 100 TB crawl reprocess only its
+    delta.  fp is any int change signal (X13 fingerprint at scale)."""
+    from prase_ray.stages.relational import snapshot_diff
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def mk_old(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": b["doc_id"].to_numpy(np.int64),
+             "fp": b["text"].str.len().to_numpy(np.int64)}
+        )
+
+    def mk_new(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[b["doc_id"] % 7 != 0].copy()
+        ed = keep["doc_id"] % 5 == 0
+        keep.loc[ed, "text"] = keep.loc[ed, "text"] + " edited!"
+        base = pd.DataFrame(
+            {"key": keep["doc_id"].to_numpy(np.int64),
+             "fp": keep["text"].str.len().to_numpy(np.int64)}
+        )
+        src = b[b["doc_id"] % 11 == 0]
+        added = pd.DataFrame(
+            {"key": src["doc_id"].to_numpy(np.int64) + np.int64(10_000_000),
+             "fp": src["text"].str.len().to_numpy(np.int64)}
+        )
+        return pd.concat([base, added], ignore_index=True)
+
+    out = snapshot_diff(
+        docs.map_batches(mk_old, batch_format="pandas"),
+        docs.map_batches(mk_new, batch_format="pandas"),
+        key_col="key", fp_col="fp",
+    ).to_pandas()
+    return out.sort_values("key").reset_index(drop=True)
+
+
 def q_pagerank(sf_dir: str):
     """Fixed-point integer PageRank (3 iterations) over the
     supplier↔part bipartite graph derived from lineitem — the
@@ -1973,6 +2014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_distributed": q_pagerank_distributed,
         "kcore": q_kcore,
         "kcore_distributed": q_kcore_distributed,
+        "snapshot_diff": q_snapshot_diff,
         "triangle_counts": q_triangle_counts,
         "triangles_distributed": q_triangles_distributed,
     }
@@ -2304,6 +2346,27 @@ def oracle_sql() -> dict[str, str]:
     d["web_extract"] = _web_extract_oracle_sql()
     d["link_graph"] = _link_graph_oracle_sql()
     d["kcore"] = _kcore_oracle_sql(k=27, rounds=3)
+    d["snapshot_diff"] = """
+        WITH o AS (SELECT doc_id AS key, length(text) AS fp
+                   FROM documents),
+        surv AS (SELECT doc_id AS key,
+                        CASE WHEN doc_id % 5 = 0 THEN length(text) + 8
+                             ELSE length(text) END AS fp
+                 FROM documents WHERE doc_id % 7 <> 0),
+        n AS (SELECT key, fp FROM surv
+              UNION ALL
+              SELECT doc_id + 10000000 AS key, length(text) AS fp
+              FROM documents WHERE doc_id % 11 = 0),
+        j AS (SELECT COALESCE(o.key, n.key) AS key, o.fp AS fo, n.fp AS fn_
+              FROM o FULL OUTER JOIN n ON n.key = o.key)
+        SELECT key,
+               CASE WHEN fo IS NULL THEN 'added'
+                    WHEN fn_ IS NULL THEN 'removed'
+                    WHEN fo = fn_ THEN 'same'
+                    ELSE 'changed' END AS status
+        FROM j ORDER BY key
+    """
+
     # gated and forced-distributed peels are bit-equal by design
     d["kcore_distributed"] = d["kcore"]
     d["dup_ngrams"] = _sql_dup_ngrams()

@@ -2186,3 +2186,34 @@ def test_kcore(ray_session):
     assert len(empty) == 0
     empty_d = run(40, nblocks=2, force_distributed=True, num_partitions=2)
     assert len(empty_d) == 0
+
+
+def test_snapshot_diff(ray_session):
+    """Crawl diff classification: hand-built expectations for all four
+    statuses, layout invariance."""
+    from prase_ray.stages.relational import snapshot_diff
+
+    old = pd.DataFrame(
+        {"k": np.array([1, 2, 3, 4], np.int64),
+         "f": np.array([10, 20, 30, 40], np.int64)}
+    )
+    new = pd.DataFrame(
+        {"k": np.array([2, 3, 5], np.int64),
+         "f": np.array([20, 31, 50], np.int64)}
+    )
+
+    def run(nblocks):
+        o = ray.data.from_pandas(
+            [old.iloc[i::nblocks].reset_index(drop=True) for i in range(nblocks)]
+        )
+        n = ray.data.from_pandas(
+            [new.iloc[i::nblocks].reset_index(drop=True) for i in range(nblocks)]
+        )
+        out = snapshot_diff(o, n, key_col="k", fp_col="f",
+                            num_partitions=3).to_pandas()
+        return out.sort_values("key").reset_index(drop=True)
+
+    got = run(1)
+    want = {1: "removed", 2: "same", 3: "changed", 4: "removed", 5: "added"}
+    assert dict(zip(got["key"], got["status"])) == want
+    pd.testing.assert_frame_equal(got, run(3))
