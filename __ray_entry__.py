@@ -1727,6 +1727,23 @@ def q_snapshot_diff(sf_dir: str):
     return out.sort_values("key").reset_index(drop=True)
 
 
+def q_rollup_stats(sf_dir: str):
+    """Corpus-mix ROLLUP: docs + chars per (source, lang), per source,
+    and grand total — the accounting report source-mix quotas key on.
+    Only level 0 touches the corpus; each coarser level aggregates the
+    previous level's (group-count-sized) output.  Integer measures →
+    hash-exact."""
+    from prase_ray.stages.relational import rollup_stats
+
+    out = rollup_stats(
+        _read(sf_dir, "documents").select_columns(
+            ["source", "lang", "n_chars"]
+        ),
+        levels=("source", "lang"), sum_cols=("n_chars",),
+    ).to_pandas()
+    return out.sort_values(["level", "source", "lang"]).reset_index(drop=True)
+
+
 def q_pagerank(sf_dir: str):
     """Fixed-point integer PageRank (3 iterations) over the
     supplier↔part bipartite graph derived from lineitem — the
@@ -2015,6 +2032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": q_kcore,
         "kcore_distributed": q_kcore_distributed,
         "snapshot_diff": q_snapshot_diff,
+        "rollup_stats": q_rollup_stats,
         "triangle_counts": q_triangle_counts,
         "triangles_distributed": q_triangles_distributed,
     }
@@ -2346,6 +2364,17 @@ def oracle_sql() -> dict[str, str]:
     d["web_extract"] = _web_extract_oracle_sql()
     d["link_graph"] = _link_graph_oracle_sql()
     d["kcore"] = _kcore_oracle_sql(k=27, rounds=3)
+    d["rollup_stats"] = """
+        SELECT COALESCE(source, '') AS source,
+               COALESCE(lang, '') AS lang,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(GROUPING(source) + GROUPING(lang) AS BIGINT) AS level
+        FROM documents
+        GROUP BY ROLLUP (source, lang)
+        ORDER BY level, source, lang
+    """
+
     d["snapshot_diff"] = """
         WITH o AS (SELECT doc_id AS key, length(text) AS fp
                    FROM documents),

@@ -711,3 +711,114 @@ def snapshot_diff(
         new.map_batches(tag(1), batch_format="pandas")
     )
     return tagged.groupby("part").map_groups(resolve, batch_format="pandas")
+
+
+def rollup_stats(
+    ds: ray.data.Dataset,
+    *,
+    levels: tuple,
+    sum_cols: tuple = (),
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Multi-level ROLLUP report (corpus mix accounting: docs/tokens
+    per (source, lang), per source, grand total) → one row per
+    grouping-set group with rolled-up key columns set to '' and
+    ``level`` = how many trailing keys were rolled up (0 = finest).
+
+    Partial-reuse scale shape: ONLY the finest level aggregates the
+    corpus (per-batch partials → one part-hash shuffle, the X27/X44
+    exchange bound of distinct-groups-per-batch); every coarser level
+    aggregates the PREVIOUS LEVEL'S OUTPUT — group-count-sized, so the
+    rollup ladder above level 0 is all but free, where a naive
+    GROUPING SETS plan would scan the corpus once per level."""
+    levels = list(levels)
+    sums = list(sum_cols)
+
+    def partial0(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(levels, as_index=False).agg(
+            n_rows=(levels[0], "size"),
+            **{c: (c, "sum") for c in sums},
+        )
+        g["n_rows"] = g["n_rows"].astype(np.int64)
+        for c in sums:
+            g[c] = g[c].astype(np.int64)
+        g["part"] = (
+            pd.util.hash_pandas_object(g[levels].astype(str).agg("|".join, axis=1), index=False)
+            .to_numpy(np.uint64)
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return g
+
+    def combine(keys):
+        def fn(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby(keys, as_index=False).agg(
+                n_rows=("n_rows", "sum"),
+                **{c: (c, "sum") for c in sums},
+            )
+            out["n_rows"] = out["n_rows"].astype(np.int64)
+            for c in sums:
+                out[c] = out[c].astype(np.int64)
+            return out
+
+        return fn
+
+    finest = (
+        ds.map_batches(partial0, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine(levels), batch_format="pandas")
+    ).materialize()
+
+    def finish(level: int, keys):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            for c in levels:
+                if c not in keys:
+                    b[c] = ""
+            b["level"] = np.int64(level)
+            return b[levels + ["n_rows"] + sums + ["level"]]
+
+        return fn
+
+    out = finest.map_batches(finish(0, levels), batch_format="pandas")
+    prev = finest
+    for lvl in range(1, len(levels) + 1):
+        keys = levels[: len(levels) - lvl]
+        if keys:
+            # previous level's output is group-count-sized: one grouped
+            # pass over the tiny relation
+            def partial_k(b: pd.DataFrame, keys=tuple(keys)) -> pd.DataFrame:
+                g = combine(list(keys))(b)
+                g["part"] = np.int32(0)
+                return g
+
+            cur = (
+                prev.map_batches(partial_k, batch_format="pandas")
+                .groupby("part")
+                .map_groups(combine(list(keys)), batch_format="pandas")
+            ).materialize()
+        else:
+            def total(b: pd.DataFrame) -> pd.DataFrame:
+                t = pd.DataFrame(
+                    {"n_rows": [np.int64(b["n_rows"].sum())]}
+                )
+                for c in sums:
+                    t[c] = np.int64(b[c].sum())
+                t["part"] = np.int32(0)
+                return t
+
+            def total_c(g: pd.DataFrame) -> pd.DataFrame:
+                t = pd.DataFrame(
+                    {"n_rows": [np.int64(g["n_rows"].sum())]}
+                )
+                for c in sums:
+                    t[c] = np.int64(g[c].sum())
+                return t
+
+            cur = (
+                prev.map_batches(total, batch_format="pandas")
+                .groupby("part")
+                .map_groups(total_c, batch_format="pandas")
+            ).materialize()
+        out = out.union(cur.map_batches(finish(lvl, keys), batch_format="pandas"))
+        prev = cur
+    return out

@@ -2217,3 +2217,47 @@ def test_snapshot_diff(ray_session):
     want = {1: "removed", 2: "same", 3: "changed", 4: "removed", 5: "added"}
     assert dict(zip(got["key"], got["status"])) == want
     pd.testing.assert_frame_equal(got, run(3))
+
+
+def test_rollup_stats(ray_session):
+    """Three-level rollup equals a pandas reference at every level and
+    is partition-layout invariant."""
+    from prase_ray.stages.relational import rollup_stats
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "source": rng.choice(["a", "b", "c"], 400),
+            "lang": rng.choice(["en", "de"], 400),
+            "n": rng.integers(1, 100, 400).astype(np.int64),
+        }
+    )
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(
+            [df.iloc[i::nblocks].reset_index(drop=True) for i in range(nblocks)]
+        )
+        out = rollup_stats(
+            ds, levels=("source", "lang"), sum_cols=("n",), num_partitions=3
+        ).to_pandas()
+        return out.sort_values(["level", "source", "lang"]).reset_index(drop=True)
+
+    got = run(1)
+    l0 = got[got["level"] == 0]
+    want0 = df.groupby(["source", "lang"], as_index=False).agg(
+        n_rows=("n", "size"), n=("n", "sum")
+    )
+    assert len(l0) == len(want0)
+    w0 = want0.set_index(["source", "lang"])
+    for _, r in l0.iterrows():
+        assert r["n_rows"] == w0.loc[(r["source"], r["lang"]), "n_rows"]
+        assert r["n"] == w0.loc[(r["source"], r["lang"]), "n"]
+    l1 = got[got["level"] == 1].set_index("source")
+    w1 = df.groupby("source")["n"].sum()
+    for srcv, r in l1.iterrows():
+        assert r["n"] == w1[srcv] and r["lang"] == ""
+    l2 = got[got["level"] == 2]
+    assert len(l2) == 1
+    assert l2["n_rows"].iloc[0] == 400 and l2["n"].iloc[0] == df["n"].sum()
+    assert l2["source"].iloc[0] == "" and l2["lang"].iloc[0] == ""
+    pd.testing.assert_frame_equal(got, run(5))
