@@ -1744,6 +1744,42 @@ def q_rollup_stats(sf_dir: str):
     return out.sort_values(["level", "source", "lang"]).reset_index(drop=True)
 
 
+def q_salted_join(sf_dir: str):
+    """Skew-aware salted join: lineitem⋈part on partkey with
+    hot_min_count=40, so genuinely hot keys split across salts and
+    their part rows replicate per salt — the head-entity shuffle
+    guard as a first-class operator.  The RESULT is the plain inner
+    join (salting must be invisible); a planted-hot-key pytest covers
+    the skew mechanics."""
+    from prase_ray.stages.relational import salted_join
+
+    left = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_quantity"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"key": b["l_partkey"].to_numpy(np.int64),
+             "l_quantity": b["l_quantity"].to_numpy(np.float64)}
+        ),
+        batch_format="pandas",
+    )
+    right = _read(sf_dir, "part").select_columns(
+        ["p_partkey", "p_brand"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"key": b["p_partkey"].to_numpy(np.int64),
+             "p_brand": b["p_brand"]}
+        ),
+        batch_format="pandas",
+    )
+    out = salted_join(
+        left, right, on="key", salts=4, hot_min_count=40,
+        num_partitions=4,
+    ).to_pandas()
+    return out.sort_values(
+        ["key", "l_quantity", "p_brand"]
+    ).reset_index(drop=True)
+
+
 def q_pagerank(sf_dir: str):
     """Fixed-point integer PageRank (3 iterations) over the
     supplier↔part bipartite graph derived from lineitem — the
@@ -2033,6 +2069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_distributed": q_kcore_distributed,
         "snapshot_diff": q_snapshot_diff,
         "rollup_stats": q_rollup_stats,
+        "salted_join": q_salted_join,
         "triangle_counts": q_triangle_counts,
         "triangles_distributed": q_triangles_distributed,
     }
@@ -2364,6 +2401,12 @@ def oracle_sql() -> dict[str, str]:
     d["web_extract"] = _web_extract_oracle_sql()
     d["link_graph"] = _link_graph_oracle_sql()
     d["kcore"] = _kcore_oracle_sql(k=27, rounds=3)
+    d["salted_join"] = """
+        SELECT l_partkey AS key, l_quantity, p_brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        ORDER BY 1, 2, 3
+    """
+
     d["rollup_stats"] = """
         SELECT COALESCE(source, '') AS source,
                COALESCE(lang, '') AS lang,

@@ -822,3 +822,85 @@ def rollup_stats(
         out = out.union(cur.map_batches(finish(lvl, keys), batch_format="pandas"))
         prev = cur
     return out
+
+
+def salted_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    salts: int = 8,
+    hot_min_count: int = 100_000,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Skew-aware inner equi-join — the head-entity problem (hot URLs /
+    wiki entities) as a first-class operator instead of the PARIS-
+    internal helpers (paris_join._salt_left/_salt_right): a plain hash
+    join lands EVERY row of a hot key in one partition, so one straggler
+    task holds the whole head entity while the cluster idles.
+
+    Phase 0 finds hot LEFT keys exactly (X27: the exchange carries
+    distinct-keys-per-batch, the result is tiny by definition) and
+    broadcasts them once.  Phase 1 splits each hot key's left rows
+    round-robin across ``salts`` sub-keys and replicates the matching
+    RIGHT rows once per salt (right side per key assumed dimension-
+    sized; replication is salts × |hot ∩ right|, tiny next to the skew
+    it removes); cold keys keep salt 0.  The join runs on (key, salt),
+    salt is dropped — the RESULT is exactly the unsalted inner join
+    (the oracle is the plain SQL join; salting is invisible), only the
+    partition occupancy changes.
+
+    Salt assignment is round-robin within each batch — deterministic
+    placement is NOT required for correctness (any assignment yields
+    the same rows), which is what lets the hot rows spread without a
+    per-row global counter."""
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    jp = ensure_join_cpu_budget(num_partitions)
+    hot_df = heavy_hitters(
+        left.select_columns([on]), col=on, min_count=hot_min_count,
+        num_partitions=jp,
+    ).to_pandas()
+    hot = np.sort(hot_df[on].to_numpy(np.int64)) if len(hot_df) else np.array([], np.int64)
+    hot_ref = ray.put(hot)
+
+    def salt_left(b: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(hot_ref)
+        b = b.copy()
+        keys = b[on].to_numpy(np.int64)
+        is_hot = np.zeros(len(b), bool)
+        if len(h):
+            idx = np.searchsorted(h, keys)
+            idx[idx >= len(h)] = 0
+            is_hot = (h[idx] == keys) if len(h) else is_hot
+        salt = np.zeros(len(b), np.int64)
+        nh = int(is_hot.sum())
+        if nh:
+            salt[is_hot] = np.arange(nh, dtype=np.int64) % salts
+        b["salt"] = salt
+        return b
+
+    def salt_right(b: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(hot_ref)
+        b = b.copy()
+        keys = b[on].to_numpy(np.int64)
+        is_hot = np.zeros(len(b), bool)
+        if len(h):
+            idx = np.searchsorted(h, keys)
+            idx[idx >= len(h)] = 0
+            is_hot = h[idx] == keys
+        reps = np.where(is_hot, salts, 1).astype(np.int64)
+        pos = np.repeat(np.arange(len(b), dtype=np.int64), reps)
+        out = b.iloc[pos].reset_index(drop=True)
+        # salt 0..reps-1 within each replicated row group
+        ends = np.cumsum(reps)
+        out["salt"] = np.arange(len(out), dtype=np.int64) - np.repeat(
+            ends - reps, reps
+        )
+        return out
+
+    l = left.map_batches(salt_left, batch_format="pandas")
+    r = right.map_batches(salt_right, batch_format="pandas")
+    joined = l.join(r, join_type="inner", num_partitions=jp,
+                    on=(on, "salt"))
+    return joined.drop_columns(["salt"])

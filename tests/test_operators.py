@@ -2261,3 +2261,45 @@ def test_rollup_stats(ray_session):
     assert l2["n_rows"].iloc[0] == 400 and l2["n"].iloc[0] == df["n"].sum()
     assert l2["source"].iloc[0] == "" and l2["lang"].iloc[0] == ""
     pd.testing.assert_frame_equal(got, run(5))
+
+
+def test_salted_join(ray_session):
+    """Salted join equals the plain pandas join with a planted hot key
+    (one key = 80% of rows), the hot key's rows actually spread across
+    salts (right side replicated), and cold-only inputs degenerate to
+    the plain join."""
+    from prase_ray.stages.relational import salted_join
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    keys = np.where(rng.random(n) < 0.8, 7, rng.integers(0, 50, n)).astype(
+        np.int64
+    )
+    left = pd.DataFrame({"key": keys, "val": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame(
+        {"key": np.arange(50, dtype=np.int64),
+         "tag": [f"t{i}" for i in range(50)]}
+    )
+
+    def run(hot_min_count):
+        l = ray.data.from_pandas(
+            [left.iloc[i::4].reset_index(drop=True) for i in range(4)]
+        )
+        r = ray.data.from_pandas(right)
+        out = salted_join(
+            l, r, on="key", salts=4, hot_min_count=hot_min_count,
+            num_partitions=2,
+        ).to_pandas()
+        return out.sort_values(["key", "val"]).reset_index(drop=True)
+
+    want = (
+        left.merge(right, on="key")
+        .sort_values(["key", "val"])
+        .reset_index(drop=True)
+    )
+    got_salted = run(hot_min_count=1000)  # key 7 is hot
+    pd.testing.assert_frame_equal(
+        got_salted[["key", "val", "tag"]], want[["key", "val", "tag"]]
+    )
+    got_plain = run(hot_min_count=10**9)  # nothing hot
+    pd.testing.assert_frame_equal(got_salted, got_plain)
