@@ -1780,6 +1780,22 @@ def q_salted_join(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_chunk_roundtrip(sf_dir: str):
+    """Chunk → reassemble round trip: X39 fixed-token windows with
+    overlap, then X67's exact inverse (strip `overlap` leading tokens
+    of every non-first chunk, one doc-hash shuffle).  The oracle is
+    the ORIGINAL documents table — the strongest possible check: the
+    reconstructed text must hash byte-identical."""
+    from prase_ray.stages.text import chunk_documents, unchunk_documents
+
+    chunks = chunk_documents(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        chunk_tokens=32, overlap=8,
+    )
+    out = unchunk_documents(chunks, overlap=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_pagerank(sf_dir: str):
     """Fixed-point integer PageRank (3 iterations) over the
     supplier↔part bipartite graph derived from lineitem — the
@@ -2070,6 +2086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q_snapshot_diff,
         "rollup_stats": q_rollup_stats,
         "salted_join": q_salted_join,
+        "chunk_roundtrip": q_chunk_roundtrip,
         "triangle_counts": q_triangle_counts,
         "triangles_distributed": q_triangles_distributed,
     }
@@ -2401,6 +2418,10 @@ def oracle_sql() -> dict[str, str]:
     d["web_extract"] = _web_extract_oracle_sql()
     d["link_graph"] = _link_graph_oracle_sql()
     d["kcore"] = _kcore_oracle_sql(k=27, rounds=3)
+    d["chunk_roundtrip"] = """
+        SELECT doc_id, text FROM documents ORDER BY doc_id
+    """
+
     d["salted_join"] = """
         SELECT l_partkey AS key, l_quantity, p_brand
         FROM lineitem JOIN part ON p_partkey = l_partkey

@@ -227,6 +227,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("snapshot_diff", lambda: consume(em.q_snapshot_diff(sf_dir)))
     timed("rollup_stats", lambda: consume(em.q_rollup_stats(sf_dir)))
     timed("salted_join", lambda: consume(em.q_salted_join(sf_dir)))
+    timed("chunk_roundtrip", lambda: consume(em.q_chunk_roundtrip(sf_dir)))
     timed("unigram_surprise", lambda: consume(em.q_unigram_surprise(sf_dir)))
     timed("embedding_gram", lambda: consume(em.q_embedding_gram(sf_dir)))
     # at sf0.1 both graphs cross the 1M-edge gate → these time the

@@ -8,7 +8,7 @@ import numpy as np
 import pandas as pd
 import ray.data
 
-from prase_ray.functions.hashing import rolling_fingerprint
+from prase_ray.functions.hashing import rolling_fingerprint, splitmix64
 
 # Tiny per-language marker profiles for the n-gram/stopword heuristic
 # language ID (no external models in this environment).
@@ -543,4 +543,76 @@ def build_inverted_index(
     return write_partitioned(
         rows, out_dir, "term_hash",
         num_partitions=num_partitions, skip_finished=skip_finished,
+    )
+
+
+def unchunk_documents(
+    chunks: ray.data.Dataset,
+    *,
+    overlap: int = 16,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Exact inverse of ``chunk_documents`` — the export/detokenization
+    stage that reassembles per-chunk model outputs (or the chunks
+    themselves) back into whole documents: Dataset(doc_id, chunk_id,
+    chunk_text) → Dataset(doc_id, text) with
+    ``text == the original document`` byte-for-byte.
+
+    Why the fixed strip width is exact: every chunk except a doc's
+    last spans exactly ``chunk_tokens`` tokens (the chunker clips only
+    the final window), so each chunk_id ≥ 1 repeats precisely
+    ``overlap`` tokens of its predecessor — reassembly keeps chunk 0
+    whole and drops the first ``overlap`` tokens of every later chunk.
+
+    Scale shape: ONE part-hash shuffle on doc_id (each doc's chunks
+    co-locate), per-partition sort by (doc_id, chunk_id); the overlap
+    strip finds each chunk's ``overlap``-th space as 0x20 bytes in the
+    partition's single UTF-8 blob (the X39 trick in reverse), and the
+    per-doc finish is one C-level ``b' '.join`` over the stripped
+    byte slices."""
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["doc_id", "chunk_id", "chunk_text"]].copy()
+        b["part"] = (
+            splitmix64(b["doc_id"].to_numpy(np.int64).view(np.uint64))
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return b
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "chunk_id"], kind="stable")
+        doc = g["doc_id"].to_numpy(np.int64)
+        cid = g["chunk_id"].to_numpy(np.int64)
+        enc = [t.encode("utf-8") for t in g["chunk_text"].tolist()]
+        blen = np.fromiter((len(e) for e in enc), np.int64, len(enc))
+        bounds = np.zeros(len(enc) + 1, np.int64)
+        np.cumsum(blen, out=bounds[1:])
+        blob = b"".join(enc)
+        arr = np.frombuffer(blob, np.uint8)
+        space_pos = np.flatnonzero(arr == 0x20).astype(np.int64)
+        sp_off = np.searchsorted(space_pos, bounds[:-1])
+        # start byte of each piece: chunk 0 keeps all; chunk_id>0 drops
+        # its first `overlap` tokens → start after the overlap-th space
+        sp_safe = space_pos if len(space_pos) else np.zeros(1, np.int64)
+        hi = len(sp_safe) - 1
+        strip_start = sp_safe[np.clip(sp_off + overlap - 1, 0, hi)] + 1
+        starts = np.where(cid == 0, bounds[:-1], strip_start)
+        pieces = [blob[s:e] for s, e in zip(starts, bounds[1:])]
+        change = np.flatnonzero(np.diff(doc)) + 1
+        seg_s = np.concatenate([[0], change])
+        seg_e = np.concatenate([change, [len(doc)]])
+        return pd.DataFrame(
+            {
+                "doc_id": doc[seg_s],
+                "text": [
+                    b" ".join(pieces[s:e]).decode("utf-8")
+                    for s, e in zip(seg_s, seg_e)
+                ],
+            }
+        )
+
+    return (
+        chunks.map_batches(tag, batch_format="pandas")
+        .groupby("part")
+        .map_groups(assemble, batch_format="pandas")
     )

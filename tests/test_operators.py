@@ -2303,3 +2303,35 @@ def test_salted_join(ray_session):
     )
     got_plain = run(hot_min_count=10**9)  # nothing hot
     pd.testing.assert_frame_equal(got_salted, got_plain)
+
+
+def test_unchunk_roundtrip(ray_session):
+    """chunk → unchunk is the identity byte-for-byte: UTF-8 multibyte,
+    empty docs, single-token docs, several (chunk_tokens, overlap)
+    shapes, layout invariance."""
+    from prase_ray.stages.text import chunk_documents, unchunk_documents
+
+    rng = np.random.default_rng(13)
+    toks = ["alpha", "béta", "γάμμα", "δ", "", "longtoken" * 5, "日本語"]
+    texts = [
+        " ".join(rng.choice(toks, rng.integers(1, 120)))
+        for _ in range(60)
+    ] + ["", "single", "two words"]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+
+    for ct, ov in ((32, 8), (16, 1), (8, 7)):
+        for nblocks in (1, 5):
+            ds = ray.data.from_pandas(
+                [df.iloc[i::nblocks].reset_index(drop=True)
+                 for i in range(nblocks)]
+            )
+            back = (
+                unchunk_documents(
+                    chunk_documents(ds, chunk_tokens=ct, overlap=ov),
+                    overlap=ov, num_partitions=3,
+                )
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(back, df, check_dtype=False)
