@@ -1856,6 +1856,18 @@ def _supplier_part_edges(sf_dir: str):
     ).map_batches(to_edges, batch_format="pandas")
 
 
+def _kcore_frame(out: pd.DataFrame) -> pd.DataFrame:
+    """An empty Dataset loses its schema through to_pandas(); at tiny
+    scale factors the k=27 core IS empty — rebuild the typed frame so
+    the oracle's (node, core_deg) schema still matches."""
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=np.int64),
+             "core_deg": pd.Series([], dtype=np.int64)}
+        )
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_kcore(sf_dir: str):
     """k-core (k=27) of the supplier↔part graph by BOUNDED peeling
     (rounds=3 — the fixed-round contract that makes deletion-based
@@ -1866,7 +1878,7 @@ def q_kcore(sf_dir: str):
     out = kcore(
         _supplier_part_edges(sf_dir), k=27, rounds=3, num_partitions=4
     ).to_pandas()
-    return out.sort_values("node").reset_index(drop=True)
+    return _kcore_frame(out)
 
 
 def q_kcore_distributed(sf_dir: str):
@@ -1878,7 +1890,7 @@ def q_kcore_distributed(sf_dir: str):
         _supplier_part_edges(sf_dir), k=27, rounds=3, num_partitions=4,
         force_distributed=True,
     ).to_pandas()
-    return out.sort_values("node").reset_index(drop=True)
+    return _kcore_frame(out)
 
 
 def q_triangle_counts(sf_dir: str):
