@@ -600,7 +600,20 @@ def cooccur_lift(
     a part-hash co-group (tag + union + grouped pandas merge) rather
     than chained Dataset.join: with sparse keys a join leaves empty
     output partitions as zero-field blocks that break the next join's
-    key resolution."""
+    key resolution.
+
+    The operator has FOUR consumers of its input (N, pairs, two
+    marginals); a lazy input would re-execute its whole upstream
+    pipeline once per consumer (measured 4x the extraction cost when
+    composed over X17), so the SLIM (a, b) projection — two string
+    columns, never the full triple/payload stream — is materialized
+    once up front.  At scales where even the slim projection shouldn't
+    persist, pre-write it to parquet and pass the read."""
+
+    def slim_fn(b: pd.DataFrame) -> pd.DataFrame:
+        return b[[a_col, b_col]]
+
+    slim = triples.map_batches(slim_fn, batch_format="pandas").materialize()
 
     def counted(ds, cols, out_name):
         def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -616,12 +629,16 @@ def cooccur_lift(
             .aggregate(Sum(out_name, alias_name=out_name))
         )
 
-    n_total = triples.count()
-    pairs = counted(triples, [a_col, b_col], "n_pair").filter(
-        lambda r: r["n_pair"] >= min_count
+    n_total = slim.count()
+
+    def cut(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["n_pair"] >= min_count]
+
+    pairs = counted(slim, [a_col, b_col], "n_pair").map_batches(
+        cut, batch_format="pandas"
     )
-    ma = counted(triples.select_columns([a_col]), [a_col], "n_a")
-    mb = counted(triples.select_columns([b_col]), [b_col], "n_b")
+    ma = counted(slim.select_columns([a_col]), [a_col], "n_a")
+    mb = counted(slim.select_columns([b_col]), [b_col], "n_b")
 
     def cogroup_attach(left, right, key, val_col):
         def tag(b: pd.DataFrame) -> pd.DataFrame:
