@@ -1188,6 +1188,38 @@ def q_dup_ngrams(sf_dir: str):
     return dup_ngram_stats(docs, k=8)
 
 
+def q_remove_dup_spans(sf_dir: str):
+    """Exact-substring duplication REMOVAL (Lee et al. 2022): every
+    8-token window occurring >=2 times corpus-wide (all occurrences,
+    within-doc repeats included) is merged into maximal spans and
+    deleted from the token stream.  Broadcast finalize: dup-gram set
+    ships once via ray.put, the whole mark+merge+rebuild runs in ONE
+    pass over the docs — zero corpus shuffles below the gate."""
+    import ray.data
+
+    from prase_ray.stages.dedup import remove_dup_spans
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return remove_dup_spans(docs, k=8, min_count=2)
+
+
+def q_remove_dup_spans_join(sf_dir: str):
+    """Join-path twin of remove_dup_spans (broadcast=False): the
+    above-gate shape — window rows hash-join the dup-gram relation,
+    per-doc start lists ride one doc_id hash join back to the text.
+    Same oracle; proves the scale path bit-equal."""
+    import ray.data
+
+    from prase_ray.stages.dedup import remove_dup_spans
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return remove_dup_spans(docs, k=8, min_count=2, broadcast=False)
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: corpus docs sharing any 8-token
     shingle with the held-out set (doc_id % 19 == 0).  Exercises the
@@ -2063,6 +2095,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_extract": q_web_extract,
         "link_graph": q_link_graph,
         "dup_ngrams": q_dup_ngrams,
+        "remove_dup_spans": q_remove_dup_spans,
+        "remove_dup_spans_join": q_remove_dup_spans_join,
         "decontaminate": q_decontaminate,
         "interval_join": q_interval_join,
         "interval_join_binned": q_interval_join_binned,
@@ -2316,6 +2350,74 @@ def _sql_dup_ngrams() -> str:
     """
 
 
+def _sql_remove_dup_spans(k: int = 8, min_count: int = 2) -> str:
+    """Hash-exact twin of remove_dup_spans(k, min_count): positional
+    sliding windows (no short-doc shingle), ALL-occurrence gram counts,
+    gaps-and-islands span merge (break when pos > prev + k), clean text
+    = uncovered tokens rejoined with single spaces."""
+    return f"""
+        WITH dt AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+        tt AS (SELECT doc_id, len(toks) AS n_tokens,
+                      list_transform(toks, t -> {_SQL_FNV_T}) AS th
+               FROM dt),
+        win AS (
+            SELECT doc_id,
+                   CASE WHEN len(th) >= {k} THEN list_transform(
+                            generate_series(1, len(th) - {k - 1}),
+                            i -> {_sql_roll(f'th[i:i+{k - 1}]')})
+                        ELSE CAST([] AS HUGEINT[])
+                   END AS ws
+            FROM tt),
+        wrp AS (SELECT doc_id, unnest(ws) AS w,
+                       unnest(generate_series(1, len(ws))) - 1 AS pos
+                FROM win),
+        wg AS MATERIALIZED (
+            SELECT doc_id, pos, {_sql_splitmix('w')} AS g FROM wrp),
+        c AS MATERIALIZED (SELECT g, count(*) AS cnt FROM wg GROUP BY g),
+        dp AS (SELECT doc_id, pos FROM wg JOIN c USING (g)
+               WHERE c.cnt >= {min_count}),
+        s1 AS (SELECT doc_id, pos,
+                      CASE WHEN pos > coalesce(lag(pos) OVER (
+                               PARTITION BY doc_id ORDER BY pos),
+                               -{2 * k + 1}) + {k}
+                           THEN 1 ELSE 0 END AS brk
+               FROM dp),
+        s2 AS (SELECT doc_id, pos,
+                      SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS isl
+               FROM s1),
+        spans AS (SELECT doc_id, isl, MIN(pos) AS span_start,
+                         MAX(pos) + {k} AS span_end
+                  FROM s2 GROUP BY doc_id, isl),
+        sp_doc AS (SELECT doc_id, count(*) AS n_spans,
+                          SUM(span_end - span_start) AS dup_tokens
+                   FROM spans GROUP BY doc_id),
+        tokpos AS (SELECT doc_id, unnest(toks) AS tok,
+                          unnest(generate_series(1, len(toks))) - 1 AS tp
+                   FROM dt),
+        cov AS (SELECT t.doc_id, t.tp
+                FROM tokpos t JOIN spans s
+                  ON s.doc_id = t.doc_id
+                 AND t.tp >= s.span_start AND t.tp < s.span_end),
+        clean AS (
+            SELECT t.doc_id,
+                   coalesce(string_agg(t.tok, ' ' ORDER BY t.tp)
+                            FILTER (WHERE c.tp IS NULL), '') AS clean_text
+            FROM tokpos t LEFT JOIN cov c
+              ON c.doc_id = t.doc_id AND c.tp = t.tp
+            GROUP BY t.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(tt.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(sd.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(sd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               coalesce(cl.clean_text, '') AS clean_text
+        FROM documents d
+        LEFT JOIN tt USING (doc_id)
+        LEFT JOIN sp_doc sd USING (doc_id)
+        LEFT JOIN clean cl USING (doc_id)
+    """
+
+
 def _sql_decontaminate() -> str:
     """Hash-exact twin of decontaminate_stats over the doc_id%19 split:
     corpus docs joined to the distinct benchmark gram set."""
@@ -2475,6 +2577,8 @@ def oracle_sql() -> dict[str, str]:
     # gated and forced-distributed peels are bit-equal by design
     d["kcore_distributed"] = d["kcore"]
     d["dup_ngrams"] = _sql_dup_ngrams()
+    d["remove_dup_spans"] = _sql_remove_dup_spans(8, 2)
+    d["remove_dup_spans_join"] = _sql_remove_dup_spans(8, 2)
     d["decontaminate"] = _sql_decontaminate()
     d["interval_join"] = _sql_interval_join()
     # both interval-join shapes (broadcast probe / binned hash join)

@@ -127,6 +127,41 @@ def shingle_hashes(
     return out, sh_offsets
 
 
+def positional_shingle_hashes(
+    tok_hash: np.ndarray, offsets: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pure sliding-window k-token shingle hashes WITH start positions:
+    (shingle_hash_flat, pos_flat, shingle_offsets).  Unlike
+    ``shingle_hashes`` there is no short-doc whole-doc shingle — docs
+    with fewer than k tokens contribute zero windows (span-removal
+    semantics: a doc shorter than one window can never be marked).
+    pos_flat[i] is the 0-based token index of window i's first token
+    within its document.  Hash formula is identical to shingle_hashes'
+    main path (rolling polynomial combine, splitmix64 finalize), so the
+    same SQL twin (_sql_roll) reproduces it."""
+    n_docs = len(offsets) - 1
+    counts = offsets[1:] - offsets[:-1]
+    sh_counts = np.maximum(counts - (k - 1), 0).astype(np.int64)
+    sh_offsets = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(sh_counts, out=sh_offsets[1:])
+
+    C = np.uint64(0x100000001B3)  # FNV prime
+    acc = np.zeros(len(tok_hash), np.uint64)
+    powc = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            shifted = np.roll(tok_hash, -j)
+            acc = (acc + shifted * powc) & _MASK64
+            powc = (powc * C) & _MASK64
+        acc = splitmix64(acc)
+
+    flat_pos = _expand(offsets[:-1], sh_counts)
+    out = acc[flat_pos] if len(flat_pos) else np.empty(0, np.uint64)
+    # positions relative to each doc's start
+    rel = flat_pos - np.repeat(offsets[:-1], sh_counts)
+    return out, rel.astype(np.int64), sh_offsets
+
+
 def _expand(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     total = int(counts.sum())
     if total == 0:

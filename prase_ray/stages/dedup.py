@@ -1425,3 +1425,254 @@ def allpairs_jaccard(
     return verify_jaccard(
         uniq, docs, k=k, threshold=threshold, num_parts=num_parts
     )
+
+
+# --------------------------------------------------------------------------
+# duplicate-span removal (exact-substring dedup, Lee et al. 2022)
+# --------------------------------------------------------------------------
+
+def _drop_empty_blocks(
+    ds: ray.data.Dataset, schema: pa.Schema
+) -> ray.data.Dataset:
+    """Rebuild a Dataset from only its non-empty Arrow blocks.
+
+    groupby().map_groups() partitions with zero rows surface as
+    ZERO-COLUMN tables, and Ray skips map UDFs on empty blocks entirely
+    — so no downstream map_batches can pin their schema, and feeding
+    them to Dataset.join raises ArrowInvalid ("no match for key field
+    on right side").  The rebuild is metadata-only: blocks are already
+    materialized objects, from_arrow_refs just re-lists the refs."""
+    refs = []
+    for bundle in ds.materialize().iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow_refs(refs)
+
+def _merge_spans_row(starts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge sorted identical-length-k windows [s, s+k) into maximal
+    half-open spans.  Overlapping AND adjacent windows fuse (removing
+    both leaves nothing between).  Returns (span_start, span_end)."""
+    if len(starts) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    brk = np.empty(len(starts), bool)
+    brk[0] = True
+    # windows are length-k each, starts sorted: a new span begins when
+    # the gap to the previous window exceeds k (no overlap, no touch)
+    brk[1:] = starts[1:] > starts[:-1] + k
+    isl = np.cumsum(brk) - 1
+    span_start = starts[brk]
+    span_end = np.zeros(isl[-1] + 1, np.int64)
+    np.maximum.at(span_end, isl, starts + k)
+    return span_start.astype(np.int64), span_end
+
+
+def _finalize_span_rows(
+    texts: pd.Series, ids: np.ndarray, starts_per_doc: list, k: int
+) -> pd.DataFrame:
+    """Per-doc span merge + clean-text reconstruction.  tokens = Python
+    str.split() (same whitespace semantics as tokenize_offsets);
+    clean_text rejoins the uncovered tokens with single spaces — the
+    operator is defined over the token stream, not raw bytes."""
+    tok_lists = texts.str.split()
+    n_spans = np.zeros(len(ids), np.int64)
+    dup_tokens = np.zeros(len(ids), np.int64)
+    n_tokens = np.zeros(len(ids), np.int64)
+    clean = []
+    for i, toks in enumerate(tok_lists):
+        toks = toks if isinstance(toks, list) else []
+        n_tokens[i] = len(toks)
+        st = starts_per_doc[i]
+        if st is None or len(st) == 0:
+            clean.append(" ".join(toks))
+            continue
+        st = np.sort(np.asarray(st, np.int64))
+        a, b = _merge_spans_row(st, k)
+        n_spans[i] = len(a)
+        dup_tokens[i] = int((b - a).sum())
+        mask = np.zeros(len(toks), bool)
+        for s, e in zip(a, b):
+            mask[s:e] = True
+        clean.append(" ".join(t for t, m in zip(toks, mask) if not m))
+    return pd.DataFrame(
+        {
+            "doc_id": ids,
+            "n_tokens": n_tokens,
+            "n_spans": n_spans,
+            "dup_tokens": dup_tokens,
+            "clean_text": clean,
+        }
+    )
+
+
+def remove_dup_spans(
+    docs: ray.data.Dataset,
+    *,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+    broadcast: bool | None = None,
+    broadcast_max_grams: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Exact-substring duplication REMOVAL (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): mark
+    every k-token window whose shingle hash occurs >= min_count times
+    in the whole corpus (all occurrences counted, within-doc repeats
+    included), merge overlapping/adjacent windows per doc into maximal
+    spans, and emit the document with those spans deleted from its
+    token stream.  Returns Dataset(doc_id, n_tokens, n_spans,
+    dup_tokens, clean_text) — one row per input doc; docs shorter than
+    k tokens pass through unmodified (zero windows).
+
+    Scale shape: positional window rows (doc_id, pos, gram) are a
+    per-batch map; gram counts use the two-level partial scheme of
+    dup_ngram_stats (per-batch pre-aggregation -> 64 hash partitions ->
+    vectorized sum), so the only corpus-sized exchange is the partial
+    count rows.  The duplicated-gram relation is bounded by true
+    duplicate volume.  Below ``broadcast_max_grams`` it ships once via
+    ray.put and the ENTIRE finalize (mark + span merge + rebuild) runs
+    inside one pass over the docs — zero corpus shuffles.  Above the
+    gate: window rows hash-join the dup-gram relation, dup starts
+    collapse per doc (bounded by dup volume), and one doc_id hash join
+    brings start-lists back to the text — the single corpus-sized
+    shuffle of the join path."""
+    import ray as _ray
+
+    from prase_ray.functions.hashing import (
+        positional_shingle_hashes,
+        tokenize_offsets as _tok,
+    )
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    def window_rows(b: pd.DataFrame) -> pd.DataFrame:
+        tok, off = _tok(b[text_col])
+        g, pos, goff = positional_shingle_hashes(tok, off, k)
+        counts = goff[1:] - goff[:-1]
+        doc = np.repeat(b[id_col].to_numpy(np.int64), counts)
+        return pd.DataFrame(
+            {"doc_id": doc, "pos": pos, "gram": g.astype(np.int64)}
+        )
+
+    rows = docs.map_batches(window_rows, batch_format="pandas")
+
+    def gram_partials(b: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            b.groupby("gram", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g.insert(
+            0,
+            "part",
+            (g["gram"].to_numpy().astype(np.uint64) % np.uint64(64)).astype(
+                np.int32
+            ),
+        )
+        return g
+
+    def dup_in_part(part: pd.DataFrame) -> pd.DataFrame:
+        s = part.groupby("gram", as_index=False)["n"].sum()
+        out = s[s["n"] >= min_count][["gram"]].copy()
+        out["dup"] = np.int64(1)
+        return out
+
+    dup_grams = (
+        rows.map_batches(gram_partials, batch_format="pandas")
+        .groupby("part")
+        .map_groups(dup_in_part, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+
+    if broadcast is None:
+        dup_grams = dup_grams.materialize()
+        broadcast = dup_grams.count() <= broadcast_max_grams
+
+    if broadcast:
+        arr = np.sort(_pull_gram_array(dup_grams))
+        gref = _ray.put(arr)
+
+        def finalize_bcast(b: pd.DataFrame) -> pd.DataFrame:
+            dg = _ray.get(gref)
+            tok, off = _tok(b[text_col])
+            g, pos, goff = positional_shingle_hashes(tok, off, k)
+            if len(dg) and len(g):
+                p = np.searchsorted(dg, g.astype(np.int64)).clip(
+                    0, len(dg) - 1
+                )
+                hit = dg[p] == g.astype(np.int64)
+            else:
+                hit = np.zeros(len(g), bool)
+            starts = []
+            for i in range(len(b)):
+                lo, hi = goff[i], goff[i + 1]
+                h = hit[lo:hi]
+                starts.append(pos[lo:hi][h] if h.any() else None)
+            return _finalize_span_rows(
+                b[text_col], b[id_col].to_numpy(np.int64), starts, k
+            )
+
+        return docs.map_batches(finalize_bcast, batch_format="pandas")
+
+    jp = ensure_join_cpu_budget(num_partitions)
+    hits = rows.map_batches(lambda t: t, batch_format="pyarrow").join(
+        dup_grams, join_type="inner", num_partitions=jp, on=("gram",)
+    )
+
+    def starts_list(g: pd.DataFrame) -> pd.DataFrame:
+        # packed little-endian int64 bytes: Arrow's hash join supports
+        # binary payload columns but not list/tensor ones
+        if len(g) == 0:
+            return pd.DataFrame({"doc_id": [], "starts": []})
+        g = g.sort_values("pos")
+        return pd.DataFrame(
+            {
+                "doc_id": [np.int64(g["doc_id"].iloc[0])],
+                "starts": [g["pos"].to_numpy("<i8").tobytes()],
+            }
+        )
+
+    _starts_schema = pa.schema(
+        [("doc_id", pa.int64()), ("starts", pa.binary())]
+    )
+
+    def _norm_starts(t: pa.Table) -> pa.Table:
+        # pin dtypes (pandas emits large_binary / float64-on-empty)
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return _starts_schema.empty_table()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "starts": t["starts"].cast(pa.binary()),
+            }
+        )
+
+    per_doc_starts = _drop_empty_blocks(
+        hits.groupby("doc_id")
+        .map_groups(starts_list, batch_format="pandas")
+        .map_batches(_norm_starts, batch_format="pyarrow"),
+        _starts_schema,
+    )
+
+    joined = docs.map_batches(lambda t: t, batch_format="pyarrow").join(
+        per_doc_starts,
+        join_type="left_outer",
+        num_partitions=jp,
+        on=(id_col,),
+    )
+
+    def finalize_join(b: pd.DataFrame) -> pd.DataFrame:
+        starts = [
+            np.frombuffer(s, dtype="<i8")
+            if isinstance(s, (bytes, bytearray))
+            else None
+            for s in b["starts"]
+        ]
+        return _finalize_span_rows(
+            b[text_col], b[id_col].to_numpy(np.int64), starts, k
+        )
+
+    return joined.map_batches(finalize_join, batch_format="pandas")

@@ -954,6 +954,72 @@ def test_dup_ngram_stats(ray_session):
     assert abs(out.loc[0, "dup_frac"] - 0.25) < 1e-12
 
 
+def test_remove_dup_spans(ray_session):
+    """Exact-substring span removal: planted duplicated run is merged
+    and deleted; overlapping windows fuse into ONE span; within-doc
+    repeats count toward min_count; short docs pass through; clean
+    text is the uncovered token stream rejoined with single spaces."""
+    from prase_ray.stages.dedup import remove_dup_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                f"x1 {shared} y1 z1",       # 9-token run -> 2 windows, 1 span
+                f"x2 q2 {shared} y2",
+                "totally unique words only here never repeated anywhere",
+                "tiny doc",                  # <8 tokens: zero windows
+                "",
+            ],
+        }
+    )
+    out = (
+        remove_dup_spans(ray.data.from_pandas(docs), k=8, min_count=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 5  # one row per input doc, empties included
+    # docs 0/1 share a 9-token run: two overlapping 8-windows -> 1 span
+    # of 9 tokens each
+    assert out.loc[0, "n_spans"] == 1 and out.loc[0, "dup_tokens"] == 9
+    assert out.loc[0, "clean_text"] == "x1 y1 z1"
+    assert out.loc[1, "clean_text"] == "x2 q2 y2"
+    assert out.loc[2, "n_spans"] == 0
+    assert (
+        out.loc[2, "clean_text"]
+        == "totally unique words only here never repeated anywhere"
+    )
+    # short doc: no window can mark it even though doc-level text is
+    # unique-length; passes through
+    assert out.loc[3, "clean_text"] == "tiny doc"
+    assert out.loc[4, "n_tokens"] == 0 and out.loc[4, "clean_text"] == ""
+
+    # join path bit-equal
+    out2 = (
+        remove_dup_spans(
+            ray.data.from_pandas(docs), k=8, min_count=2, broadcast=False
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(out, out2, check_dtype=False)
+
+    # within-doc repetition alone reaches min_count=2
+    rep = pd.DataFrame(
+        {"doc_id": [7], "text": [f"{shared} mid1 mid2 {shared} tail"]}
+    )
+    r = (
+        remove_dup_spans(ray.data.from_pandas(rep), k=8, min_count=2)
+        .to_pandas()
+        .iloc[0]
+    )
+    assert r["n_spans"] == 2 and r["dup_tokens"] == 18
+    assert r["clean_text"] == "mid1 mid2 tail"
+
+
 def test_decontaminate_broadcast_equals_join(ray_session):
     """Both decontamination shapes (broadcast gram set / hash join on
     gram) return the identical contaminated-doc relation."""
