@@ -501,6 +501,80 @@ def q_funnel(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_lag_features(sf_dir: str):
+    """Per-key lag/lead features for sequence models: 1-based per-user
+    event index, µs since the user's previous event (−1 first), and the
+    previous event id.  ONE exchange of the slim (user, id, ts)
+    projection; each partition resolves all its users in one vectorized
+    sorted scan.  int64 outputs → hash-exact vs the LAG/ROW_NUMBER
+    window twin."""
+    from prase_ray.stages.windows import lag_features
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "ts", "user_id"]
+    )
+    return lag_features(ev)
+
+
+def q_apply_changelog(sf_dir: str):
+    """CDC changelog merge: documents as the base snapshot (ts=0), a
+    deterministic change stream on top — doc_id%3 upserted at ts=1,
+    doc_id%6 upserted AGAIN at ts=1 with a higher seq (tie broken by
+    seq), doc_id%5 deleted at ts=2 (delete beats both upserts).
+    Per-batch winner pre-reduce → one part-hash exchange → vectorized
+    keep-last; integer payloads keep it hash-exact."""
+    import ray.data
+
+    from prase_ray.stages.relational import apply_changelog
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+
+    def mk_base(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_chars": b["n_chars"].to_numpy(np.int64),
+                "ts": np.zeros(len(b), np.int64),
+            }
+        )
+
+    def mk_changes(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].to_numpy(np.int64)
+        nch = b["n_chars"].to_numpy(np.int64)
+        up3 = did % 3 == 0
+        up6 = did % 6 == 0
+        dl5 = did % 5 == 0
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate([did[up3], did[up6], did[dl5]]),
+                "n_chars": np.concatenate(
+                    [nch[up3] + 1000, nch[up6] + 2000,
+                     np.zeros(int(dl5.sum()), np.int64)]
+                ),
+                "ts": np.concatenate(
+                    [np.ones(int(up3.sum()), np.int64),
+                     np.ones(int(up6.sum()), np.int64),
+                     np.full(int(dl5.sum()), 2, np.int64)]
+                ),
+                "seq": np.concatenate(
+                    [did[up3], did[up6] + 20_000_000,
+                     did[dl5] + 10_000_000]
+                ),
+                "is_delete": np.concatenate(
+                    [np.zeros(int(up3.sum()), np.int8),
+                     np.zeros(int(up6.sum()), np.int8),
+                     np.ones(int(dl5.sum()), np.int8)]
+                ),
+            }
+        )
+
+    base = docs.map_batches(mk_base, batch_format="pandas")
+    changes = docs.map_batches(mk_changes, batch_format="pandas")
+    return apply_changelog(
+        base, changes, key_col="doc_id", payload_cols=("n_chars",)
+    )
+
+
 def q_trailing_window(sf_dir: str):
     """Per-event trailing 1-hour count + fixed-point value sum per user
     (SQL RANGE INTERVAL PRECEDING semantics, ties-as-peers).  Integer
@@ -2063,6 +2137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "allpairs_jaccard": q_allpairs_jaccard,
         "trailing_window": q_trailing_window,
         "funnel": q_funnel,
+        "lag_features": q_lag_features,
+        "apply_changelog": q_apply_changelog,
         "window_distinct": q_window_distinct,
         "embedding_neardup": q_embedding_neardup,
         "cosine_pairs_exact": q_cosine_pairs_exact,
@@ -2551,6 +2627,37 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         GROUP BY ROLLUP (source, lang)
         ORDER BY level, source, lang
+    """
+
+    d["lag_features"] = """
+        SELECT user_id, event_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS event_idx,
+               coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w,
+                        -1) AS delta_us,
+               coalesce(lag(event_id) OVER w, -1) AS prev_event_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+    d["apply_changelog"] = """
+        WITH u AS (
+            SELECT doc_id, n_chars, CAST(0 AS BIGINT) AS ts,
+                   0 AS src, CAST(-1 AS BIGINT) AS seq, 0 AS is_del
+            FROM documents
+            UNION ALL
+            SELECT doc_id, n_chars + 1000, 1, 1, doc_id, 0
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, n_chars + 2000, 1, 1, doc_id + 20000000, 0
+            FROM documents WHERE doc_id % 6 = 0
+            UNION ALL
+            SELECT doc_id, 0, 2, 1, doc_id + 10000000, 1
+            FROM documents WHERE doc_id % 5 = 0),
+        w AS (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY ts DESC, src DESC, seq DESC) AS rn
+              FROM u)
+        SELECT doc_id, n_chars, ts FROM w WHERE rn = 1 AND is_del = 0
     """
 
     d["snapshot_diff"] = """

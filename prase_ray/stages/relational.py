@@ -904,3 +904,82 @@ def salted_join(
     joined = l.join(r, join_type="inner", num_partitions=jp,
                     on=(on, "salt"))
     return joined.drop_columns(["salt"])
+
+
+def apply_changelog(
+    base: ray.data.Dataset,
+    changes: ray.data.Dataset,
+    *,
+    key_col: str,
+    payload_cols: tuple,
+    ts_col: str = "ts",
+    seq_col: str = "seq",
+    delete_col: str = "is_delete",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """CDC changelog merge (incremental snapshot upsert): apply a
+    stream of upserts/deletes to a base snapshot, last-writer-wins →
+    Dataset(key, *payload_cols, ts) holding each surviving key's
+    winning record.  Ordering per key is (ts, src, seq) with src=0 for
+    base and src=1 for changes — a change at the same ``ts`` beats the
+    base row, and ``seq`` (a unique change id) breaks ties between
+    changes deterministically.  A key whose winner has ``delete_col``
+    set disappears from the result.  Base rows carry seq=-1,
+    is_delete=0 implicitly; integer payloads keep the merge hash-exact
+    against the ROW_NUMBER SQL twin.
+
+    Scale shape: this is the A7 partial-winner idiom on a composite
+    priority — each batch pre-reduces to its per-key winner FIRST, so
+    the ONE part-hash exchange carries at most distinct-keys-per-batch
+    rows with payloads riding the winners (a hot key's losing versions
+    never cross the wire); each partition then resolves all its keys
+    with one vectorized sort + keep-last.  The changelog is naturally
+    delta-sized, the base slim projection streams once."""
+    cols = list(payload_cols)
+
+    def tag(src: int, is_base: bool):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"key": b[key_col].to_numpy(np.int64)})
+            for c in cols:
+                out[c] = b[c].to_numpy(np.int64)
+            out["ts"] = b[ts_col].to_numpy(np.int64)
+            if is_base:
+                out["src"] = np.int8(0)
+                out["seq"] = np.int64(-1)
+                out["is_del"] = np.int8(0)
+            else:
+                out["src"] = np.int8(src)
+                out["seq"] = b[seq_col].to_numpy(np.int64)
+                out["is_del"] = (
+                    b[delete_col].to_numpy().astype(np.int8)
+                )
+            # per-batch winner: the exchange carries one row per key
+            # per batch, not one per version
+            out = out.sort_values(["key", "ts", "src", "seq"])
+            out = out.drop_duplicates("key", keep="last")
+            out.insert(
+                0,
+                "part",
+                (
+                    splitmix64(out["key"].to_numpy(np.int64).view(np.uint64))
+                    % np.uint64(num_partitions)
+                ).astype(np.int32),
+            )
+            return out
+
+        return fn
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "ts", "src", "seq"])
+        g = g.drop_duplicates("key", keep="last")
+        g = g[g["is_del"] == 0]
+        out = pd.DataFrame({key_col: g["key"].to_numpy(np.int64)})
+        for c in cols:
+            out[c] = g[c].to_numpy(np.int64)
+        out[ts_col] = g["ts"].to_numpy(np.int64)
+        return out
+
+    tagged = base.map_batches(tag(0, True), batch_format="pandas").union(
+        changes.map_batches(tag(1, False), batch_format="pandas")
+    )
+    return tagged.groupby("part").map_groups(resolve, batch_format="pandas")

@@ -454,3 +454,76 @@ def tumbling_distinct(
         .groupby("part")
         .map_groups(count_part, batch_format="pandas")
     )
+
+
+def lag_features(
+    events: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    n_parts: int = 32,
+) -> ray.data.Dataset:
+    """Per-key lag/lead feature extraction — the standard
+    feature-engineering pass in front of sequence models: for every
+    event, its 1-based per-key index in (ts, event_id) order, the
+    microseconds since the key's PREVIOUS event (-1 for the first), and
+    the previous event's id (-1 for the first).  All outputs are int64
+    (epoch-us deltas), so the result is partition-order invariant and
+    hash-exact against the SQL LAG/ROW_NUMBER window twin.
+
+    Scale shape (the sessionize idiom): keys are hash-partitioned —
+    ONE exchange of the slim (key, event_id, ts) projection — and each
+    partition resolves ALL its keys in one vectorized sorted scan
+    (composite sort + shifted diffs masked at key changes); a key's
+    history never spans partitions, no per-key Python."""
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[key, "event_id", ts_col]].copy()
+        out.insert(
+            0,
+            "part",
+            (
+                pd.util.hash_array(
+                    out[key].to_numpy(np.int64).astype(np.uint64)
+                )
+                % np.uint64(n_parts)
+            ).astype(np.int32),
+        )
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, "event_id"])
+        us = _epoch_us(g[ts_col])
+        keys = g[key].to_numpy(np.int64)
+        eids = g["event_id"].to_numpy(np.int64)
+        new_key = np.ones(len(g), bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        # per-key 1-based index: global cumsum minus forward-filled
+        # group-start offset (the sessionize trick)
+        one = np.arange(1, len(g) + 1, dtype=np.int64)
+        start = np.where(new_key, one - 1, 0)
+        start_ff = np.maximum.accumulate(start)
+        idx = one - start_ff
+        delta = np.empty(len(g), np.int64)
+        prev_id = np.empty(len(g), np.int64)
+        delta[0] = -1
+        prev_id[0] = -1
+        if len(g) > 1:
+            delta[1:] = us[1:] - us[:-1]
+            prev_id[1:] = eids[:-1]
+        delta[new_key] = -1
+        prev_id[new_key] = -1
+        return pd.DataFrame(
+            {
+                key: keys,
+                "event_id": eids,
+                "event_idx": idx,
+                "delta_us": delta,
+                "prev_event_id": prev_id,
+            }
+        )
+
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )

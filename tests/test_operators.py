@@ -2401,3 +2401,91 @@ def test_unchunk_roundtrip(ray_session):
                 .to_pandas().sort_values("doc_id").reset_index(drop=True)
             )
             pd.testing.assert_frame_equal(back, df, check_dtype=False)
+
+
+def test_lag_features(ray_session):
+    """Per-key lag features: 1-based index in (ts, event_id) order,
+    µs delta to the previous event (−1 first), previous event id;
+    same-ts ties break by event_id; layout invariance."""
+    from prase_ray.stages.windows import lag_features
+
+    def T(s):
+        return pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.array([10, 11, 12, 20, 21, 30], np.int64),
+            "user_id": np.array([1, 1, 1, 2, 2, 3], np.int64),
+            # user 1 has a same-ts tie (events 11, 12 at s=5)
+            "ts": [T(1), T(5), T(5), T(2), T(9), T(4)],
+        }
+    )
+
+    def run(nblocks):
+        out = (
+            lag_features(ray.data.from_pandas(df).repartition(nblocks))
+            .to_pandas()
+            .sort_values(["user_id", "event_idx"])
+            .reset_index(drop=True)
+        )
+        return out
+
+    out = run(1)
+    u1 = out[out["user_id"] == 1]
+    assert list(u1["event_id"]) == [10, 11, 12]
+    assert list(u1["event_idx"]) == [1, 2, 3]
+    assert list(u1["delta_us"]) == [-1, 4_000_000, 0]
+    assert list(u1["prev_event_id"]) == [-1, 10, 11]
+    u2 = out[out["user_id"] == 2]
+    assert list(u2["delta_us"]) == [-1, 7_000_000]
+    u3 = out[out["user_id"] == 3]
+    assert list(u3["delta_us"]) == [-1]
+    # partitioning must not change anything (a key never spans parts)
+    pd.testing.assert_frame_equal(out, run(4))
+
+
+def test_apply_changelog(ray_session):
+    """CDC merge: change beats base at the same ts, higher seq beats
+    lower between changes, a winning delete removes the key, untouched
+    keys pass through; layout invariance."""
+    from prase_ray.stages.relational import apply_changelog
+
+    base = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3, 4], np.int64),
+            "n_chars": np.array([10, 20, 30, 40], np.int64),
+            "ts": np.zeros(4, np.int64),
+        }
+    )
+    changes = pd.DataFrame(
+        {
+            # key 1: two upserts at the SAME ts — seq 7 wins;
+            # key 2: upsert then a later delete — gone;
+            # key 3: delete at ts=0 (ties base) — change wins, gone;
+            # key 4: untouched
+            "doc_id": np.array([1, 1, 2, 2, 3], np.int64),
+            "n_chars": np.array([100, 200, 220, 0, 0], np.int64),
+            "ts": np.array([5, 5, 1, 2, 0], np.int64),
+            "seq": np.array([3, 7, 1, 2, 9], np.int64),
+            "is_delete": np.array([0, 0, 0, 1, 1], np.int8),
+        }
+    )
+
+    def run(nblocks):
+        return (
+            apply_changelog(
+                ray.data.from_pandas(base).repartition(nblocks),
+                ray.data.from_pandas(changes).repartition(nblocks),
+                key_col="doc_id",
+                payload_cols=("n_chars",),
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    out = run(1)
+    assert list(out["doc_id"]) == [1, 4]
+    assert list(out["n_chars"]) == [200, 40]
+    assert list(out["ts"]) == [5, 0]
+    pd.testing.assert_frame_equal(out, run(3))
