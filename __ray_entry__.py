@@ -501,6 +501,47 @@ def q_funnel(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    """Fresh scratch dir for a format round-trip, keyed on the input
+    dir so concurrent sf scales never mix."""
+    import hashlib
+    import shutil
+
+    h = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/prase_{fmt}_roundtrip_{h}"
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+def q_csv_source(sf_dir: str):
+    """CSV source/sink round trip: stream documents to a directory of
+    CSV files (one per block, RFC-4180 quoting) and read it back with
+    the schema pinned — CSV is typeless on disk, so the reader
+    re-casts every column.  Oracle = the original table: fidelity is
+    the whole check."""
+    from prase_ray.sources.textfiles import read_csv_corpus, write_csv_corpus
+
+    docs = _read(sf_dir, "documents")
+    out = _roundtrip_dir(sf_dir, "csv")
+    write_csv_corpus(docs, out)
+    return read_csv_corpus(out, schema=docs.schema().base_schema)
+
+
+def q_jsonl_source(sf_dir: str):
+    """JSONL source/sink round trip (the crawl-dump interchange
+    format): stream documents out as JSON lines, read back, re-cast to
+    the pinned schema.  Oracle = the original table."""
+    from prase_ray.sources.textfiles import (
+        read_jsonl_corpus,
+        write_jsonl_corpus,
+    )
+
+    docs = _read(sf_dir, "documents")
+    out = _roundtrip_dir(sf_dir, "jsonl")
+    write_jsonl_corpus(docs, out)
+    return read_jsonl_corpus(out, schema=docs.schema().base_schema)
+
+
 def q_lag_features(sf_dir: str):
     """Per-key lag/lead features for sequence models: 1-based per-user
     event index, µs since the user's previous event (−1 first), and the
@@ -2139,6 +2180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q_funnel,
         "lag_features": q_lag_features,
         "apply_changelog": q_apply_changelog,
+        "csv_source": q_csv_source,
+        "jsonl_source": q_jsonl_source,
         "window_distinct": q_window_distinct,
         "embedding_neardup": q_embedding_neardup,
         "cosine_pairs_exact": q_cosine_pairs_exact,
@@ -2628,6 +2671,11 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY ROLLUP (source, lang)
         ORDER BY level, source, lang
     """
+
+    # format round trips: the oracle IS the source table — any loss of
+    # fidelity (types, quoting, empty strings) hash-mismatches
+    d["csv_source"] = "SELECT * FROM documents"
+    d["jsonl_source"] = "SELECT * FROM documents"
 
     d["lag_features"] = """
         SELECT user_id, event_id,

@@ -233,6 +233,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("remove_dup_spans", lambda: consume(em.q_remove_dup_spans(sf_dir)))
     timed("lag_features", lambda: consume(em.q_lag_features(sf_dir)))
     timed("apply_changelog", lambda: consume(em.q_apply_changelog(sf_dir)))
+    timed("csv_source", lambda: consume(em.q_csv_source(sf_dir)))
     # at sf0.1 both graphs cross the 1M-edge gate → these time the
     # distributed join/wedge dataflows, not the driver twins
     timed("pagerank", lambda: consume(em.q_pagerank(sf_dir)))

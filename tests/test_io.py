@@ -530,3 +530,57 @@ def test_write_partitioned_lineage_metrics(ray_session, tmp_path):
     assert len(runs) == 2
     assert runs[0]["lineage"] == lin and runs[1]["lineage"] == lin2
     assert runs[1]["written"] == [victim]
+
+
+def test_textfile_roundtrips(ray_session, tmp_path):
+    """CSV and JSONL source/sink round trips preserve hostile text —
+    embedded quotes, commas, newlines, unicode, empty strings — and
+    pinned integer types."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from prase_ray.sources.textfiles import (
+        read_csv_corpus,
+        read_jsonl_corpus,
+        write_csv_corpus,
+        write_jsonl_corpus,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                'he said "hi", twice',
+                "line one\nline two",
+                "",
+                "naïve café — résumé",
+                "trailing space ",
+            ],
+            "n": np.array([0, -7, 2**40, 5, 9], np.int64),
+        }
+    )
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("n", pa.int64())]
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+
+    cdir = str(tmp_path / "csv")
+    write_csv_corpus(ds, cdir)
+    back = (
+        read_csv_corpus(cdir, schema=schema)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back, df)
+
+    jdir = str(tmp_path / "jsonl")
+    write_jsonl_corpus(ds, jdir)
+    back = (
+        read_jsonl_corpus(jdir, schema=schema)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back, df)
