@@ -1335,6 +1335,58 @@ def q_remove_dup_spans_join(sf_dir: str):
     return remove_dup_spans(docs, k=8, min_count=2, broadcast=False)
 
 
+_LINE_W = 7  # tokens per synthetic line in the line-dedup fixtures
+
+
+def _lineified_docs(sf_dir: str):
+    """documents rewritten as line-structured pages: tokens regrouped
+    into 7-token lines joined by newlines (the corpus has no natural
+    newlines).  Deterministic and restated 1:1 in the oracle SQL."""
+    import ray.data
+
+    def to_lines(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t in b["text"]:
+            toks = t.split()
+            out.append(
+                "\n".join(
+                    " ".join(toks[i : i + _LINE_W])
+                    for i in range(0, len(toks), _LINE_W)
+                )
+            )
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(np.int64), "text": out}
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(to_lines, batch_format="pandas")
+
+
+def q_line_dedup(sf_dir: str):
+    """Corpus-level duplicate-LINE removal (CCNet / RefinedWeb
+    curation pass): every occurrence of a line whose exact text
+    already occurred earlier in global (doc_id, line_idx) order is
+    deleted; the globally-first occurrence survives.  Broadcast
+    finalize: the duplicated-line relation ships once via ray.put and
+    mark+rebuild runs in ONE pass over the docs."""
+    from prase_ray.stages.dedup import line_dedup_corpus
+
+    return line_dedup_corpus(_lineified_docs(sf_dir), min_line_len=1)
+
+
+def q_line_dedup_join(sf_dir: str):
+    """Join-path twin of line_dedup (broadcast=False): line rows
+    hash-join the dup-line relation, per-doc removed-index lists ride
+    one doc_id hash join back to the text.  Same oracle; proves the
+    above-gate scale path bit-equal."""
+    from prase_ray.stages.dedup import line_dedup_corpus
+
+    return line_dedup_corpus(
+        _lineified_docs(sf_dir), min_line_len=1, broadcast=False
+    )
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: corpus docs sharing any 8-token
     shingle with the held-out set (doc_id % 19 == 0).  Exercises the
@@ -2216,6 +2268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": q_dup_ngrams,
         "remove_dup_spans": q_remove_dup_spans,
         "remove_dup_spans_join": q_remove_dup_spans_join,
+        "line_dedup": q_line_dedup,
+        "line_dedup_join": q_line_dedup_join,
         "decontaminate": q_decontaminate,
         "interval_join": q_interval_join,
         "interval_join_binned": q_interval_join_binned,
@@ -2537,6 +2591,49 @@ def _sql_remove_dup_spans(k: int = 8, min_count: int = 2) -> str:
     """
 
 
+def _sql_line_dedup(w: int = 7, min_line_len: int = 1) -> str:
+    """Hash-exact twin of line_dedup_corpus over the lineified fixture
+    (tokens regrouped into `w`-token lines): FNV-1a 64 per line (first
+    128 chars), global first occurrence by packed doc_id*2^20+line_idx,
+    later occurrences deleted; lines shorter than min_line_len never
+    participate; clean text = surviving lines rejoined with newlines."""
+    return f"""
+        WITH dt AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+        ln AS (SELECT doc_id,
+                      CASE WHEN len(toks) = 0 THEN ['']
+                           ELSE list_transform(
+                               generate_series(0, (len(toks) - 1) // {w}),
+                               i -> array_to_string(
+                                   toks[i * {w} + 1 : i * {w} + {w}], ' '))
+                      END AS lines
+               FROM dt),
+        lr AS (SELECT doc_id, unnest(lines) AS line,
+                      unnest(generate_series(1, len(lines))) - 1 AS li
+               FROM ln),
+        p AS MATERIALIZED (
+            SELECT doc_id, li,
+                   list_transform([line], t -> {_SQL_FNV_T})[1] AS h,
+                   doc_id * 1048576 + li AS packed
+            FROM lr WHERE len(line) >= {min_line_len}),
+        wtab AS MATERIALIZED (
+            SELECT h, count(*) AS n, min(packed) AS win FROM p GROUP BY h),
+        rem AS (SELECT doc_id, li FROM p JOIN wtab USING (h)
+                WHERE wtab.n >= 2 AND p.packed <> wtab.win),
+        cl AS (SELECT lr.doc_id,
+                      count(*) AS n_lines,
+                      count(rem.li) AS removed_lines,
+                      coalesce(string_agg(lr.line, chr(10) ORDER BY lr.li)
+                               FILTER (WHERE rem.li IS NULL), '')
+                          AS clean_text
+               FROM lr LEFT JOIN rem
+                 ON rem.doc_id = lr.doc_id AND rem.li = lr.li
+               GROUP BY lr.doc_id)
+        SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+               CAST(removed_lines AS BIGINT) AS removed_lines, clean_text
+        FROM cl
+    """
+
+
 def _sql_decontaminate() -> str:
     """Hash-exact twin of decontaminate_stats over the doc_id%19 split:
     corpus docs joined to the distinct benchmark gram set."""
@@ -2734,6 +2831,8 @@ def oracle_sql() -> dict[str, str]:
     d["dup_ngrams"] = _sql_dup_ngrams()
     d["remove_dup_spans"] = _sql_remove_dup_spans(8, 2)
     d["remove_dup_spans_join"] = _sql_remove_dup_spans(8, 2)
+    d["line_dedup"] = _sql_line_dedup(_LINE_W, 1)
+    d["line_dedup_join"] = d["line_dedup"]
     d["decontaminate"] = _sql_decontaminate()
     d["interval_join"] = _sql_interval_join()
     # both interval-join shapes (broadcast probe / binned hash join)

@@ -231,6 +231,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("unigram_surprise", lambda: consume(em.q_unigram_surprise(sf_dir)))
     timed("embedding_gram", lambda: consume(em.q_embedding_gram(sf_dir)))
     timed("remove_dup_spans", lambda: consume(em.q_remove_dup_spans(sf_dir)))
+    timed("line_dedup", lambda: consume(em.q_line_dedup(sf_dir)))
     timed("lag_features", lambda: consume(em.q_lag_features(sf_dir)))
     timed("apply_changelog", lambda: consume(em.q_apply_changelog(sf_dir)))
     timed("csv_source", lambda: consume(em.q_csv_source(sf_dir)))

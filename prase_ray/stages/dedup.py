@@ -1676,3 +1676,252 @@ def remove_dup_spans(
         )
 
     return joined.map_batches(finalize_join, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# X72: corpus-level duplicate-LINE removal (CCNet / RefinedWeb curation pass)
+# ---------------------------------------------------------------------------
+
+_LINE_IDX_CAP = np.int64(1) << 20  # lines per doc bound for the packed key
+
+
+def _line_rows_frame(
+    texts: pd.Series,
+    ids: np.ndarray,
+    delim: str,
+    min_line_len: int,
+    max_chars: int,
+) -> tuple[pd.DataFrame, np.ndarray]:
+    """Explode docs into participant line rows (doc_id, line_idx, h,
+    packed).  Participants are lines with len >= min_line_len; shorter
+    lines (e.g. blank separators) never dedup.  packed = doc_id *
+    2^20 + line_idx defines the global first-occurrence order.
+    Returns (rows, n_lines per doc)."""
+    from prase_ray.functions.hashing import fnv1a_str_array
+
+    split = texts.str.split(delim)
+    n_lines = split.str.len().to_numpy(np.int64)
+    if len(ids) and int(n_lines.max(initial=0)) >= int(_LINE_IDX_CAP):
+        raise ValueError("doc exceeds the 2^20 lines-per-doc packing bound")
+    flat = np.concatenate([np.asarray(x, object) for x in split]) if len(
+        ids
+    ) else np.empty(0, object)
+    doc = np.repeat(ids, n_lines)
+    idx = np.concatenate([np.arange(n, dtype=np.int64) for n in n_lines]) if len(
+        ids
+    ) else np.empty(0, np.int64)
+    lens = np.frompyfunc(len, 1, 1)(flat).astype(np.int64) if len(flat) else (
+        np.empty(0, np.int64)
+    )
+    part = lens >= min_line_len
+    h = fnv1a_str_array(flat[part], max_chars=max_chars).astype(np.int64)
+    packed = doc[part] * _LINE_IDX_CAP + idx[part]
+    rows = pd.DataFrame(
+        {"doc_id": doc[part], "line_idx": idx[part], "h": h, "packed": packed}
+    )
+    return rows, n_lines
+
+
+def _finalize_line_rows(
+    texts: pd.Series, ids: np.ndarray, removed_per_doc: list, delim: str
+) -> pd.DataFrame:
+    """Rebuild each doc with the removed line indices deleted; removed
+    lists are sorted int64 index arrays (or None)."""
+    split = texts.str.split(delim)
+    n_lines = np.zeros(len(ids), np.int64)
+    removed = np.zeros(len(ids), np.int64)
+    clean = []
+    for i, lines in enumerate(split):
+        lines = lines if isinstance(lines, list) else []
+        n_lines[i] = len(lines)
+        r = removed_per_doc[i]
+        if r is None or len(r) == 0:
+            clean.append(delim.join(lines))
+            continue
+        removed[i] = len(r)
+        drop = set(int(x) for x in r)
+        clean.append(
+            delim.join(l for j, l in enumerate(lines) if j not in drop)
+        )
+    return pd.DataFrame(
+        {
+            "doc_id": ids,
+            "n_lines": n_lines,
+            "removed_lines": removed,
+            "clean_text": clean,
+        }
+    )
+
+
+def line_dedup_corpus(
+    docs: ray.data.Dataset,
+    *,
+    delim: str = "\n",
+    min_line_len: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int = 128,
+    num_partitions: int = 32,
+    broadcast: bool | None = None,
+    broadcast_max_lines: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Corpus-level duplicate-LINE removal (the CCNet / RefinedWeb
+    curation pass; C4 uses the three-sentence-span variant): every
+    occurrence of a line whose exact text (first `max_chars` chars)
+    already occurred earlier in the global (doc_id, line_idx) order is
+    deleted; the globally-first occurrence is kept.  Lines shorter
+    than `min_line_len` never participate (blank separators survive).
+    Returns Dataset(doc_id, n_lines, removed_lines, clean_text), one
+    row per input doc.
+
+    Scale shape — the line-level sibling of X1 (doc) and X68 (span):
+    participant line rows reduce per batch to (h -> min packed, count)
+    partials, ONE slim exchange hash-partitions them 64 ways, and the
+    duplicated-line relation (h, winner_packed) that emerges is
+    bounded by the number of distinct duplicated lines, not the
+    corpus.  Below ``broadcast_max_lines`` that relation ships once
+    via ray.put and the entire mark+rebuild runs in one pass over the
+    docs — zero corpus shuffles.  Above the gate: line rows hash-join
+    the dup relation, losers collapse to per-doc index lists (bounded
+    by removed volume), and one doc_id hash join carries them back to
+    the text.  Reference analog: the corpus-dedup step of
+    load-time curation; no reference file implements it (extension
+    operator per SURVEY §2-X)."""
+    import ray as _ray
+
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    def line_rows(b: pd.DataFrame) -> pd.DataFrame:
+        rows, _ = _line_rows_frame(
+            b[text_col], b[id_col].to_numpy(np.int64), delim,
+            min_line_len, max_chars,
+        )
+        return rows
+
+    rows = docs.map_batches(line_rows, batch_format="pandas")
+
+    def h_partials(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("h", as_index=False).agg(
+            n=("h", "size"), win=("packed", "min")
+        )
+        g.insert(
+            0,
+            "part",
+            (g["h"].to_numpy().astype(np.uint64) % np.uint64(64)).astype(
+                np.int32
+            ),
+        )
+        return g
+
+    def dup_in_part(part: pd.DataFrame) -> pd.DataFrame:
+        s = part.groupby("h", as_index=False).agg(
+            n=("n", "sum"), win=("win", "min")
+        )
+        return s[s["n"] >= 2][["h", "win"]].reset_index(drop=True)
+
+    dup_lines = (
+        rows.map_batches(h_partials, batch_format="pandas")
+        .groupby("part")
+        .map_groups(dup_in_part, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+
+    if broadcast is None:
+        dup_lines = dup_lines.materialize()
+        broadcast = dup_lines.count() <= broadcast_max_lines
+
+    if broadcast:
+        hs, wins = [], []
+        for blk in _ray.get(dup_lines.to_arrow_refs()):
+            if not isinstance(blk, pa.Table):
+                blk = pa.Table.from_pandas(blk)
+            if blk.num_rows and "h" in blk.column_names:
+                hs.append(blk["h"].to_numpy(zero_copy_only=False))
+                wins.append(blk["win"].to_numpy(zero_copy_only=False))
+        if hs:
+            h_arr = np.concatenate(hs).astype(np.int64)
+            w_arr = np.concatenate(wins).astype(np.int64)
+            order = np.argsort(h_arr)
+            h_arr, w_arr = h_arr[order], w_arr[order]
+        else:
+            h_arr = np.empty(0, np.int64)
+            w_arr = np.empty(0, np.int64)
+        gref = _ray.put((h_arr, w_arr))
+
+        def finalize_bcast(b: pd.DataFrame) -> pd.DataFrame:
+            dh, dw = _ray.get(gref)
+            ids = b[id_col].to_numpy(np.int64)
+            r, _ = _line_rows_frame(
+                b[text_col], ids, delim, min_line_len, max_chars
+            )
+            removed_per_doc: dict[int, list] = {}
+            if len(dh) and len(r):
+                hv = r["h"].to_numpy()
+                p = np.searchsorted(dh, hv).clip(0, len(dh) - 1)
+                hit = dh[p] == hv
+                lose = hit & (r["packed"].to_numpy() != dw[p])
+                sub = r[lose]
+                for d, g in sub.groupby("doc_id"):
+                    removed_per_doc[int(d)] = g["line_idx"].to_numpy()
+            rem = [removed_per_doc.get(int(d)) for d in ids]
+            return _finalize_line_rows(b[text_col], ids, rem, delim)
+
+        return docs.map_batches(finalize_bcast, batch_format="pandas")
+
+    jp = ensure_join_cpu_budget(num_partitions)
+    hits = rows.map_batches(lambda t: t, batch_format="pyarrow").join(
+        dup_lines, join_type="inner", num_partitions=jp, on=("h",)
+    )
+
+    def lose_rows(b: pd.DataFrame) -> pd.DataFrame:
+        lose = b["packed"].to_numpy() != b["win"].to_numpy()
+        return b.loc[lose, ["doc_id", "line_idx"]]
+
+    losers = hits.map_batches(lose_rows, batch_format="pandas")
+
+    def idx_list(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"doc_id": [], "ridx": []})
+        g = g.sort_values("line_idx")
+        return pd.DataFrame(
+            {
+                "doc_id": [np.int64(g["doc_id"].iloc[0])],
+                "ridx": [g["line_idx"].to_numpy("<i8").tobytes()],
+            }
+        )
+
+    _idx_schema = pa.schema([("doc_id", pa.int64()), ("ridx", pa.binary())])
+
+    def _norm_idx(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return _idx_schema.empty_table()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "ridx": t["ridx"].cast(pa.binary()),
+            }
+        )
+
+    per_doc = _drop_empty_blocks(
+        losers.groupby("doc_id")
+        .map_groups(idx_list, batch_format="pandas")
+        .map_batches(_norm_idx, batch_format="pyarrow"),
+        _idx_schema,
+    )
+
+    joined = docs.map_batches(lambda t: t, batch_format="pyarrow").join(
+        per_doc, join_type="left_outer", num_partitions=jp, on=(id_col,)
+    )
+
+    def finalize_join(b: pd.DataFrame) -> pd.DataFrame:
+        rem = [
+            np.frombuffer(s, dtype="<i8")
+            if isinstance(s, (bytes, bytearray))
+            else None
+            for s in b["ridx"]
+        ]
+        return _finalize_line_rows(
+            b[text_col], b[id_col].to_numpy(np.int64), rem, delim
+        )
+
+    return joined.map_batches(finalize_join, batch_format="pandas")

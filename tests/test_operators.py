@@ -2489,3 +2489,64 @@ def test_apply_changelog(ray_session):
     assert list(out["n_chars"]) == [200, 40]
     assert list(out["ts"]) == [5, 0]
     pd.testing.assert_frame_equal(out, run(3))
+
+
+def test_line_dedup_corpus(ray_session):
+    """Corpus-level duplicate-LINE removal (CCNet/RefinedWeb pass):
+    the globally-first occurrence (doc_id, line_idx order) of each
+    exact line survives, every later occurrence — across docs AND
+    within a doc — is deleted; lines below min_line_len (blank
+    separators) never participate; join path bit-equal."""
+    from prase_ray.stages.dedup import line_dedup_corpus
+
+    boiler = "subscribe to our newsletter today"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                f"unique opening line\n{boiler}\nclosing thoughts",
+                f"{boiler}\n\nanother body line\n{boiler}",
+                "totally original document",
+                "",
+            ],
+        }
+    )
+    out = (
+        line_dedup_corpus(ray.data.from_pandas(docs), min_line_len=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 4
+    # doc 0 holds the first occurrence of the boilerplate -> intact
+    assert out.loc[0, "removed_lines"] == 0
+    assert (
+        out.loc[0, "clean_text"]
+        == f"unique opening line\n{boiler}\nclosing thoughts"
+    )
+    # doc 1: both its occurrences are later than doc 0's -> removed;
+    # the blank separator line (len 0 < min_line_len) survives
+    assert out.loc[1, "n_lines"] == 4 and out.loc[1, "removed_lines"] == 2
+    assert out.loc[1, "clean_text"] == "\nanother body line"
+    assert out.loc[2, "removed_lines"] == 0
+    # empty doc: one empty line, non-participant, passes through
+    assert out.loc[3, "n_lines"] == 1 and out.loc[3, "clean_text"] == ""
+
+    out2 = (
+        line_dedup_corpus(
+            ray.data.from_pandas(docs), min_line_len=2, broadcast=False
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(out, out2, check_dtype=False)
+
+    # within-doc first occurrence wins when no earlier doc has the line
+    rep = pd.DataFrame({"doc_id": [9], "text": ["dup line a\ndup line a"]})
+    r = (
+        line_dedup_corpus(ray.data.from_pandas(rep), min_line_len=2)
+        .to_pandas()
+        .iloc[0]
+    )
+    assert r["removed_lines"] == 1 and r["clean_text"] == "dup line a"
