@@ -1336,11 +1336,12 @@ def q_remove_dup_spans_join(sf_dir: str):
 
 
 _LINE_W = 7  # tokens per synthetic line in the line-dedup fixtures
+_BOILER_W = 2  # shorter lines for the per-source boilerplate fixture
 
 
-def _lineified_docs(sf_dir: str):
+def _lineified_docs(sf_dir: str, w: int = _LINE_W, with_source: bool = False):
     """documents rewritten as line-structured pages: tokens regrouped
-    into 7-token lines joined by newlines (the corpus has no natural
+    into `w`-token lines joined by newlines (the corpus has no natural
     newlines).  Deterministic and restated 1:1 in the oracle SQL."""
     import ray.data
 
@@ -1350,16 +1351,20 @@ def _lineified_docs(sf_dir: str):
             toks = t.split()
             out.append(
                 "\n".join(
-                    " ".join(toks[i : i + _LINE_W])
-                    for i in range(0, len(toks), _LINE_W)
+                    " ".join(toks[i : i + w])
+                    for i in range(0, len(toks), w)
                 )
             )
-        return pd.DataFrame(
+        res = pd.DataFrame(
             {"doc_id": b["doc_id"].to_numpy(np.int64), "text": out}
         )
+        if with_source:
+            res["source"] = b["source"].to_numpy(object)
+        return res
 
+    cols = ["doc_id", "text"] + (["source"] if with_source else [])
     return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        f"{sf_dir}/documents.parquet", columns=cols
     ).map_batches(to_lines, batch_format="pandas")
 
 
@@ -1384,6 +1389,40 @@ def q_line_dedup_join(sf_dir: str):
 
     return line_dedup_corpus(
         _lineified_docs(sf_dir), min_line_len=1, broadcast=False
+    )
+
+
+def q_boilerplate(sf_dir: str):
+    """Per-source boilerplate line removal (RefinedWeb domain pass)
+    over the 2-token lineified fixture: a line in >= max(2,
+    ceil(n_docs_in_source/5)) distinct docs of its source loses every
+    occurrence.  Broadcast finalize (per-source sorted hash arrays
+    ship once via ray.put)."""
+    from prase_ray.stages.dedup import remove_boilerplate_lines
+
+    return remove_boilerplate_lines(
+        _lineified_docs(sf_dir, w=_BOILER_W, with_source=True),
+        group_col="source",
+        share_num=1,
+        share_den=5,
+        min_docs=2,
+    )
+
+
+def q_boilerplate_join(sf_dir: str):
+    """Join-path twin of boilerplate (broadcast=False): line rows
+    hash-join the (source, line-hash) boilerplate relation; removed
+    index lists ride one doc_id join back.  Same oracle; proves the
+    above-gate scale path bit-equal."""
+    from prase_ray.stages.dedup import remove_boilerplate_lines
+
+    return remove_boilerplate_lines(
+        _lineified_docs(sf_dir, w=_BOILER_W, with_source=True),
+        group_col="source",
+        share_num=1,
+        share_den=5,
+        min_docs=2,
+        broadcast=False,
     )
 
 
@@ -2270,6 +2309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_dup_spans_join": q_remove_dup_spans_join,
         "line_dedup": q_line_dedup,
         "line_dedup_join": q_line_dedup_join,
+        "boilerplate": q_boilerplate,
+        "boilerplate_join": q_boilerplate_join,
         "decontaminate": q_decontaminate,
         "interval_join": q_interval_join,
         "interval_join_binned": q_interval_join_binned,
@@ -2634,6 +2675,58 @@ def _sql_line_dedup(w: int = 7, min_line_len: int = 1) -> str:
     """
 
 
+def _sql_boilerplate(
+    w: int = 2, share_num: int = 1, share_den: int = 5, min_docs: int = 2
+) -> str:
+    """Hash-exact twin of remove_boilerplate_lines over the `w`-token
+    lineified fixture: FNV-1a 64 per line, distinct-doc counts per
+    (source, hash), integer ceil threshold max(min_docs,
+    ceil(n_docs*share)), EVERY occurrence of a boilerplate line
+    deleted (no first-kept)."""
+    return f"""
+        WITH dt AS (SELECT doc_id, source, {_SQL_TOKS} AS toks
+                    FROM documents),
+        ln AS (SELECT doc_id, source,
+                      CASE WHEN len(toks) = 0 THEN ['']
+                           ELSE list_transform(
+                               generate_series(0, (len(toks) - 1) // {w}),
+                               i -> array_to_string(
+                                   toks[i * {w} + 1 : i * {w} + {w}], ' '))
+                      END AS lines
+               FROM dt),
+        lr AS (SELECT doc_id, source, unnest(lines) AS line,
+                      unnest(generate_series(1, len(lines))) - 1 AS li
+               FROM ln),
+        p AS MATERIALIZED (
+            SELECT doc_id, source, li,
+                   list_transform([line], t -> {_SQL_FNV_T})[1] AS h
+            FROM lr WHERE len(line) >= 1),
+        dc AS (SELECT source, h, count(DISTINCT doc_id) AS ndoc
+               FROM p GROUP BY source, h),
+        nd AS (SELECT source, count(*) AS n_docs
+               FROM documents GROUP BY source),
+        bp AS MATERIALIZED (
+            SELECT dc.source, dc.h FROM dc JOIN nd USING (source)
+            WHERE dc.ndoc >= greatest(
+                {min_docs},
+                (nd.n_docs * {share_num} + {share_den} - 1) // {share_den})),
+        rem AS (SELECT p.doc_id, p.li FROM p
+                JOIN bp ON bp.source = p.source AND bp.h = p.h),
+        cl AS (SELECT lr.doc_id,
+                      count(*) AS n_lines,
+                      count(rem.li) AS removed_lines,
+                      coalesce(string_agg(lr.line, chr(10) ORDER BY lr.li)
+                               FILTER (WHERE rem.li IS NULL), '')
+                          AS clean_text
+               FROM lr LEFT JOIN rem
+                 ON rem.doc_id = lr.doc_id AND rem.li = lr.li
+               GROUP BY lr.doc_id)
+        SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+               CAST(removed_lines AS BIGINT) AS removed_lines, clean_text
+        FROM cl
+    """
+
+
 def _sql_decontaminate() -> str:
     """Hash-exact twin of decontaminate_stats over the doc_id%19 split:
     corpus docs joined to the distinct benchmark gram set."""
@@ -2833,6 +2926,8 @@ def oracle_sql() -> dict[str, str]:
     d["remove_dup_spans_join"] = _sql_remove_dup_spans(8, 2)
     d["line_dedup"] = _sql_line_dedup(_LINE_W, 1)
     d["line_dedup_join"] = d["line_dedup"]
+    d["boilerplate"] = _sql_boilerplate(_BOILER_W, 1, 5, 2)
+    d["boilerplate_join"] = d["boilerplate"]
     d["decontaminate"] = _sql_decontaminate()
     d["interval_join"] = _sql_interval_join()
     # both interval-join shapes (broadcast probe / binned hash join)

@@ -1691,12 +1691,15 @@ def _line_rows_frame(
     delim: str,
     min_line_len: int,
     max_chars: int,
+    groups: np.ndarray | None = None,
 ) -> tuple[pd.DataFrame, np.ndarray]:
     """Explode docs into participant line rows (doc_id, line_idx, h,
     packed).  Participants are lines with len >= min_line_len; shorter
     lines (e.g. blank separators) never dedup.  packed = doc_id *
-    2^20 + line_idx defines the global first-occurrence order.
-    Returns (rows, n_lines per doc)."""
+    2^20 + line_idx defines the global first-occurrence order.  With
+    `groups` (one value per doc, e.g. the registered domain) a `grp`
+    column rides along for group-scoped passes.  Returns (rows,
+    n_lines per doc)."""
     from prase_ray.functions.hashing import fnv1a_str_array
 
     split = texts.str.split(delim)
@@ -1719,6 +1722,8 @@ def _line_rows_frame(
     rows = pd.DataFrame(
         {"doc_id": doc[part], "line_idx": idx[part], "h": h, "packed": packed}
     )
+    if groups is not None:
+        rows["grp"] = np.repeat(np.asarray(groups, object), n_lines)[part]
     return rows, n_lines
 
 
@@ -1878,6 +1883,24 @@ def line_dedup_corpus(
         return b.loc[lose, ["doc_id", "line_idx"]]
 
     losers = hits.map_batches(lose_rows, batch_format="pandas")
+    return _apply_removed_lines_join(
+        docs, losers, id_col=id_col, text_col=text_col, delim=delim, jp=jp
+    )
+
+
+def _apply_removed_lines_join(
+    docs: ray.data.Dataset,
+    losers: ray.data.Dataset,
+    *,
+    id_col: str,
+    text_col: str,
+    delim: str,
+    jp: int,
+) -> ray.data.Dataset:
+    """Shared above-gate tail for line-removal operators: collapse
+    loser line rows (doc_id, line_idx) to per-doc packed index lists
+    (bounded by removed volume, not the corpus), ride ONE doc_id hash
+    join back to the text, and rebuild each doc."""
 
     def idx_list(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -1908,6 +1931,11 @@ def line_dedup_corpus(
         .map_batches(_norm_idx, batch_format="pyarrow"),
         _idx_schema,
     )
+    if id_col != "doc_id":
+        per_doc = per_doc.map_batches(
+            lambda t: t.rename_columns([id_col, "ridx"]),
+            batch_format="pyarrow",
+        )
 
     joined = docs.map_batches(lambda t: t, batch_format="pyarrow").join(
         per_doc, join_type="left_outer", num_partitions=jp, on=(id_col,)
@@ -1925,3 +1953,216 @@ def line_dedup_corpus(
         )
 
     return joined.map_batches(finalize_join, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# X73: per-group boilerplate line removal (RefinedWeb-style domain pass)
+# ---------------------------------------------------------------------------
+
+
+def remove_boilerplate_lines(
+    docs: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    delim: str = "\n",
+    min_line_len: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int = 128,
+    share_num: int = 1,
+    share_den: int = 5,
+    min_docs: int = 2,
+    num_partitions: int = 32,
+    broadcast: bool | None = None,
+    broadcast_max_lines: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Per-group boilerplate line removal (the RefinedWeb / CCNet
+    domain pass): a line is boilerplate within a group (registered
+    domain, crawl source) when it occurs in at least
+    ``max(min_docs, ceil(n_docs_in_group * share_num / share_den))``
+    DISTINCT documents of that group — nav bars, cookie banners,
+    footers.  EVERY occurrence is deleted (no first-kept: boilerplate
+    is noise, unlike X72's content dedup).  The threshold is pure
+    integer arithmetic so the DuckDB oracle reproduces it exactly.
+    Returns Dataset(doc_id, n_lines, removed_lines, clean_text).
+
+    Scale shape: within one batch a doc is whole, so per-batch
+    distinct (grp, h, doc) rows are globally distinct — per-batch
+    partial doc-counts per (grp, h) sum exactly after ONE slim 64-way
+    part-hash exchange.  Group sizes aggregate the same way on grp.
+    The boilerplate relation (grp, h) that emerges is bounded by true
+    boilerplate volume; group sizes by the number of groups
+    (registered domains, ~1e7 at web scale — never the corpus).
+    Below ``broadcast_max_lines`` the relation ships once via ray.put
+    (per-group sorted hash arrays) and mark+rebuild is ONE corpus
+    pass; above it line rows hash-join the relation on (grp, h) and
+    removed-index lists ride ONE doc_id join back (X72's shared
+    tail).  Extension operator per SURVEY §2-X; no reference analog."""
+    import ray as _ray
+
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    def line_rows(b: pd.DataFrame) -> pd.DataFrame:
+        rows, _ = _line_rows_frame(
+            b[text_col], b[id_col].to_numpy(np.int64), delim,
+            min_line_len, max_chars,
+            groups=b[group_col].to_numpy(object),
+        )
+        return rows
+
+    rows = docs.map_batches(line_rows, batch_format="pandas")
+
+    # per-batch partial: distinct docs per (grp, h) — exact after one
+    # exchange because each doc is whole within its batch
+    def dc_partials(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.drop_duplicates(subset=["h", "doc_id"])
+        g = d.groupby(["grp", "h"], as_index=False).agg(dc=("doc_id", "size"))
+        g.insert(
+            0,
+            "part",
+            (g["h"].to_numpy().astype(np.uint64) % np.uint64(64)).astype(
+                np.int32
+            ),
+        )
+        return g
+
+    def cand_in_part(part: pd.DataFrame) -> pd.DataFrame:
+        s = part.groupby(["grp", "h"], as_index=False).agg(dc=("dc", "sum"))
+        return s[s["dc"] >= min_docs].reset_index(drop=True)
+
+    _cand_schema = pa.schema(
+        [("grp", pa.string()), ("h", pa.int64()), ("dc", pa.int64())]
+    )
+
+    def _norm_cand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "grp" not in t.column_names:
+            return _cand_schema.empty_table()
+        return pa.table(
+            {
+                "grp": t["grp"].cast(pa.string()),
+                "h": t["h"].cast(pa.int64()),
+                "dc": t["dc"].cast(pa.int64()),
+            }
+        )
+
+    cands = _drop_empty_blocks(
+        rows.map_batches(dc_partials, batch_format="pandas")
+        .groupby("part")
+        .map_groups(cand_in_part, batch_format="pandas")
+        .map_batches(_norm_cand, batch_format="pyarrow"),
+        _cand_schema,
+    )
+
+    # group sizes: per-batch counts sum exactly (each doc in one batch)
+    def nd_partials(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(group_col, as_index=False)
+            .agg(nd=(id_col, "size"))
+            .rename(columns={group_col: "grp"})
+        )
+
+    def nd_in_grp(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("grp", as_index=False).agg(nd=("nd", "sum"))
+
+    _nd_schema = pa.schema([("grp", pa.string()), ("nd", pa.int64())])
+
+    def _norm_nd(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "grp" not in t.column_names:
+            return _nd_schema.empty_table()
+        return pa.table(
+            {"grp": t["grp"].cast(pa.string()), "nd": t["nd"].cast(pa.int64())}
+        )
+
+    nd = _drop_empty_blocks(
+        docs.map_batches(nd_partials, batch_format="pandas")
+        .groupby("grp")
+        .map_groups(nd_in_grp, batch_format="pandas")
+        .map_batches(_norm_nd, batch_format="pyarrow"),
+        _nd_schema,
+    )
+
+    jp = ensure_join_cpu_budget(num_partitions)
+    # candidates ⋈ group sizes: boilerplate-volume × group-count sides
+    bp_all = cands.join(nd, join_type="inner", num_partitions=jp, on=("grp",))
+
+    def thresh(b: pd.DataFrame) -> pd.DataFrame:
+        # ceil(nd * share_num / share_den) in exact integer arithmetic
+        ndv = b["nd"].to_numpy(np.int64)
+        need = np.maximum(
+            np.int64(min_docs),
+            -(-(ndv * np.int64(share_num)) // np.int64(share_den)),
+        )
+        return b.loc[b["dc"].to_numpy(np.int64) >= need, ["grp", "h"]]
+
+    _bp_schema = pa.schema([("grp", pa.string()), ("h", pa.int64())])
+
+    def _norm_bp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "grp" not in t.column_names:
+            return _bp_schema.empty_table()
+        return pa.table(
+            {"grp": t["grp"].cast(pa.string()), "h": t["h"].cast(pa.int64())}
+        )
+
+    bp = _drop_empty_blocks(
+        bp_all.map_batches(thresh, batch_format="pandas").map_batches(
+            _norm_bp, batch_format="pyarrow"
+        ),
+        _bp_schema,
+    )
+
+    if broadcast is None:
+        bp = bp.materialize()
+        broadcast = bp.count() <= broadcast_max_lines
+
+    if broadcast:
+        by_grp: dict = {}
+        for blk in _ray.get(bp.to_arrow_refs()):
+            if not isinstance(blk, pa.Table):
+                blk = pa.Table.from_pandas(blk)
+            if blk.num_rows == 0 or "grp" not in blk.column_names:
+                continue
+            bdf = blk.to_pandas()
+            for g, sub in bdf.groupby("grp"):
+                by_grp.setdefault(g, []).append(
+                    sub["h"].to_numpy(np.int64)
+                )
+        bp_map = {
+            g: np.sort(np.concatenate(parts)) for g, parts in by_grp.items()
+        }
+        gref = _ray.put(bp_map)
+
+        def finalize_bcast(b: pd.DataFrame) -> pd.DataFrame:
+            m = _ray.get(gref)
+            ids = b[id_col].to_numpy(np.int64)
+            r, _ = _line_rows_frame(
+                b[text_col], ids, delim, min_line_len, max_chars,
+                groups=b[group_col].to_numpy(object),
+            )
+            removed_per_doc: dict[int, list] = {}
+            if m and len(r):
+                lose = np.zeros(len(r), bool)
+                hv = r["h"].to_numpy()
+                for g, sub_idx in r.groupby("grp").indices.items():
+                    bh = m.get(g)
+                    if bh is None or len(bh) == 0:
+                        continue
+                    hh = hv[sub_idx]
+                    p = np.searchsorted(bh, hh).clip(0, len(bh) - 1)
+                    lose[sub_idx] = bh[p] == hh
+                sub = r[lose]
+                for d, g2 in sub.groupby("doc_id"):
+                    removed_per_doc[int(d)] = g2["line_idx"].to_numpy()
+            rem = [removed_per_doc.get(int(d)) for d in ids]
+            return _finalize_line_rows(b[text_col], ids, rem, delim)
+
+        return docs.map_batches(finalize_bcast, batch_format="pandas")
+
+    hits = rows.map_batches(lambda t: t, batch_format="pyarrow").join(
+        bp, join_type="inner", num_partitions=jp, on=("grp", "h")
+    )
+    losers = hits.map_batches(
+        lambda b: b[["doc_id", "line_idx"]], batch_format="pandas"
+    )
+    return _apply_removed_lines_join(
+        docs, losers, id_col=id_col, text_col=text_col, delim=delim, jp=jp
+    )

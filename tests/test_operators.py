@@ -2550,3 +2550,64 @@ def test_line_dedup_corpus(ray_session):
         .iloc[0]
     )
     assert r["removed_lines"] == 1 and r["clean_text"] == "dup line a"
+
+
+def test_remove_boilerplate_lines(ray_session):
+    """Per-group boilerplate removal: a line in >= max(min_docs,
+    ceil(n_docs*share)) distinct docs of a group loses EVERY
+    occurrence (no first-kept); the same line in another group below
+    threshold survives; within-doc repeats count once toward the doc
+    count; join path bit-equal."""
+    from prase_ray.stages.dedup import remove_boilerplate_lines
+
+    banner = "accept all cookies"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "source": ["a", "a", "a", "a", "b"],
+            "text": [
+                f"{banner}\nreal content zero",
+                f"{banner}\nreal content one\n{banner}",
+                f"real content two\n{banner}",
+                "real content three",
+                f"{banner}\nother group content",
+            ],
+        }
+    )
+    # group a: 4 docs, banner in 3 distinct -> >= max(2, ceil(4/2)) = 2 ✓
+    # group b: 1 doc, banner in 1 -> below min_docs -> survives
+    out = (
+        remove_boilerplate_lines(
+            ray.data.from_pandas(docs),
+            group_col="source",
+            share_num=1,
+            share_den=2,
+            min_docs=2,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "clean_text"] == "real content zero"
+    # no first-kept: BOTH of doc 1's occurrences go
+    assert out.loc[1, "removed_lines"] == 2
+    assert out.loc[1, "clean_text"] == "real content one"
+    assert out.loc[2, "clean_text"] == "real content two"
+    assert out.loc[3, "removed_lines"] == 0
+    # group b is below threshold -> banner survives there
+    assert out.loc[4, "clean_text"] == f"{banner}\nother group content"
+
+    out2 = (
+        remove_boilerplate_lines(
+            ray.data.from_pandas(docs),
+            group_col="source",
+            share_num=1,
+            share_den=2,
+            min_docs=2,
+            broadcast=False,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(out, out2, check_dtype=False)
