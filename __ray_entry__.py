@@ -757,6 +757,34 @@ def q_group_quantiles(sf_dir: str):
     return out
 
 
+def q_quantile_gate(sf_dir: str):
+    """Per-language median-length gate: keep documents whose token
+    count is at or above their language's exact p50 — the per-group
+    curation filter.  The threshold table (one row per lang) comes from
+    the value-count quantile machinery; the filter pass broadcasts it
+    in a closure — the corpus is scanned twice, shuffled never.  q=0.5
+    makes the interpolated threshold bit-identical on both sides (the
+    fraction is 0 or 0.5, exact in doubles either way)."""
+    from prase_ray.stages.relational import quantile_gate
+
+    docs = _read(sf_dir, "documents")
+
+    def slim(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "lang": b["lang"].to_numpy(object),
+                "n_tokens": (b["text"].str.count(" ") + 1).to_numpy(np.int64),
+            }
+        )
+
+    rel = docs.map_batches(slim, batch_format="pandas")
+    out = quantile_gate(
+        rel, group_col="lang", value_col="n_tokens", q=0.5
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_tfidf_topk(sf_dir: str):
     """Top-3 TF-IDF terms per document (two shuffles, no join: df
     computed inside term-hash partitions, per-partition pre-truncation
@@ -2290,6 +2318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_30m": q_sessionize_30m,
         "tfidf_topk": q_tfidf_topk,
         "group_quantiles": q_group_quantiles,
+        "quantile_gate": q_quantile_gate,
         "paris_half_iteration": q_paris_half_iteration,
         "paris_half_iteration_join": q_paris_half_iteration_join,
         "paris_half_iteration_ds": q_paris_half_iteration_ds,
@@ -4047,6 +4076,24 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM events GROUP BY user_id HAVING COUNT(*) > 30
             ORDER BY user_id
+        """,
+        # per-group median gate: same integer distribution, same type-7
+        # interpolation, same >= comparison on both sides (q=0.5 keeps
+        # the threshold exact in doubles)
+        "quantile_gate": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ), qt AS (
+                SELECT lang, quantile_cont(n_tokens, 0.5) AS thr
+                FROM t GROUP BY lang
+            )
+            SELECT t.doc_id, t.lang, t.n_tokens
+            FROM t JOIN qt USING (lang)
+            WHERE t.n_tokens >= qt.thr
+            ORDER BY t.doc_id
         """,
         # same whitespace tokenizer as token_stats; identical doubles on
         # ties (same tf, df) break by term, so the top-k is deterministic

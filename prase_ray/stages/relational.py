@@ -333,6 +333,49 @@ def group_quantiles_approx(
     )
 
 
+def quantile_gate(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    q: float = 0.5,
+    keep: str = "ge",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-group quantile FILTER: keep rows whose ``value_col`` is >=
+    (``keep="ge"``) or <= (``keep="le"``) their group's exact
+    q-quantile — the "drop the bottom half of each language by length"
+    curation gate.  Composes ``group_quantiles`` (value-count partials,
+    exact type-7 interpolation — the threshold table is one row per
+    group) with a broadcast-threshold filter pass: the corpus is
+    scanned twice and shuffled ZERO times; only the slim (group, value)
+    count relation is exchanged.  Hash-exact vs SQL ``quantile_cont``
+    because both sides compute the identical float threshold from the
+    identical integer distribution and compare with the same operator.
+    """
+    if keep not in ("ge", "le"):
+        raise ValueError(keep)
+    thr_df = group_quantiles(
+        ds,
+        group_col=group_col,
+        value_col=value_col,
+        qs=(q,),
+        num_partitions=num_partitions,
+    )
+    col = f"p{int(q * 100)}"
+    thr = dict(zip(thr_df[group_col], thr_df[col]))
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[group_col].map(thr).to_numpy(np.float64)
+        v = b[value_col].to_numpy(np.float64)
+        m = (v >= t) if keep == "ge" else (v <= t)
+        # a group absent from the threshold table (impossible for the
+        # same input, NaN map result) drops its rows: NaN compares False
+        return b[m]
+
+    return ds.map_batches(gate, batch_format="pandas")
+
+
 _BCAST_CACHE: dict = {}
 
 

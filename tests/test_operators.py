@@ -826,6 +826,34 @@ def test_stratified_sample(ray_session):
     )
 
 
+def test_quantile_gate(ray_session):
+    """Per-group quantile filter == pandas per-group median filter,
+    both keep directions, multi-block layout."""
+    from prase_ray.stages.relational import quantile_gate
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(900, dtype=np.int64),
+            "grp": rng.choice(["en", "de", "fr"], 900),
+            "val": rng.integers(1, 200, 900).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    for keep in ("ge", "le"):
+        got = (
+            quantile_gate(ds, group_col="grp", value_col="val", q=0.5, keep=keep)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        thr = df.groupby("grp")["val"].quantile(0.5)
+        t = df["grp"].map(thr).to_numpy()
+        v = df["val"].to_numpy(np.float64)
+        want = df[(v >= t) if keep == "ge" else (v <= t)].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+
 def test_heavy_hitters(ray_session):
     """Keys above the threshold are found with exact counts even when
     their occurrences are spread across many blocks."""
