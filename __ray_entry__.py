@@ -267,6 +267,19 @@ def q_window_tumbling(sf_dir: str):
     ]
 
 
+def q_window_heavy_hitters(sf_dir: str):
+    """Trending keys: top-3 event types per 1h tumbling window by exact
+    count (ties to smallest key).  Per-batch (window, key) partials →
+    one part-hash combine with a sound per-(part, window) top-k
+    pre-truncation → per-window rank; raw events never shuffle."""
+    from prase_ray.stages.windows import windowed_heavy_hitters
+
+    out = windowed_heavy_hitters(
+        _read(sf_dir, "events"), 3600, key="event_type", k=3
+    ).to_pandas()
+    return out.sort_values(["window_start", "rank"]).reset_index(drop=True)
+
+
 def q_window_hopping(sf_dir: str):
     """Hopping 1h windows every 15min per event_type — each event in
     exactly 4 overlapping windows, replicated as partials not rows."""
@@ -2283,6 +2296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "knn_bruteforce": q_knn_bruteforce,
         "window_tumbling": q_window_tumbling,
+        "window_heavy_hitters": q_window_heavy_hitters,
         "sessionize": q_sessionize,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -3548,6 +3562,27 @@ def _oracle_sql_base() -> dict[str, str]:
                    MIN(value) AS min_value,
                    MAX(value) AS max_value
             FROM events GROUP BY 1, 2
+        """,
+        # exact counts + deterministic (cnt DESC, key ASC) rank → the
+        # top-k per window is hash-exact
+        "window_heavy_hitters": """
+            WITH c AS (
+                SELECT (epoch_us(ts) // 1000000 // 3600) * 3600
+                           AS window_start,
+                       event_type,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2
+            ), r AS (
+                SELECT *,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY window_start
+                           ORDER BY cnt DESC, event_type
+                       ) AS rank
+                FROM c
+            )
+            SELECT window_start, event_type, cnt, rank
+            FROM r WHERE rank <= 3
+            ORDER BY window_start, rank
         """,
         # each event belongs to the 4 hop-aligned windows covering it
         "window_hopping": """

@@ -456,6 +456,74 @@ def tumbling_distinct(
     )
 
 
+def windowed_heavy_hitters(
+    events: ray.data.Dataset,
+    window_s: int,
+    *,
+    key: str = "event_type",
+    k: int = 3,
+    ts_col: str = "ts",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Top-k keys per tumbling window by exact count → Dataset
+    (window_start, key, cnt, rank) — the trending-detection pass
+    (per-hour hot queries / hot entities).  Composes the X27
+    heavy-hitter shape with the window column: per-batch (window, key)
+    partial counts (the first shuffle carries distinct pairs per batch,
+    never raw events) → one part-hash combine to exact counts → the
+    exact (window × key)-bounded relation regroups by window for the
+    per-window top-k with a second partial top-k bound (k rows per
+    window per block).  Integer counts, ties broken by key ascending →
+    the ranking is deterministic and hash-exact in SQL (ROW_NUMBER)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        epoch = _epoch_us(b[ts_col]) // 1_000_000
+        g = (
+            pd.DataFrame(
+                {
+                    "window_start": (epoch // window_s) * window_s,
+                    key: b[key],
+                }
+            )
+            .groupby(["window_start", key], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        g["cnt"] = g["cnt"].astype(np.int64)
+        h = pd.util.hash_array(
+            g["window_start"].to_numpy(np.uint64)
+        ) ^ pd.util.hash_array(g[key].to_numpy())
+        g.insert(0, "part", (h % np.uint64(num_partitions)).astype(np.int32))
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["window_start", key], as_index=False)["cnt"].sum()
+        # counts are EXACT here (the part hash keys on (window, key) so
+        # each pair's total lives in exactly one partition) → partial
+        # top-k per (part, window) is a sound pre-truncation: a global
+        # top-k row is necessarily in its own partition's window top-k.
+        # Bounds the regroup at k × windows × partitions rows.
+        out = out.sort_values(["window_start", "cnt", key],
+                              ascending=[True, False, True])
+        return out.groupby("window_start", as_index=False).head(k)
+
+    counts = (
+        events.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["cnt", key], ascending=[False, True]).head(k)
+        s = s.reset_index(drop=True)
+        s["rank"] = np.arange(1, len(s) + 1, dtype=np.int64)
+        return s[["window_start", key, "cnt", "rank"]]
+
+    return counts.groupby("window_start").map_groups(
+        topk, batch_format="pandas"
+    )
+
+
 def lag_features(
     events: ray.data.Dataset,
     key: str = "user_id",

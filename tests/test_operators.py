@@ -826,6 +826,51 @@ def test_stratified_sample(ray_session):
     )
 
 
+def test_windowed_heavy_hitters(ray_session):
+    """Per-window top-k == pandas groupby rank, incl. count ties (broken
+    by key asc) and k > distinct-keys windows, multi-block layout."""
+    from prase_ray.stages.windows import windowed_heavy_hitters
+
+    rng = np.random.default_rng(13)
+    n = 1200
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 4 * 3600, n) * 1_000_000, unit="us"
+            ),
+            "event_type": rng.choice(["a", "b", "c", "d", "e"], n),
+        }
+    )
+    got = (
+        windowed_heavy_hitters(
+            ray.data.from_pandas(df).repartition(5), 3600, key="event_type", k=2
+        )
+        .to_pandas()
+        .sort_values(["window_start", "rank"])
+        .reset_index(drop=True)
+    )
+    c = (
+        df.assign(
+            window_start=(
+                df["ts"].astype("datetime64[us]").astype("int64")
+                // 1_000_000 // 3600
+            ) * 3600
+        )
+        .groupby(["window_start", "event_type"], as_index=False)
+        .size()
+        .rename(columns={"size": "cnt"})
+    )
+    c = c.sort_values(["window_start", "cnt", "event_type"],
+                      ascending=[True, False, True])
+    want = c.groupby("window_start", as_index=False).head(2).reset_index(drop=True)
+    want["rank"] = want.groupby("window_start").cumcount() + 1
+    pd.testing.assert_frame_equal(
+        got, want[["window_start", "event_type", "cnt", "rank"]],
+        check_dtype=False,
+    )
+
+
 def test_quantile_gate(ray_session):
     """Per-group quantile filter == pandas per-group median filter,
     both keep directions, multi-block layout."""
