@@ -884,6 +884,26 @@ def q_pii_scrub(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_normalize_ws(sf_dir: str):
+    """Whitespace/control normalization (CCNet-style cleanup): collapse
+    every whitespace/control run to one space, trim boundaries.  The sf
+    corpora are already clean, so both sides PLANT deterministic hostile
+    whitespace (tabs, CR/LF, vertical tab, DEL, runs) around and inside
+    every doc; pyarrow and DuckDB share RE2 for byte parity."""
+    from prase_ray.stages.text import normalize_ws
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["text"] = (
+            " \t " + b["text"] + " \r\n x  y \x0b z \x7f "
+        )
+        return b
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = normalize_ws(docs.map_batches(plant, batch_format="pandas")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style per-doc repetition fingerprints (token count,
     distinct tokens, top-token count) — integer outputs for an exact
@@ -2323,6 +2343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topk": q_group_topk,
         "hash_sample": q_hash_sample,
         "pii_scrub": q_pii_scrub,
+        "normalize_ws": q_normalize_ws,
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
         "heavy_hitters": q_heavy_hitters,
@@ -4225,6 +4246,28 @@ def _oracle_sql_base() -> dict[str, str]:
                    n_emails,
                    len(regexp_extract_all(t1, '{_PII_PHONE_SQL}')) AS n_phones
             FROM e ORDER BY doc_id
+        """,
+        # same planted hostile whitespace as the engine side; chr()
+        # builds the control bytes the SQL literal can't carry inline,
+        # and both sides run the IDENTICAL RE2 collapse + trim chain
+        "normalize_ws": r"""
+            WITH p AS (
+                SELECT doc_id,
+                       ' ' || chr(9) || ' ' || text || ' ' || chr(13)
+                           || chr(10) || ' x  y ' || chr(11) || ' z '
+                           || chr(127) || ' ' AS text
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       regexp_replace(
+                           regexp_replace(text, '[\s\x00-\x1f\x7f]+',
+                                          ' ', 'g'),
+                           '^ | $', '', 'g') AS clean_text
+                FROM p
+            )
+            SELECT doc_id, clean_text,
+                   CAST(len(clean_text) AS BIGINT) AS n_chars_clean
+            FROM c ORDER BY doc_id
         """,
         "repetition_stats": r"""
             WITH n AS (

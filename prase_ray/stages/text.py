@@ -199,6 +199,38 @@ def pii_scrub(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(pii_scrub_batch, batch_format="pyarrow")
 
 
+# whitespace/control normalization (the CCNet-style cleanup pass):
+# every run of whitespace or C0/DEL control bytes collapses to one
+# space, then boundary spaces drop.  RE2-only constructs so pyarrow
+# and DuckDB run the IDENTICAL automaton (\s in RE2 = [\t\n\f\r ]).
+WS_NORM_RE = r"[\s\x00-\x1f\x7f]+"
+WS_TRIM_RE = r"^ | $"
+
+
+def normalize_ws_batch(t) -> "pa.Table":
+    """(doc_id, clean_text, n_chars_clean): whitespace-normalized text.
+    Two Arrow RE2 kernels, zero Python per row, no shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    txt = t["text"]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    clean = pc.replace_substring_regex(txt, WS_NORM_RE, " ")
+    clean = pc.replace_substring_regex(clean, WS_TRIM_RE, "")
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "clean_text": clean,
+            "n_chars_clean": pc.utf8_length(clean).cast(pa.int64()),
+        }
+    )
+
+
+def normalize_ws(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(normalize_ws_batch, batch_format="pyarrow")
+
+
 def repetition_stats_batch(b: pd.DataFrame) -> pd.DataFrame:
     """Gopher-style repetition fingerprints per doc: token count,
     distinct-token count, and the most frequent token's count (integer

@@ -826,6 +826,38 @@ def test_stratified_sample(ray_session):
     )
 
 
+def test_normalize_ws(ray_session):
+    """Whitespace normalization == python reference (split/join), incl.
+    controls, unicode text, all-whitespace and empty docs."""
+    from prase_ray.stages.text import normalize_ws
+
+    cases = [
+        "  hello   world  ",
+        "\ttabs\tand\nnewlines\r\nmixed\x0b",
+        "ctrl\x00chars\x1fand\x7fdel",
+        "unicode  héllo ?",  # NBSP is NOT \s in RE2: must survive
+        "",
+        " \t\r\n ",
+        "already clean",
+    ]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(len(cases)), "text": cases})
+    )
+    out = normalize_ws(ds).to_pandas().set_index("doc_id")
+    import re
+
+    for i, text in enumerate(cases):
+        # re.ASCII makes python's \s match RE2's ASCII-only \s (RE2
+        # does NOT treat NBSP as whitespace; python unicode \s does)
+        want = re.sub(
+            r"^ | $", "",
+            re.sub(r"[\s\x00-\x1f\x7f]+", " ", text, flags=re.ASCII),
+        )
+        assert out.loc[i, "clean_text"] == want, repr(text)
+        assert out.loc[i, "n_chars_clean"] == len(want)
+    assert "\xa0" in out.loc[3, "clean_text"]  # NBSP survived
+
+
 def test_windowed_heavy_hitters(ray_session):
     """Per-window top-k == pandas groupby rank, incl. count ties (broken
     by key asc) and k > distinct-keys windows, multi-block layout."""
