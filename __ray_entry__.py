@@ -1660,6 +1660,22 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(_read(sf_dir, "documents"), seq_len=2048, num_parts=16)
 
 
+def q_budget_cap(sf_dir: str):
+    """Per-source token-budget truncation: each source keeps its docs
+    in doc_id order while its cumulative token count fits 700 — the
+    deterministic corpus-mixing quota.  Grouped exclusive prefix sum
+    over the slim (doc_id, source, n_tokens) relation (per-(part,
+    group) sums → driver scan → one part-hash shuffle); text never
+    moves."""
+    from prase_ray.stages.packing import budget_cap
+
+    out = budget_cap(
+        _read(sf_dir, "documents"), group_col="source", budget=700,
+        num_parts=16,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_shuffle_rank(sf_dir: str):
     """Deterministic global shuffle order: pos = rank of
     splitmix64(doc_id) (ties by doc_id).  Reproducible, resumable
@@ -2385,6 +2401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": q_curate_corpus,
         "pack_sequences": q_pack_sequences,
         "shuffle_rank": q_shuffle_rank,
+        "budget_cap": q_budget_cap,
         "bloom_anti_join": q_bloom_anti_join,
         "bfs_hops": q_bfs_hops,
         "bfs_hops_distributed": q_bfs_hops_distributed,
@@ -3081,6 +3098,25 @@ def oracle_sql() -> dict[str, str]:
     """
     # deterministic shuffle order: the SAME splitmix64 mix, reduced to
     # the int64 bit pattern, ranked with doc_id tiebreak
+    # grouped exclusive prefix sum == the SQL window frame; integer
+    # token counts → hash-exact
+    d["budget_cap"] = """
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM t
+        )
+        SELECT doc_id, source, n_tokens, cum_before
+        FROM c WHERE cum_before + n_tokens <= 700
+        ORDER BY doc_id
+    """
     d["shuffle_rank"] = f"""
         WITH k AS (
             SELECT doc_id, {_sql_splitmix('doc_id::HUGEINT')} AS ku

@@ -131,6 +131,126 @@ def ordered_prefix_sum(
     return tagged.groupby("part").map_groups(local_scan, batch_format="pandas")
 
 
+def grouped_prefix_sum(
+    rel: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    val_col: str,
+    *,
+    num_parts: int = 64,
+    lo: int | None = None,
+    hi: int | None = None,
+) -> ray.data.Dataset:
+    """PER-GROUP exclusive prefix sum of ``val_col`` in ``key_col``
+    order (SQL ``SUM() OVER (PARTITION BY group ORDER BY key ROWS ...
+    1 PRECEDING)``) — the grouped sibling of ``ordered_prefix_sum``.
+
+    Same two-pass shape: order-preserving key-range parts (one part
+    covers the same key range for EVERY group), per-(part, group) sums
+    collected to the driver (bounded by num_parts × n_groups — the
+    group domain must be small: sources, languages, shards), exclusive
+    scan per group across parts, then ONE part-hash shuffle with a
+    vectorized segmented local scan.  Keys must be unique per group
+    (doc ids are); the slim relation is all that moves."""
+    rel = rel.materialize()
+    if lo is None or hi is None:
+        mm = rel.aggregate(
+            ray.data.aggregate.Min(key_col), ray.data.aggregate.Max(key_col)
+        )
+        lo = int(mm[f"min({key_col})"]) if lo is None else lo
+        hi = int(mm[f"max({key_col})"]) if hi is None else hi
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["part"] = _range_part(b[key_col].to_numpy(np.int64), lo, hi, num_parts)
+        return b
+
+    tagged = rel.map_batches(tag, batch_format="pandas")
+
+    # pass 1: per-(part, group) partial sums; ≤ parts × groups rows per
+    # batch reach the driver, where the per-group exclusive scan over
+    # parts is a tiny pivot
+    def part_partials(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["part", group_col], as_index=False)[val_col].sum()
+        return g.rename(columns={val_col: "s"})
+
+    sums = (
+        tagged.map_batches(part_partials, batch_format="pandas")
+        .to_pandas()
+        .groupby(["part", group_col], as_index=False)["s"]
+        .sum()
+        .sort_values([group_col, "part"])
+    )
+    # exclusive scan within each group across ascending parts
+    sums["off"] = sums.groupby(group_col)["s"].cumsum() - sums["s"]
+    off_df = sums[["part", group_col, "off"]].reset_index(drop=True)
+    off_ref = ray.put(off_df)
+
+    def local_scan(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        part = int(g["part"].iloc[0])
+        po = off[off["part"] == part].set_index(group_col)["off"]
+        g = g.sort_values([group_col, key_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        v = g[val_col].to_numpy(np.int64)
+        excl = np.cumsum(v) - v
+        grp = g[group_col].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], grp[1:] != grp[:-1]))
+        )
+        seg = np.cumsum(
+            np.concatenate(([True], grp[1:] != grp[:-1]))
+        ) - 1
+        within = excl - excl[starts][seg]
+        g["cum_before"] = within + (
+            g[group_col].map(po).fillna(0).to_numpy(np.int64)
+        )
+        return g.drop(columns=["part"])
+
+    return tagged.groupby("part").map_groups(local_scan, batch_format="pandas")
+
+
+def budget_cap(
+    docs: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    budget: int,
+    num_parts: int = 64,
+) -> ray.data.Dataset:
+    """Per-source token-budget truncation: keep each group's docs in
+    doc_id order while the group's cumulative token count stays within
+    ``budget`` (a doc survives iff it fits ENTIRELY: cum_before +
+    n_tokens <= budget) — the deterministic "cap every source at N
+    tokens" corpus-mixing knob.  Built on ``grouped_prefix_sum`` over
+    the slim (doc_id, group, n_tokens) relation; text never moves and
+    the result is a pure function of the input (reproducible +
+    resumable, unlike quota-by-arrival)."""
+
+    def slim(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                group_col: b[group_col].to_numpy(object),
+                "n_tokens": (b["text"].str.count(" ") + 1).to_numpy(np.int64),
+            }
+        )
+
+    rel = docs.map_batches(slim, batch_format="pandas")
+    pre = grouped_prefix_sum(
+        rel, group_col, "doc_id", "n_tokens", num_parts=num_parts
+    )
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (
+            b["cum_before"].to_numpy(np.int64)
+            + b["n_tokens"].to_numpy(np.int64)
+        ) <= budget
+        return b[keep]
+
+    return pre.map_batches(gate, batch_format="pandas")
+
+
 def pack_sequences(
     docs: ray.data.Dataset,
     seq_len: int = 2048,

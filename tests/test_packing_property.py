@@ -57,6 +57,48 @@ def test_ordered_prefix_sum_matches_numpy(
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(
+    n=st.integers(1, 400),
+    num_parts=st.sampled_from([1, 4, 32]),
+    blocks=st.sampled_from([1, 3, 8]),
+    n_groups=st.sampled_from([1, 3, 7]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_grouped_prefix_sum_matches_pandas(
+    ray_session, n, num_parts, blocks, n_groups, seed
+):
+    """Per-group exclusive prefix sum == pandas groupby cumsum shift on
+    random groups/keys/values/partitionings (keys unique per group)."""
+    from prase_ray.stages.packing import grouped_prefix_sum
+
+    rng = np.random.default_rng(seed)
+    keys = rng.permutation(3 * n)[:n].astype(np.int64)  # unique
+    grps = rng.integers(0, n_groups, n)
+    vals = rng.integers(0, 500, n)
+    df = pd.DataFrame(
+        {"g": [f"g{i}" for i in grps], "k": keys, "v": vals}
+    )
+    rel = ray.data.from_pandas(df).repartition(blocks)
+    out = (
+        grouped_prefix_sum(rel, "g", "k", "v", num_parts=num_parts)
+        .to_pandas()
+        .sort_values(["g", "k"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["g", "k"]).reset_index(drop=True)
+    ref["cum_before"] = ref.groupby("g")["v"].cumsum() - ref["v"]
+    pd.testing.assert_frame_equal(
+        out[["g", "k", "v", "cum_before"]],
+        ref[["g", "k", "v", "cum_before"]],
+        check_dtype=False,
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
     chunk=st.integers(2, 40),
     overlap_frac=st.floats(0.0, 0.9),
     seed=st.integers(0, 2**31 - 1),
