@@ -1660,6 +1660,20 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(_read(sf_dir, "documents"), seq_len=2048, num_parts=16)
 
 
+def q_build_vocab(sf_dir: str):
+    """Frequency-ordered dense vocabulary (token, cnt, token_id) with
+    token_id = rank by (cnt DESC, token ASC) and min_count=2 — the
+    tokenizer-training primitive.  Count partials carry distinct
+    tokens per batch; the global rank runs over the vocab-sized
+    relation only."""
+    from prase_ray.stages.text import build_vocab
+
+    out = build_vocab(
+        _read(sf_dir, "documents"), min_count=2, num_parts=16
+    ).to_pandas()
+    return out.sort_values("token_id").reset_index(drop=True)
+
+
 def q_budget_cap(sf_dir: str):
     """Per-source token-budget truncation: each source keeps its docs
     in doc_id order while its cumulative token count fits 700 — the
@@ -2402,6 +2416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "shuffle_rank": q_shuffle_rank,
         "budget_cap": q_budget_cap,
+        "build_vocab": q_build_vocab,
         "bloom_anti_join": q_bloom_anti_join,
         "bfs_hops": q_bfs_hops,
         "bfs_hops_distributed": q_bfs_hops_distributed,
@@ -3098,6 +3113,21 @@ def oracle_sql() -> dict[str, str]:
     """
     # deterministic shuffle order: the SAME splitmix64 mix, reduced to
     # the int64 bit pattern, ranked with doc_id tiebreak
+    # same whitespace tokenizer as tfidf/surprise; DuckDB's default
+    # BINARY collation == UTF-8 byte order == codepoint order, matching
+    # the engine's pandas string tiebreak
+    d["build_vocab"] = f"""
+        WITH t AS (
+            SELECT unnest({_SQL_TOKS}) AS token FROM documents
+        ), c AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM t GROUP BY token HAVING COUNT(*) >= 2
+        )
+        SELECT token, cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1
+                    AS BIGINT) AS token_id
+        FROM c ORDER BY token_id
+    """
     # grouped exclusive prefix sum == the SQL window frame; integer
     # token counts → hash-exact
     d["budget_cap"] = """

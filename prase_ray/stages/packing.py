@@ -89,8 +89,13 @@ def ordered_prefix_sum(
         mm = rel.aggregate(
             ray.data.aggregate.Min(key_col), ray.data.aggregate.Max(key_col)
         )
-        lo = int(mm[f"min({key_col})"]) if lo is None else lo
-        hi = int(mm[f"max({key_col})"]) if hi is None else hi
+        mn, mx = (mm or {}).get(f"min({key_col})"), (mm or {}).get(
+            f"max({key_col})"
+        )
+        if mn is None or mx is None:  # empty relation: any bounds do
+            mn, mx = 0, 0
+        lo = int(mn) if lo is None else lo
+        hi = int(mx) if hi is None else hi
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()

@@ -426,6 +426,86 @@ def chunk_documents(
     )
 
 
+def build_vocab(
+    docs: ray.data.Dataset,
+    *,
+    min_count: int = 2,
+    text_col: str = "text",
+    num_partitions: int = 32,
+    num_parts: int = 64,
+) -> ray.data.Dataset:
+    """Frequency-ordered dense vocabulary over whitespace tokens:
+    (token, cnt, token_id) with token_id = 0-based rank by (cnt DESC,
+    token ASC) — the tokenizer-training / embedding-table primitive.
+    Same dense-intern semantics as the KG node interner
+    (kg_build.py intern; reference objects/KG.py:95-143 assigns dense
+    ids on first sight — here the order is global frequency instead).
+
+    Shape: per-batch exact token-count partials (the exchange carries
+    distinct-tokens-per-batch rows, never token instances) → one
+    part-hash combine → min_count filter → global rank over the
+    vocab-sized relation via the ordered-prefix-sum primitive (key =
+    -cnt so ascending rank == descending count; UTF-8 byte order ==
+    codepoint order, so the pandas string tiebreak matches SQL binary
+    collation).  Count skew makes the rank's range bins uneven (zipf),
+    which affects balance only — order, and therefore ids, are exact."""
+    import re
+
+    from prase_ray.stages.packing import ordered_rank
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        e = (
+            b[text_col]
+            .str.findall(r"\S+", flags=re.ASCII)
+            .explode()
+            .dropna()
+        )
+        if e.empty:
+            return pd.DataFrame(
+                {
+                    "part": pd.Series([], dtype=np.int32),
+                    "token": pd.Series([], dtype=object),
+                    "cnt": pd.Series([], dtype=np.int64),
+                }
+            )
+        vc = e.groupby(e).size()
+        out = pd.DataFrame(
+            {"token": vc.index.to_numpy(object), "cnt": vc.to_numpy(np.int64)}
+        )
+        part = (
+            pd.util.hash_array(out["token"].to_numpy(dtype=object))
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        out.insert(0, "part", part)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", as_index=False)["cnt"].sum()
+        s = s[s["cnt"] >= min_count].copy()
+        s["negcnt"] = -s["cnt"].to_numpy(np.int64)
+        return s
+
+    counts = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+    ranked = ordered_rank(
+        counts, "negcnt", tiebreak_col="token", num_parts=num_parts
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "token": b["token"].to_numpy(object),
+                "cnt": b["cnt"].to_numpy(np.int64),
+                "token_id": b["pos"].to_numpy(np.int64),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # unigram LM surprise score (corpus-level quality signal)
 # --------------------------------------------------------------------------

@@ -826,6 +826,43 @@ def test_stratified_sample(ray_session):
     )
 
 
+def test_build_vocab(ray_session):
+    """Vocab ids == python Counter rank (cnt desc, token asc), incl.
+    count ties, min_count filter, multi-block layout."""
+    from collections import Counter
+
+    from prase_ray.stages.text import build_vocab
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on a log",
+        "a cat and a dog",
+        "zz top zz top zz",
+        "",
+        "   ",
+    ]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ).repartition(3)
+    got = (
+        build_vocab(ds, min_count=2, num_parts=4)
+        .to_pandas()
+        .sort_values("token_id")
+        .reset_index(drop=True)
+    )
+    c = Counter(t for x in texts for t in x.split())
+    want = sorted(
+        ((tok, n) for tok, n in c.items() if n >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert list(got["token"]) == [t for t, _ in want]
+    assert list(got["cnt"]) == [n for _, n in want]
+    assert list(got["token_id"]) == list(range(len(want)))
+    # min_count above every count -> empty vocab, no crash
+    empty = build_vocab(ds, min_count=99, num_parts=4).to_pandas()
+    assert len(empty) == 0
+
+
 def test_normalize_ws(ray_session):
     """Whitespace normalization == python reference (split/join), incl.
     controls, unicode text, all-whitespace and empty docs."""
