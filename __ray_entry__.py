@@ -1281,6 +1281,72 @@ def q_web_extract(sf_dir: str):
     return tri
 
 
+def _page_idx(urls: pd.Series) -> np.ndarray:
+    return urls.str.extract(r"/page/(\d+)$")[0].astype(np.int64).to_numpy()
+
+
+def _recrawl_perturb_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic recrawl content change: pages with idx % 3 == 0 in
+    the re-crawled range [120, 240) gain one extra SVO sentence, spliced
+    into both the <p> html region and the text column (keeping the
+    byte-identical extraction invariant).  The oracle restates the SAME
+    rule in pandas over the pure generator output."""
+    idx = _page_idx(b["url"])
+    hit = (idx % 3 == 0) & (idx >= 120) & (idx < 240)
+    if not hit.any():
+        return b
+    b = b.copy()
+    i = pd.Series(idx, index=b.index)
+    extra = (
+        " K1_E" + (i % 60).astype(str) + " cites K2_E"
+        + ((i * 7) % 60).astype(str) + "."
+    )
+    text = b["text"].where(~hit, b["text"] + extra)
+    html = b["html"].str.decode("utf-8")
+    parts = html.str.partition("</p>")
+    html = (parts[0] + extra + "</p>" + parts[2]).where(hit, html)
+    b["text"] = text
+    b["html"] = html.str.encode("utf-8")
+    return b
+
+
+def q_incremental_triples(sf_dir: str):
+    """Incremental crawl → triple-store maintenance: a 360-page corpus
+    where the store was built from pages [0, 240); the new crawl covers
+    [120, 360) with every third page of [120, 240) content-changed and
+    [240, 360) newly added.  Only dirty pages are re-extracted
+    (fingerprint diff → broadcast dirty set → splice); the oracle is a
+    FULL re-extraction of the merged crawl in SQL — equality proves
+    incremental == rebuild."""
+    from prase_ray.sources.webpages import synth_web_pages
+    from prase_ray.stages.extract import extract_triples
+    from prase_ray.stages.incremental import (
+        incremental_triple_update,
+        page_fingerprints,
+    )
+
+    # one n_pages_total so shared pages are bit-identical across crawls
+    all_pages = synth_web_pages(n_pages=360, n_entities=60, seed=42)
+
+    def window(lo: int, hi: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            idx = _page_idx(b["url"])
+            return b[(idx >= lo) & (idx < hi)]
+
+        return f
+
+    base = all_pages.map_batches(window(0, 240), batch_format="pandas")
+    new = all_pages.map_batches(window(120, 360), batch_format="pandas")
+    new = new.map_batches(_recrawl_perturb_batch, batch_format="pandas")
+    store = extract_triples(base)
+    base_fp = page_fingerprints(base)
+    upd = incremental_triple_update(store, base_fp, new)
+    out = upd.to_pandas()
+    return out.sort_values(["url", "subj", "pred", "obj"]).reset_index(
+        drop=True
+    )
+
+
 def q_link_graph(sf_dir: str):
     """Web-graph anchor aggregation: <a href> links extracted from the
     synthetic pages' html (Arrow RE2, split-then-anchored-extract),
@@ -2397,6 +2463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prase_align": q_prase_align,
         "prase_align_dspath": q_prase_align_dspath,
         "web_extract": q_web_extract,
+        "incremental_triples": q_incremental_triples,
         "link_graph": q_link_graph,
         "dup_ngrams": q_dup_ngrams,
         "remove_dup_spans": q_remove_dup_spans,
@@ -2935,6 +3002,7 @@ def oracle_sql() -> dict[str, str]:
     # design — both checked against the same SQL
     d["triangles_distributed"] = d["triangle_counts"]
     d["web_extract"] = _web_extract_oracle_sql()
+    d["incremental_triples"] = _incremental_triples_oracle_sql()
     d["link_graph"] = _link_graph_oracle_sql()
     d["kcore"] = _kcore_oracle_sql(k=27, rounds=3)
     d["chunk_roundtrip"] = """
@@ -3284,6 +3352,44 @@ def _web_extract_oracle_sql() -> str:
     # boundary-independent generator, so one driver call reproduces the
     # parallel synthesis exactly
     df = _page_rows(0, 200, 60, 8, 42)[["url", "text"]]
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    verbs = "|".join(REL_VERBS + ATTR_VERBS)
+    svo = rf"(\w+) ({verbs}) (\w+)\."
+    attrs = ", ".join(f"'{v}'" for v in ATTR_VERBS)
+    return f"""
+        WITH tri AS (
+            SELECT url,
+                   unnest(regexp_extract_all(text, '{svo}', 1)) AS subj,
+                   unnest(regexp_extract_all(text, '{svo}', 2)) AS pred,
+                   unnest(regexp_extract_all(text, '{svo}', 3)) AS obj
+            FROM read_parquet('{path}')
+        )
+        SELECT url, subj, pred, obj,
+               pred IN ({attrs}) AS obj_is_literal
+        FROM tri
+    """
+
+
+def _incremental_triples_oracle_sql() -> str:
+    """Full-rebuild oracle for q_incremental_triples: the merged crawl
+    (originals [0, 120) + recrawl [120, 240) with the same perturbation
+    rule applied in pandas + additions [240, 360)) is synthesized with
+    the pure generator, dumped to /tmp parquet, and DuckDB re-extracts
+    EVERY triple — equality with the engine's incremental splice proves
+    incremental maintenance == full rebuild."""
+    import pyarrow.parquet as _pq
+
+    from prase_ray.sources.webpages import ATTR_VERBS, REL_VERBS, _page_rows
+
+    path = "/tmp/prase_ray_oracle_incr_pages.parquet"
+    df = _page_rows(0, 360, 60, 8, 42, 360)[["url", "text"]]
+    idx = df["url"].str.extract(r"/page/(\d+)$")[0].astype(np.int64)
+    hit = (idx % 3 == 0) & (idx >= 120) & (idx < 240)
+    extra = (
+        " K1_E" + (idx % 60).astype(str) + " cites K2_E"
+        + ((idx * 7) % 60).astype(str) + "."
+    )
+    df = df.assign(text=df["text"].where(~hit, df["text"] + extra))
     _pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
     verbs = "|".join(REL_VERBS + ATTR_VERBS)
     svo = rf"(\w+) ({verbs}) (\w+)\."

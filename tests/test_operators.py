@@ -826,6 +826,73 @@ def test_stratified_sample(ray_session):
     )
 
 
+def test_incremental_triple_update(ray_session):
+    """Incremental maintenance == full rebuild of the merged crawl, on
+    BOTH the broadcast and join paths (bit-equal), plus the no-change
+    fast path."""
+    from prase_ray.sources.webpages import synth_web_pages
+    from prase_ray.stages.extract import extract_triples
+    from prase_ray.stages.incremental import (
+        incremental_triple_update,
+        page_fingerprints,
+    )
+
+    def window(pages, lo, hi, perturb=False):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            idx = (
+                b["url"].str.extract(r"/page/(\d+)$")[0].astype(np.int64)
+            )
+            b = b[(idx.to_numpy() >= lo) & (idx.to_numpy() < hi)]
+            if perturb and len(b):
+                i = b["url"].str.extract(r"/page/(\d+)$")[0].astype(np.int64)
+                hit = ((i % 3 == 0) & (i >= 20) & (i < 40)).to_numpy()
+                if hit.any():
+                    b = b.copy()
+                    extra = " K1_E1 cites K2_E2."
+                    b.loc[hit, "text"] = b.loc[hit, "text"] + extra
+                    h = b["html"].str.decode("utf-8")
+                    parts = h.str.partition("</p>")
+                    h2 = parts[0] + extra + "</p>" + parts[2]
+                    b.loc[hit, "html"] = h2[hit].str.encode("utf-8")
+            return b
+
+        return f
+
+    all_pages = synth_web_pages(n_pages=60, n_entities=20, seed=7).materialize()
+    base = all_pages.map_batches(window(all_pages, 0, 40), batch_format="pandas")
+    new = all_pages.map_batches(
+        window(all_pages, 20, 60, perturb=True), batch_format="pandas"
+    )
+    store = extract_triples(base).materialize()
+    base_fp = page_fingerprints(base).materialize()
+
+    def frame(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["url", "subj", "pred", "obj"])
+            .reset_index(drop=True)
+        )
+
+    # reference: full extraction of the merged crawl (old [0,20) + new)
+    merged = all_pages.map_batches(
+        window(all_pages, 0, 20), batch_format="pandas"
+    ).union(new)
+    want = frame(extract_triples(merged))
+
+    got_b = frame(incremental_triple_update(store, base_fp, new))
+    pd.testing.assert_frame_equal(got_b, want)
+    got_j = frame(
+        incremental_triple_update(
+            store, base_fp, new, broadcast_max_dirty=0, num_partitions=4
+        )
+    )
+    pd.testing.assert_frame_equal(got_j, want)
+    # identical recrawl -> nothing dirty -> store returned as-is
+    same = all_pages.map_batches(window(all_pages, 0, 40), batch_format="pandas")
+    got_n = frame(incremental_triple_update(store, base_fp, same))
+    pd.testing.assert_frame_equal(got_n, frame(store))
+
+
 def test_build_vocab(ray_session):
     """Vocab ids == python Counter rank (cnt desc, token asc), incl.
     count ties, min_count filter, multi-block layout."""
