@@ -770,6 +770,22 @@ def q_group_quantiles(sf_dir: str):
     return out
 
 
+def q_kmeans(sf_dir: str):
+    """Distributed bounded-rounds Lloyd k-means over the embedding
+    column (k=6, 3 assignment passes), fully fixed-point: integer
+    distances, argmin ties to the smallest cluster, floor-division
+    centroid means — bit-deterministic under any partitioning and
+    restated exactly by the unrolled SQL (the X49/X63 bounded-rounds
+    contract).  Centroids broadcast once per round; the corpus is
+    scanned per round, shuffled never."""
+    from prase_ray.stages.linalg import kmeans_lloyd
+
+    out = kmeans_lloyd(
+        _read(sf_dir, "embeddings"), k=6, rounds=3
+    ).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_quantile_gate(sf_dir: str):
     """Per-language median-length gate: keep documents whose token
     count is at or above their language's exact p50 — the per-group
@@ -2450,6 +2466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": q_tfidf_topk,
         "group_quantiles": q_group_quantiles,
         "quantile_gate": q_quantile_gate,
+        "kmeans": q_kmeans,
         "paris_half_iteration": q_paris_half_iteration,
         "paris_half_iteration_join": q_paris_half_iteration_join,
         "paris_half_iteration_ds": q_paris_half_iteration_ds,
@@ -3003,6 +3020,7 @@ def oracle_sql() -> dict[str, str]:
     d["triangles_distributed"] = d["triangle_counts"]
     d["web_extract"] = _web_extract_oracle_sql()
     d["incremental_triples"] = _incremental_triples_oracle_sql()
+    d["kmeans"] = _kmeans_oracle_sql(k=6, rounds=3, scale=1024.0)
     d["link_graph"] = _link_graph_oracle_sql()
     d["kcore"] = _kcore_oracle_sql(k=27, rounds=3)
     d["chunk_roundtrip"] = """
@@ -3368,6 +3386,65 @@ def _web_extract_oracle_sql() -> str:
                pred IN ({attrs}) AS obj_is_literal
         FROM tri
     """
+
+
+def _kmeans_oracle_sql(k: int, rounds: int, scale: float) -> str:
+    """Unrolled-SQL oracle for q_kmeans: seeds = the k smallest ids'
+    quantized vectors; each round is two CTEs (integer distance argmin
+    with ROW_NUMBER ties-to-smallest-cluster, then floor-division
+    centroid update via the modulus adjustment — DuckDB // truncates,
+    numpy // floors); exactly rounds-1 updates, the last assignment is
+    the result.  Clusters that capture nothing simply vanish from the
+    next round's centroid CTE — the same death rule as the engine."""
+    parts = [
+        f"""q AS (
+            SELECT vec_id, unnest(range(1, len(embedding)+1)) AS dim,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                              * {scale}) AS BIGINT) AS v
+            FROM embeddings
+        ), seeds AS (
+            SELECT vec_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                        AS BIGINT) AS cluster
+            FROM (SELECT DISTINCT vec_id FROM embeddings
+                  ORDER BY vec_id LIMIT {k})
+        ), c0 AS (
+            SELECT s.cluster, q.dim, q.v AS cv
+            FROM q JOIN seeds s USING (vec_id)
+        )"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""d{t} AS (
+            SELECT q.vec_id, c.cluster,
+                   SUM((q.v - c.cv) * (q.v - c.cv)) AS dist
+            FROM q JOIN c{t-1} c ON q.dim = c.dim
+            GROUP BY 1, 2
+        ), a{t} AS (
+            SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cluster) AS rn
+                FROM d{t}
+            ) WHERE rn = 1
+        )"""
+        )
+        if t < rounds:
+            parts.append(
+                f"""c{t} AS (
+            SELECT a.cluster, q.dim,
+                   CAST((SUM(q.v) - ((SUM(q.v) % COUNT(*) + COUNT(*))
+                                     % COUNT(*))) // COUNT(*)
+                        AS BIGINT) AS cv
+            FROM q JOIN a{t} a USING (vec_id)
+            GROUP BY 1, 2
+        )"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, cluster FROM a{rounds} ORDER BY vec_id"
+    )
 
 
 def _incremental_triples_oracle_sql() -> str:

@@ -235,6 +235,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("lag_features", lambda: consume(em.q_lag_features(sf_dir)))
     timed("apply_changelog", lambda: consume(em.q_apply_changelog(sf_dir)))
     timed("csv_source", lambda: consume(em.q_csv_source(sf_dir)))
+    timed("quantile_gate", lambda: consume(em.q_quantile_gate(sf_dir)))
+    timed(
+        "window_heavy_hitters",
+        lambda: consume(em.q_window_heavy_hitters(sf_dir)),
+    )
+    timed("normalize_ws", lambda: consume(em.q_normalize_ws(sf_dir)))
+    timed("budget_cap", lambda: consume(em.q_budget_cap(sf_dir)))
+    timed("build_vocab", lambda: consume(em.q_build_vocab(sf_dir)))
+    timed(
+        "incremental_triples",
+        lambda: consume(em.q_incremental_triples(sf_dir)),
+    )
+    timed("kmeans", lambda: consume(em.q_kmeans(sf_dir)))
     # at sf0.1 both graphs cross the 1M-edge gate → these time the
     # distributed join/wedge dataflows, not the driver twins
     timed("pagerank", lambda: consume(em.q_pagerank(sf_dir)))

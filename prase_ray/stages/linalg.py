@@ -292,3 +292,138 @@ def classifier_scores(
         )
 
     return embs.map_batches(score, batch_format="pandas", fn_kwargs={"ref": ref})
+
+
+def _bottom_k_ids(
+    ds: ray.data.Dataset, id_col: str, k: int
+) -> np.ndarray:
+    """The k smallest ids: per-block partial bottom-k (the group_topk
+    bound — ≤ k rows per block reach the driver)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(b[id_col].to_numpy(np.int64))[:k]
+        return pd.DataFrame({id_col: ids})
+
+    cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return np.sort(cand[id_col].to_numpy(np.int64))[:k]
+
+
+def kmeans_lloyd(
+    embs: ray.data.Dataset,
+    *,
+    k: int = 8,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = GRAM_SCALE,
+) -> ray.data.Dataset:
+    """Distributed bounded-rounds Lloyd k-means over the embedding
+    column, fully fixed-point → Dataset(vec_id, cluster) after EXACTLY
+    ``rounds`` assignment passes — the trainer behind IVF coarse
+    quantizers and SemDeDup clustering, here as a first-class operator
+    that never samples: every round streams the WHOLE corpus.
+
+    Determinism contract (the X49/X63 bounded-rounds pattern): seeds
+    are the k smallest ids' vectors (cluster = seed rank); vectors
+    quantize once to int64 (floor(x·scale)); distances and argmin are
+    integer arithmetic with ties to the smallest cluster id; centroid
+    updates are int64 floor-division means; a cluster that captures no
+    points DIES (stops competing), exactly as in the unrolled SQL
+    restatement.  The result is bit-identical under any partitioning
+    and hash-exact against the oracle.
+
+    Scale shape per round: centroids ship once via ray.put (k×d int64);
+    assignment is a per-batch int64 matmul (n×k distances via the
+    norm-expansion, no n×k×d intermediate); the centroid update reduces
+    each batch to ≤ k×d partial rows (np.add.at grid) and one tiny
+    grouped combine — the corpus is SCANNED ``rounds`` times and
+    shuffled never; driver state is O(k×d)."""
+    seed_ids = _bottom_k_ids(embs, id_col, k)
+
+    def seed_vecs(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.isin(b[id_col].to_numpy(np.int64), seed_ids)
+        return b[m]
+
+    sdf = (
+        embs.map_batches(seed_vecs, batch_format="pandas")
+        .to_pandas()
+        .sort_values(id_col)
+        .reset_index(drop=True)
+    )
+    C = np.floor(
+        np.stack(sdf[vec_col].to_numpy()).astype(np.float64) * scale
+    ).astype(np.int64)
+    alive = np.arange(len(C), dtype=np.int64)  # original cluster ids
+
+    def assign_batch(Q: np.ndarray, C_alive: np.ndarray) -> np.ndarray:
+        # ||q - c||² = ||q||² - 2 q·c + ||c||²; ||q||² constant per row
+        # → argmin over -2 q·c + ||c||² (all int64, exact)
+        cross = Q @ C_alive.T  # (n, k') int64
+        cn = np.einsum("ij,ij->i", C_alive, C_alive)
+        return np.argmin(cn[None, :] - 2 * cross, axis=1)
+
+    for r in range(rounds - 1):
+        cref = ray.put((C, alive))
+
+        def partial(b: pd.DataFrame, *, ref) -> pd.DataFrame:
+            key = ref.hex()
+            cached = _MODEL_CACHE.get(key)
+            if cached is None:
+                _MODEL_CACHE.clear()
+                cached = _MODEL_CACHE[key] = ray.get(ref)
+            Ca, al = cached
+            X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(X * scale).astype(np.int64)
+            a = assign_batch(Q, Ca)
+            ua, inv = np.unique(a, return_inverse=True)
+            d = Q.shape[1]
+            S = np.zeros((len(ua), d), np.int64)
+            np.add.at(S, inv, Q)
+            cnt = np.bincount(inv, minlength=len(ua)).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "cluster": np.repeat(al[ua], d),
+                    "dim": np.tile(np.arange(d, dtype=np.int64), len(ua)),
+                    "s": S.ravel(),
+                    "n": np.repeat(cnt, d),
+                }
+            )
+
+        agg = (
+            embs.map_batches(
+                partial, batch_format="pandas", fn_kwargs={"ref": cref}
+            )
+            .groupby(["cluster", "dim"])
+            .sum(["s", "n"])
+            .to_pandas()
+        )
+        agg = agg.sort_values(["cluster", "dim"])
+        new_alive = np.sort(agg["cluster"].unique()).astype(np.int64)
+        d = int(agg["dim"].max()) + 1
+        s = agg["sum(s)"].to_numpy(np.int64).reshape(len(new_alive), d)
+        n = agg["sum(n)"].to_numpy(np.int64).reshape(len(new_alive), d)
+        C = s // n  # numpy // == floor (matches the SQL mod adjustment)
+        alive = new_alive
+
+    cref = ray.put((C, alive))
+
+    def final_assign(b: pd.DataFrame, *, ref) -> pd.DataFrame:
+        key = ref.hex()
+        cached = _MODEL_CACHE.get(key)
+        if cached is None:
+            _MODEL_CACHE.clear()
+            cached = _MODEL_CACHE[key] = ray.get(ref)
+        Ca, al = cached
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        Q = np.floor(X * scale).astype(np.int64)
+        a = assign_batch(Q, Ca)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                "cluster": al[a],
+            }
+        )
+
+    return embs.map_batches(
+        final_assign, batch_format="pandas", fn_kwargs={"ref": cref}
+    )

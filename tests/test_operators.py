@@ -826,6 +826,52 @@ def test_stratified_sample(ray_session):
     )
 
 
+def test_kmeans_lloyd(ray_session):
+    """Bounded-rounds fixed-point Lloyd == a direct numpy reference
+    (same seeds, quantization, tie and death rules), bit-equal across
+    partitionings."""
+    from prase_ray.stages.linalg import kmeans_lloyd
+
+    rng = np.random.default_rng(3)
+    n, d, k, rounds = 300, 8, 5, 3
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [r for r in X],
+        }
+    )
+
+    def ref_kmeans(scale=1024.0):
+        Q = np.floor(X.astype(np.float64) * scale).astype(np.int64)
+        C = Q[:k].copy()
+        alive = np.arange(k, dtype=np.int64)
+
+        def assign(C_a):
+            cn = np.einsum("ij,ij->i", C_a, C_a)
+            return np.argmin(cn[None, :] - 2 * (Q @ C_a.T), axis=1)
+
+        for _ in range(rounds - 1):
+            a = alive[assign(C)]
+            ua = np.unique(a)
+            C2 = np.stack([Q[a == c].sum(0) // (a == c).sum() for c in ua])
+            C, alive = C2, ua
+        return alive[assign(C)]
+
+    want = ref_kmeans()
+    for blocks in (1, 7):
+        got = (
+            kmeans_lloyd(
+                ray.data.from_pandas(df).repartition(blocks),
+                k=k,
+                rounds=rounds,
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        np.testing.assert_array_equal(got["cluster"].to_numpy(), want)
+
+
 def test_incremental_triple_update(ray_session):
     """Incremental maintenance == full rebuild of the merged crawl, on
     BOTH the broadcast and join paths (bit-equal), plus the no-change
