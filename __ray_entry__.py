@@ -2414,6 +2414,19 @@ def q_unigram_surprise(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_bigram_surprise(sf_dir: str):
+    """Phrase-level bigram-LM surprisal per document: docs assembled
+    from corpus-common word PAIRS (templates, boilerplate) score low
+    even when every individual word is ordinary.  Fixed-point integer,
+    one bigram-hash exchange — the X45 contract one n-gram order up."""
+    from prase_ray.stages.text import bigram_surprise
+
+    out = bigram_surprise(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_triples_docs": q_extract_triples_docs,
@@ -2510,6 +2523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonicalize_url": q_canonicalize_url,
         "url_dedup_latest": q_url_dedup_latest,
         "unigram_surprise": q_unigram_surprise,
+        "bigram_surprise": q_bigram_surprise,
         "domain_stats": q_domain_stats,
         "embedding_gram": q_embedding_gram,
         "random_projection": q_random_projection,
@@ -4800,6 +4814,30 @@ def _oracle_sql_base() -> dict[str, str]:
         # integer fixed-point surprisal: // is exact floor division on
         # BIGINT in both DuckDB and numpy, and int64 sums are
         # associative — hash-exact under any partitioning
+        # the X45 SQL one n-gram order up: bigram list via 1-based
+        # list_extract over range(1, len); docs with < 2 tokens drop
+        # from BOTH sides
+        "bigram_surprise": rf"""
+            WITH dt AS (
+                SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+            ), bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                              i -> list_extract(toks, i) || ' '
+                                   || list_extract(toks, i + 1))) AS term
+                FROM dt WHERE len(toks) > 1
+            ), tfb AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM bg GROUP BY 1, 2
+            ), cnt AS (
+                SELECT term, SUM(tf) AS cnt FROM tfb GROUP BY 1
+            )
+            SELECT tfb.doc_id,
+                   CAST(SUM(tfb.tf) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(tfb.tf * ({UNIGRAM_SCALE} // cnt.cnt))
+                        AS BIGINT) AS surprise_fp
+            FROM tfb JOIN cnt USING (term)
+            GROUP BY tfb.doc_id ORDER BY tfb.doc_id
+        """,
         "unigram_surprise": rf"""
             WITH tok AS (
                 SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term

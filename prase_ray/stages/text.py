@@ -600,6 +600,93 @@ def unigram_surprise(
     )
 
 
+def bigram_surprise(
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Phrase-level sibling of ``unigram_surprise``: per-doc bigram-LM
+    surprisal ``surprise_fp = Σ_bigram_instances (UNIGRAM_SCALE //
+    corpus_count(bigram))`` plus ``n_bigrams``.  Documents built from
+    corpus-common PHRASES (templates, boilerplate, SEO spam) score low
+    even when their individual words are unremarkable — the signal
+    word-level X45 cannot see.  Same fixed-point-integer contract
+    (associative int64 sums → partition-order invariant, `//` restates
+    in SQL) and the same one-exchange shape, keyed on the bigram:
+    the partition's Σtf IS the corpus bigram count, each partition
+    pre-aggregates one slim row per doc, a doc-keyed regroup sums ≤
+    num_partitions partials."""
+
+    def doc_bigrams(b: pd.DataFrame) -> pd.DataFrame:
+        import re
+
+        s = b[[id_col, text_col]].copy()
+        s["tok"] = s[text_col].str.findall(r"\S+", flags=re.ASCII)
+        e = s[[id_col, "tok"]].explode("tok").dropna(subset=["tok"])
+        empty = pd.DataFrame(
+            {
+                "part": pd.Series([], dtype=np.int32),
+                id_col: pd.Series([], dtype=np.int64),
+                "term": pd.Series([], dtype=object),
+                "tf": pd.Series([], dtype=np.int64),
+            }
+        )
+        if e.empty:
+            return empty
+        ids = e[id_col].to_numpy(np.int64)
+        tok = e["tok"].reset_index(drop=True)
+        # consecutive-token pairs, masked at doc boundaries
+        same = ids[1:] == ids[:-1]
+        if not same.any():
+            return empty
+        big = (tok.iloc[:-1].reset_index(drop=True) + " "
+               + tok.iloc[1:].reset_index(drop=True))[same]
+        tf = pd.DataFrame(
+            {id_col: ids[:-1][same], "term": big.to_numpy(object)}
+        ).groupby([id_col, "term"], as_index=False).size().rename(
+            columns={"size": "tf"}
+        )
+        tf["tf"] = tf["tf"].astype(np.int64)
+        part = (
+            pd.util.hash_array(tf["term"].to_numpy(dtype=object))
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        tf.insert(0, "part", part)
+        return tf
+
+    def score_part(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (
+            g.groupby("term", as_index=False)["tf"].sum()
+            .rename(columns={"tf": "cnt"})
+        )
+        g = g.merge(cnt, on="term")
+        tf = g["tf"].to_numpy(np.int64)
+        per = UNIGRAM_SCALE // g["cnt"].to_numpy(np.int64)
+        g["surprise_fp"] = tf * per
+        out = g.groupby(id_col, as_index=False).agg(
+            n_bigrams=("tf", "sum"), surprise_fp=("surprise_fp", "sum")
+        )
+        out["n_bigrams"] = out["n_bigrams"].astype(np.int64)
+        out["surprise_fp"] = out["surprise_fp"].astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(id_col, as_index=False).agg(
+            n_bigrams=("n_bigrams", "sum"),
+            surprise_fp=("surprise_fp", "sum"),
+        )
+
+    return (
+        docs.map_batches(doc_bigrams, batch_format="pandas")
+        .groupby("part")
+        .map_groups(score_part, batch_format="pandas")
+        .groupby(id_col)
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------------
 # inverted index build through the resumable partitioned sink
 # --------------------------------------------------------------------------

@@ -826,6 +826,43 @@ def test_stratified_sample(ray_session):
     )
 
 
+def test_bigram_surprise(ray_session):
+    """Bigram surprisal == python Counter reference; one-token and
+    empty docs drop; boilerplate-phrase doc scores below a doc of the
+    same words in fresh orders."""
+    from collections import Counter
+
+    from prase_ray.stages.text import UNIGRAM_SCALE, bigram_surprise
+
+    texts = [
+        "a b c a b",        # repeats phrase "a b"
+        "b a c b a",        # same words, different phrases
+        "a b a b a b",      # pure boilerplate phrase
+        "x",                 # no bigram -> absent
+        "",                  # absent
+        "q r",
+    ]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ).repartition(3)
+    out = bigram_surprise(ds).to_pandas().set_index("doc_id")
+
+    grams = {
+        i: [f"{a} {b}" for a, b in zip(t.split(), t.split()[1:])]
+        for i, t in enumerate(texts)
+    }
+    corpus = Counter(g for gs in grams.values() for g in gs)
+    assert set(out.index) == {i for i, gs in grams.items() if gs}
+    for i, gs in grams.items():
+        if not gs:
+            continue
+        want = sum(UNIGRAM_SCALE // corpus[g] for g in gs)
+        assert out.loc[i, "n_bigrams"] == len(gs)
+        assert out.loc[i, "surprise_fp"] == want
+    # same tokens, fresher phrases -> strictly higher surprise
+    assert out.loc[1, "surprise_fp"] > out.loc[0, "surprise_fp"]
+
+
 def test_kmeans_lloyd(ray_session):
     """Bounded-rounds fixed-point Lloyd == a direct numpy reference
     (same seeds, quantization, tie and death rules), bit-equal across
