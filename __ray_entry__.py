@@ -1379,6 +1379,20 @@ def q_link_graph(sf_dir: str):
     return out.sort_values("url").reset_index(drop=True)
 
 
+def q_alias_candidates(sf_dir: str):
+    """Cross-KG alias candidates by co-citation: the dominant
+    K1_-anchor and K2_-anchor linked from the same SOURCE page form an
+    alignment-seed pair, aggregated over pages with min-count support —
+    the web-graph analog of the reference's name-based seeding."""
+    from prase_ray.sources.webpages import synth_web_pages
+    from prase_ray.stages.extract import extract_links
+    from prase_ray.stages.urls import alias_candidates
+
+    pages = synth_web_pages(n_pages=200, n_entities=60, seed=42)
+    out = alias_candidates(extract_links(pages)).to_pandas()
+    return out.sort_values(["name_l", "name_r"]).reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship: synthetic web pages → extraction → two KGs → PRASE
     alignment → canonical node table (Dataset)."""
@@ -2494,6 +2508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prase_align_dspath": q_prase_align_dspath,
         "web_extract": q_web_extract,
         "incremental_triples": q_incremental_triples,
+        "alias_candidates": q_alias_candidates,
         "link_graph": q_link_graph,
         "dup_ngrams": q_dup_ngrams,
         "remove_dup_spans": q_remove_dup_spans,
@@ -3035,6 +3050,7 @@ def oracle_sql() -> dict[str, str]:
     d["web_extract"] = _web_extract_oracle_sql()
     d["incremental_triples"] = _incremental_triples_oracle_sql()
     d["kmeans"] = _kmeans_oracle_sql(k=6, rounds=3, scale=1024.0)
+    d["alias_candidates"] = _alias_candidates_oracle_sql()
     d["link_graph"] = _link_graph_oracle_sql()
     d["kcore"] = _kcore_oracle_sql(k=27, rounds=3)
     d["chunk_roundtrip"] = """
@@ -3496,6 +3512,51 @@ def _incremental_triples_oracle_sql() -> str:
         SELECT url, subj, pred, obj,
                pred IN ({attrs}) AS obj_is_literal
         FROM tri
+    """
+
+
+def _alias_candidates_oracle_sql() -> str:
+    """Oracle for q_alias_candidates: same deterministic pages dumped
+    with html as string; DuckDB re-extracts the anchors per SOURCE
+    page, resolves each page's dominant K1_/K2_ anchors with two
+    ROW_NUMBER windows and aggregates the co-citation pairs."""
+    import pyarrow.parquet as _pq
+
+    from prase_ray.sources.webpages import _page_rows
+
+    path = "/tmp/prase_ray_oracle_alias_pages.parquet"
+    df = _page_rows(0, 200, 60, 8, 42, 200)[["url", "html"]]
+    df = df.assign(html_str=df.pop("html").str.decode("utf-8"))
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    pat = '<a href="([^"]*)">([^<]*)</a>'
+    return f"""
+        WITH l AS (
+            SELECT url,
+                   unnest(regexp_extract_all(html_str, '{pat}', 2)) AS anchor
+            FROM read_parquet('{path}')
+        ), c AS (
+            SELECT url, anchor,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM l GROUP BY 1, 2
+        ), wl AS (
+            SELECT url, anchor AS name_l, cnt AS cnt_l,
+                   ROW_NUMBER() OVER (PARTITION BY url
+                                      ORDER BY cnt DESC, anchor) AS rn
+            FROM c WHERE starts_with(anchor, 'K1_')
+        ), wr AS (
+            SELECT url, anchor AS name_r, cnt AS cnt_r,
+                   ROW_NUMBER() OVER (PARTITION BY url
+                                      ORDER BY cnt DESC, anchor) AS rn
+            FROM c WHERE starts_with(anchor, 'K2_')
+        ), p AS (
+            SELECT name_l, name_r, LEAST(cnt_l, cnt_r) AS s
+            FROM (SELECT * FROM wl WHERE rn = 1) a
+            JOIN (SELECT * FROM wr WHERE rn = 1) b USING (url)
+        )
+        SELECT name_l, name_r,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(SUM(s) AS BIGINT) AS support
+        FROM p GROUP BY 1, 2 ORDER BY 1, 2
     """
 
 

@@ -297,3 +297,102 @@ def link_graph_stats(
         .groupby("part")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def alias_candidates(
+    links: ray.data.Dataset,
+    *,
+    src_col: str = "src_url",
+    anchor_col: str = "anchor",
+    prefix_l: str = "K1_",
+    prefix_r: str = "K2_",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Cross-KG alias-candidate generation by CO-CITATION: two entity
+    names from different vocabularies that dominate the link anchors of
+    the SAME source page are alignment-seed candidates — the web-graph
+    analog of the reference's name-based seeding (PRASE.py
+    load_ent_links resolves surface names; here the web itself
+    nominates the pairs).  Per source page: the dominant prefix_l
+    anchor and the dominant prefix_r anchor (count desc, ties to the
+    smallest anchor); pages carrying both emit one candidate; pairs
+    aggregate to (name_l, name_r, n_urls, support=Σ min(cnt_l, cnt_r)).
+
+    Scale shape: the (src page, anchor) exact counts are ONE part-hash
+    exchange of per-batch partials (the link_graph_stats bound); the
+    per-page winners and the candidate pair resolve entirely inside the
+    page partition; the pair aggregate pre-reduces per partition so the
+    final exchange carries distinct pairs per partition.  Integer
+    counts, deterministic ties → hash-exact."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "url": t[src_col].to_pandas(),
+                "anchor": t[anchor_col].to_pandas(),
+            }
+        )
+        g = b.groupby(["url", "anchor"], as_index=False).size()
+        g["cnt"] = g.pop("size").astype(np.int64)
+        g["part"] = (
+            pd.util.hash_array(g["url"].to_numpy(object)).astype(np.int64)
+            % num_partitions
+        )
+        return g
+
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["url", "anchor"], as_index=False)["cnt"].sum()
+
+        def side_top(prefix: str, name: str) -> pd.DataFrame:
+            s = c[c["anchor"].str.startswith(prefix)]
+            s = s.sort_values(["url", "cnt", "anchor"],
+                              ascending=[True, False, True])
+            s = s.groupby("url", as_index=False).first()
+            return s.rename(columns={"anchor": name, "cnt": f"{name}_cnt"})
+
+        l = side_top(prefix_l, "name_l")
+        r = side_top(prefix_r, "name_r")
+        m = l.merge(r, on="url")
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "name_l": pd.Series([], dtype=object),
+                    "name_r": pd.Series([], dtype=object),
+                    "n_urls": pd.Series([], dtype=np.int64),
+                    "support": pd.Series([], dtype=np.int64),
+                    "part": pd.Series([], dtype=np.int64),
+                }
+            )
+        m["support"] = np.minimum(
+            m["name_l_cnt"].to_numpy(np.int64),
+            m["name_r_cnt"].to_numpy(np.int64),
+        )
+        out = m.groupby(["name_l", "name_r"], as_index=False).agg(
+            n_urls=("url", "size"), support=("support", "sum")
+        )
+        out["n_urls"] = out["n_urls"].astype(np.int64)
+        out["support"] = out["support"].astype(np.int64)
+        # re-key on the pair for the final exact combine
+        out["part"] = (
+            pd.util.hash_array(out["name_l"].to_numpy(object)).astype(
+                np.int64
+            )
+            % num_partitions
+        )
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["name_l", "name_r"], as_index=False)[
+            ["n_urls", "support"]
+        ].sum()
+        out["n_urls"] = out["n_urls"].astype(np.int64)
+        out["support"] = out["support"].astype(np.int64)
+        return out
+
+    return (
+        links.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_in_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -826,6 +826,44 @@ def test_stratified_sample(ray_session):
     )
 
 
+def test_alias_candidates(ray_session):
+    """Co-citation pairing == hand computation: dominance ties break to
+    the smallest anchor, one-sided pages emit nothing, support is the
+    per-page min summed over pages."""
+    from prase_ray.stages.urls import alias_candidates
+
+    rows = [
+        # page A: K1_x dominant (2), K2_y dominant (tie 1-1 -> K2_a)
+        ("p://a", "h", "K1_x"), ("p://a", "h", "K1_x"),
+        ("p://a", "h", "K1_z"),
+        ("p://a", "h", "K2_b"), ("p://a", "h", "K2_a"),
+        # page B: same pair again, supports 1 and 3 -> min 1
+        ("p://b", "h", "K1_x"),
+        ("p://b", "h", "K2_a"), ("p://b", "h", "K2_a"),
+        ("p://b", "h", "K2_a"),
+        # page C: only K1 side -> no pair
+        ("p://c", "h", "K1_q"),
+    ]
+    links = ray.data.from_pandas(
+        pd.DataFrame(rows, columns=["src_url", "href", "anchor"])
+    ).repartition(3)
+    out = (
+        alias_candidates(links, num_partitions=4)
+        .to_pandas()
+        .sort_values(["name_l", "name_r"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "name_l": ["K1_x"],
+            "name_r": ["K2_a"],
+            "n_urls": [2],
+            "support": [1 + 1],
+        }
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
 def test_bigram_surprise(ray_session):
     """Bigram surprisal == python Counter reference; one-token and
     empty docs drop; boilerplate-phrase doc scores below a doc of the
