@@ -1770,6 +1770,19 @@ def q_build_vocab(sf_dir: str):
     return out.sort_values("token_id").reset_index(drop=True)
 
 
+def q_encode_tokens(sf_dir: str):
+    """Corpus→ids encode against the build_vocab vocabulary (min_count
+    2, OOV → -1), long-form (doc_id, pos, token_id).  The vocab ships
+    once via ray.put below the gate — zero shuffle; the join path takes
+    over when the vocabulary fits no node."""
+    from prase_ray.stages.text import build_vocab, encode_tokens
+
+    docs = _read(sf_dir, "documents")
+    vocab = build_vocab(docs, min_count=2, num_parts=16)
+    out = encode_tokens(docs, vocab).to_pandas()
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
 def q_budget_cap(sf_dir: str):
     """Per-source token-budget truncation: each source keeps its docs
     in doc_id order while its cumulative token count fits 700 — the
@@ -2529,6 +2542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_rank": q_shuffle_rank,
         "budget_cap": q_budget_cap,
         "build_vocab": q_build_vocab,
+        "encode_tokens": q_encode_tokens,
         "bloom_anti_join": q_bloom_anti_join,
         "bfs_hops": q_bfs_hops,
         "bfs_hops_distributed": q_bfs_hops_distributed,
@@ -3243,6 +3257,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1
                     AS BIGINT) AS token_id
         FROM c ORDER BY token_id
+    """
+    # the build_vocab ranking nested under a positional LEFT JOIN; the
+    # parallel unnest zips 0-based positions with tokens
+    d["encode_tokens"] = f"""
+        WITH dt AS (
+            SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+        ), t AS (
+            SELECT doc_id,
+                   unnest(range(0, len(toks))) AS pos,
+                   unnest(toks) AS token
+            FROM dt
+        ), c AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM t GROUP BY token HAVING COUNT(*) >= 2
+        ), v AS (
+            SELECT token,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1
+                        AS BIGINT) AS token_id
+            FROM c
+        )
+        SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+               CAST(COALESCE(v.token_id, -1) AS BIGINT) AS token_id
+        FROM t LEFT JOIN v USING (token)
+        ORDER BY t.doc_id, t.pos
     """
     # grouped exclusive prefix sum == the SQL window frame; integer
     # token counts → hash-exact

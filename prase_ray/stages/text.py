@@ -600,6 +600,109 @@ def unigram_surprise(
     )
 
 
+_VOCAB_CACHE: dict = {}
+
+
+def encode_tokens(
+    docs: ray.data.Dataset,
+    vocab: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int = -1,
+    broadcast_max_vocab: int = 5_000_000,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Encode the corpus against a ``build_vocab`` vocabulary →
+    long-form (doc_id, pos, token_id) with 0-based in-doc positions and
+    ``oov_id`` for out-of-vocabulary tokens — the corpus→ids step in
+    front of packing/loader stages (consumers reshape a doc's ids
+    locally; long form keeps the operator's exchange honest).
+
+    Below ``broadcast_max_vocab`` the vocabulary ships ONCE via
+    ray.put (token→id map, worker-cached) and encoding is an
+    embarrassingly-parallel pass — zero shuffle.  Above it, token rows
+    hash-join the vocab on the token (one exchange of the token-volume
+    relation, the unavoidable cost of a vocabulary that fits no
+    node)."""
+    import re
+
+    n_vocab = vocab.count()
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[text_col].str.findall(r"\S+", flags=re.ASCII)
+        counts = s.str.len().fillna(0).to_numpy(np.int64)
+        ids = np.repeat(b[id_col].to_numpy(np.int64), counts)
+        flat = (
+            np.concatenate([np.asarray(t, dtype=object) for t in s if len(t)])
+            if counts.sum()
+            else np.empty(0, dtype=object)
+        )
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+        )
+        return pd.DataFrame({id_col: ids, "pos": pos, "token": flat})
+
+    toks = docs.map_batches(explode, batch_format="pandas")
+
+    if n_vocab <= broadcast_max_vocab:
+        vdf = vocab.to_pandas()
+        ref = ray.put(
+            pd.Series(
+                vdf["token_id"].to_numpy(np.int64),
+                index=vdf["token"].to_numpy(object),
+            )
+        )
+
+        def enc(b: pd.DataFrame) -> pd.DataFrame:
+            key = ref.hex()
+            vmap = _VOCAB_CACHE.get(key)
+            if vmap is None:
+                _VOCAB_CACHE.clear()
+                vmap = _VOCAB_CACHE[key] = ray.get(ref)
+            tid = (
+                b["token"].map(vmap).fillna(oov_id).to_numpy(np.int64)
+            )
+            return pd.DataFrame(
+                {
+                    id_col: b[id_col].to_numpy(np.int64),
+                    "pos": b["pos"].to_numpy(np.int64),
+                    "token_id": tid,
+                }
+            )
+
+        return toks.map_batches(enc, batch_format="pandas")
+
+    # the vocab comes out of grouped/ranked stages whose empty
+    # partitions are zero-column blocks — rebuild from non-empty blocks
+    # or Dataset.join rejects the right side (see dedup._drop_empty_blocks)
+    import pyarrow as pa
+
+    from prase_ray.stages.dedup import _drop_empty_blocks
+
+    vslim = _drop_empty_blocks(
+        vocab.select_columns(["token", "token_id"]),
+        pa.schema([("token", pa.string()), ("token_id", pa.int64())]),
+    )
+    joined = toks.join(
+        vslim, join_type="left_outer", num_partitions=num_partitions,
+        on=("token",),
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                "pos": b["pos"].to_numpy(np.int64),
+                "token_id": b["token_id"]
+                .fillna(oov_id)
+                .to_numpy(np.int64),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def bigram_surprise(
     docs: ray.data.Dataset,
     *,

@@ -826,6 +826,43 @@ def test_stratified_sample(ray_session):
     )
 
 
+def test_encode_tokens(ray_session):
+    """Broadcast and join encode paths are bit-equal and match a python
+    reference (positions, OOV -1, empty docs)."""
+    from prase_ray.stages.text import build_vocab, encode_tokens
+
+    texts = ["a b rare a", "b b c", "", "a unique_tok b"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(df).repartition(2)
+    vocab = build_vocab(ds, min_count=2, num_parts=4).materialize()
+    vmap = dict(
+        zip(vocab.to_pandas()["token"], vocab.to_pandas()["token_id"])
+    )
+
+    want = pd.DataFrame(
+        [
+            (i, p, vmap.get(t, -1))
+            for i, text in enumerate(texts)
+            for p, t in enumerate(text.split())
+        ],
+        columns=["doc_id", "pos", "token_id"],
+    )
+
+    def frame(ds_):
+        return (
+            ds_.to_pandas()
+            .sort_values(["doc_id", "pos"])
+            .reset_index(drop=True)
+        )
+
+    got_b = frame(encode_tokens(ds, vocab))
+    pd.testing.assert_frame_equal(got_b, want, check_dtype=False)
+    got_j = frame(
+        encode_tokens(ds, vocab, broadcast_max_vocab=0, num_partitions=4)
+    )
+    pd.testing.assert_frame_equal(got_j, want, check_dtype=False)
+
+
 def test_alias_candidates(ray_session):
     """Co-citation pairing == hand computation: dominance ties break to
     the smallest anchor, one-sided pages emit nothing, support is the
