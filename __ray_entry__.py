@@ -920,6 +920,33 @@ def q_normalize_ws(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_script_profile(sf_dir: str):
+    """Per-doc unicode-script char counts + dominant script (the
+    multilingual routing gate).  The sf corpora are ASCII, so both
+    sides PLANT deterministic Cyrillic/Han runs on a doc_id schedule;
+    pyarrow and DuckDB share the RE2 \\p{Script} classes for byte
+    parity, and the dominant-script tiebreak is alphabetical on both
+    sides."""
+    from prase_ray.stages.text import script_profile
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        m = b["doc_id"].to_numpy(np.int64) % 3
+        t = b["text"].astype(object)
+        b["text"] = np.select(
+            [m == 0, m == 1],
+            [t + ("щ" * 300), t + ("樂" * 300)],
+            default=t,
+        )
+        return b
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = script_profile(
+        docs.map_batches(plant, batch_format="pandas")
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style per-doc repetition fingerprints (token count,
     distinct tokens, top-token count) — integer outputs for an exact
@@ -2496,6 +2523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": q_hash_sample,
         "pii_scrub": q_pii_scrub,
         "normalize_ws": q_normalize_ws,
+        "script_profile": q_script_profile,
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
         "heavy_hitters": q_heavy_hitters,
@@ -4629,6 +4657,45 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             SELECT doc_id, clean_text,
                    CAST(len(clean_text) AS BIGINT) AS n_chars_clean
+            FROM c ORDER BY doc_id
+        """,
+        # same planted Cyrillic/Han runs; \p{Script} classes are RE2 on
+        # both sides; dominant = first-equal-to-GREATEST in alphabetical
+        # order == numpy argmax-first
+        "script_profile": r"""
+            WITH p AS (
+                SELECT doc_id,
+                       text || CASE doc_id % 3
+                               WHEN 0 THEN repeat(chr(1097), 300)
+                               WHEN 1 THEN repeat(chr(27138), 300)
+                               ELSE '' END AS text
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\p{Arabic}'))
+                            AS BIGINT) AS n_arabic,
+                       CAST(len(regexp_extract_all(text, '\p{Cyrillic}'))
+                            AS BIGINT) AS n_cyrillic,
+                       CAST(len(regexp_extract_all(text, '\p{Greek}'))
+                            AS BIGINT) AS n_greek,
+                       CAST(len(regexp_extract_all(text, '\p{Han}'))
+                            AS BIGINT) AS n_han,
+                       CAST(len(regexp_extract_all(text, '\p{Latin}'))
+                            AS BIGINT) AS n_latin
+                FROM p
+            )
+            SELECT doc_id, n_arabic, n_cyrillic, n_greek, n_han, n_latin,
+                   CASE WHEN GREATEST(n_arabic, n_cyrillic, n_greek,
+                                      n_han, n_latin) = 0 THEN 'none'
+                        WHEN n_arabic = GREATEST(n_arabic, n_cyrillic,
+                                 n_greek, n_han, n_latin) THEN 'arabic'
+                        WHEN n_cyrillic = GREATEST(n_arabic, n_cyrillic,
+                                 n_greek, n_han, n_latin) THEN 'cyrillic'
+                        WHEN n_greek = GREATEST(n_arabic, n_cyrillic,
+                                 n_greek, n_han, n_latin) THEN 'greek'
+                        WHEN n_han = GREATEST(n_arabic, n_cyrillic,
+                                 n_greek, n_han, n_latin) THEN 'han'
+                        ELSE 'latin' END AS main_script
             FROM c ORDER BY doc_id
         """,
         "repetition_stats": r"""

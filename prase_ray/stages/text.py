@@ -600,6 +600,50 @@ def unigram_surprise(
     )
 
 
+# script profiling: RE2 unicode script classes, shared verbatim with
+# the DuckDB oracle (both engines are RE2, so the per-script char
+# counts are byte-identical).  Alphabetical order IS the tiebreak
+# order for the dominant script (numpy argmax picks the first max).
+SCRIPT_CLASSES = (
+    ("arabic", r"\p{Arabic}"),
+    ("cyrillic", r"\p{Cyrillic}"),
+    ("greek", r"\p{Greek}"),
+    ("han", r"\p{Han}"),
+    ("latin", r"\p{Latin}"),
+)
+
+
+def script_profile_batch(t) -> "pa.Table":
+    """(doc_id, n_<script>... , main_script): per-doc char counts for
+    the five major scripts + the dominant one (ties to the
+    alphabetically-first script; all-zero rows → 'none').  One Arrow
+    RE2 count kernel per script, zero Python per row, no shuffle —
+    the language/script routing gate of a multilingual pipeline."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    txt = t["text"]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    counts = [
+        pc.count_substring_regex(txt, pat).cast(pa.int64()).to_numpy()
+        for _, pat in SCRIPT_CLASSES
+    ]
+    M = np.stack(counts, axis=1)
+    names = np.array([n for n, _ in SCRIPT_CLASSES], dtype=object)
+    main = names[np.argmax(M, axis=1)]
+    main = np.where(M.max(axis=1) == 0, "none", main)
+    cols = {"doc_id": t["doc_id"]}
+    for (name, _), c in zip(SCRIPT_CLASSES, counts):
+        cols[f"n_{name}"] = pa.array(c)
+    cols["main_script"] = pa.array(main.astype(object))
+    return pa.table(cols)
+
+
+def script_profile(docs: ray.data.Dataset) -> ray.data.Dataset:
+    return docs.map_batches(script_profile_batch, batch_format="pyarrow")
+
+
 _VOCAB_CACHE: dict = {}
 
 

@@ -826,6 +826,32 @@ def test_stratified_sample(ray_session):
     )
 
 
+def test_script_profile(ray_session):
+    """Script counts == python unicodedata-free reference on mixed and
+    edge-case docs; dominant ties break alphabetically; empty -> none."""
+    from prase_ray.stages.text import script_profile
+
+    cases = [
+        ("latin text only", "latin"),
+        ("абв where cyrillic wins ббб абвгдежз иклмнопр", "cyrillic"),
+        ("樂樂樂 mix 樂樂樂樂樂樂樂樂樂", "han"),
+        ("", "none"),
+        ("1234 !?", "none"),
+        ("αβ ab", "greek"),  # 2-2 tie -> alphabetical: greek < latin
+    ]
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": range(len(cases)), "text": [c[0] for c in cases]}
+        )
+    )
+    out = script_profile(ds).to_pandas().set_index("doc_id")
+    for i, (text, want_main) in enumerate(cases):
+        assert out.loc[i, "main_script"] == want_main, text
+    assert out.loc[0, "n_latin"] == sum(c.isalpha() for c in cases[0][0])
+    assert out.loc[2, "n_han"] == 12
+    assert out.loc[5, "n_greek"] == 2 and out.loc[5, "n_latin"] == 2
+
+
 def test_encode_tokens(ray_session):
     """Broadcast and join encode paths are bit-equal and match a python
     reference (positions, OOV -1, empty docs)."""
