@@ -786,6 +786,19 @@ def q_kmeans(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_profile_columns(sf_dir: str):
+    """Per-column ingestion profile of documents (rows, nulls, exact
+    distinct) — the schema-drift gate.  Exact distinct via per-batch
+    distinct (column, value) rows + one part-hash exchange; totals ride
+    the same partial stream."""
+    from prase_ray.stages.relational import profile_columns
+
+    return profile_columns(
+        _read(sf_dir, "documents"),
+        ("doc_id", "lang", "source", "n_chars"),
+    )
+
+
 def q_quantile_gate(sf_dir: str):
     """Per-language median-length gate: keep documents whose token
     count is at or above their language's exact p50 — the per-group
@@ -2535,6 +2548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": q_group_quantiles,
         "quantile_gate": q_quantile_gate,
         "kmeans": q_kmeans,
+        "profile_columns": q_profile_columns,
         "paris_half_iteration": q_paris_half_iteration,
         "paris_half_iteration_join": q_paris_half_iteration_join,
         "paris_half_iteration_ds": q_paris_half_iteration_ds,
@@ -4522,6 +4536,27 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM events GROUP BY user_id HAVING COUNT(*) > 30
             ORDER BY user_id
+        """,
+        # exact distinct per column; engine stringification is injective
+        # for the int/string columns profiled
+        "profile_columns": """
+            SELECT 'doc_id' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct
+            FROM documents
+            UNION ALL
+            SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'source', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(source) AS BIGINT),
+                   CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+                   CAST(COUNT(DISTINCT n_chars) AS BIGINT) FROM documents
+            ORDER BY 1
         """,
         # per-group median gate: same integer distribution, same type-7
         # interpolation, same >= comparison on both sides (q=0.5 keeps

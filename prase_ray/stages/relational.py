@@ -333,6 +333,84 @@ def group_quantiles_approx(
     )
 
 
+def profile_columns(
+    ds: ray.data.Dataset,
+    columns: tuple[str, ...],
+    *,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Per-column data-quality report → DataFrame(column, n_rows,
+    n_null, n_distinct) — the schema-drift / ingestion gate run before
+    a corpus enters the pipeline.  EXACT distinct via the X1 dedup-first
+    shape per column: each batch emits its distinct (column, value)
+    pairs (values stringified — callers pass int/string columns; float
+    identity-by-repr is out of scope), ONE part-hash exchange of the
+    deduped slim relation, per-partition global dedup + count; row and
+    null totals ride the same partial stream as per-(column) counter
+    rows.  The result is columns-sized — a driver report by design."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in columns:
+            s = b[c]
+            null = s.isna()
+            vals = s[~null].astype(str).drop_duplicates()
+            v = pd.DataFrame(
+                {
+                    "column": c,
+                    "value": vals.to_numpy(object),
+                    "n": np.int64(0),
+                    "nn": np.int64(0),
+                }
+            )
+            # counter row: value='' with the batch totals; the empty
+            # marker can't collide with data because kind='c' keys it
+            v["kind"] = "v"
+            t = pd.DataFrame(
+                {
+                    "column": [c],
+                    "value": [""],
+                    "n": [np.int64(len(s))],
+                    "nn": [np.int64(int(null.sum()))],
+                    "kind": ["c"],
+                }
+            )
+            frames.append(v)
+            frames.append(t)
+        out = pd.concat(frames, ignore_index=True)
+        h = pd.util.hash_array(
+            out["column"].to_numpy(object)
+        ) ^ pd.util.hash_array(out["value"].to_numpy(object))
+        out.insert(
+            0, "part", (h % np.uint64(num_partitions)).astype(np.int32)
+        )
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[g["kind"] == "v"][["column", "value"]].drop_duplicates()
+        dist = v.groupby("column", as_index=False).size().rename(
+            columns={"size": "n_distinct"}
+        )
+        c = g[g["kind"] == "c"].groupby("column", as_index=False)[
+            ["n", "nn"]
+        ].sum()
+        return dist.merge(c, on="column", how="outer").fillna(0)
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("column", as_index=False)[
+        ["n_distinct", "n", "nn"]
+    ].sum()
+    out = out.rename(columns={"n": "n_rows", "nn": "n_null"})
+    for c in ("n_rows", "n_null", "n_distinct"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("column").reset_index(drop=True)
+
+
 def quantile_gate(
     ds: ray.data.Dataset,
     *,

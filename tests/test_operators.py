@@ -826,6 +826,34 @@ def test_stratified_sample(ray_session):
     )
 
 
+def test_profile_columns(ray_session):
+    """Profile report == pandas reference incl. nulls, empty strings
+    (data '' must not collide with the counter rows), multi-block."""
+    from prase_ray.stages.relational import profile_columns
+
+    df = pd.DataFrame(
+        {
+            "a": [1, 2, 2, None, 3, None],
+            "s": ["x", "", "", "y", None, "x"],
+        }
+    )
+    got = profile_columns(
+        ray.data.from_pandas(df).repartition(3), ("a", "s"), num_partitions=4
+    )
+    want = pd.DataFrame(
+        {
+            "column": ["a", "s"],
+            "n_distinct": [3, 3],  # '' counts as a distinct value
+            "n_rows": [6, 6],
+            "n_null": [2, 1],
+        }
+    )
+    pd.testing.assert_frame_equal(
+        got[["column", "n_distinct", "n_rows", "n_null"]], want,
+        check_dtype=False,
+    )
+
+
 def test_script_profile(ray_session):
     """Script counts == python unicodedata-free reference on mixed and
     edge-case docs; dominant ties break alphabetically; empty -> none."""
