@@ -46,8 +46,11 @@ def _cached_set(ref) -> set:
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     s = _DIRTY_CACHE.get(key)
     if s is None:
-        s = ray.get(ref)
-        _DIRTY_CACHE[key] = s
+        # one live entry per worker: evict the previous run's set (the
+        # convention of every broadcast cache in the engine) so a
+        # maintenance loop doesn't accumulate old dirty sets
+        _DIRTY_CACHE.clear()
+        s = _DIRTY_CACHE[key] = ray.get(ref)
     return s
 
 
@@ -102,10 +105,18 @@ def dirty_urls(
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
         b = g[g["side"] == 0]
         n = g[g["side"] == 1]
-        m = n.merge(
-            b[["url", "fp"]], on="url", how="left", suffixes=("", "_base")
+        # nullable Int64 keeps the base fp exact through the left merge
+        # (a plain int64 column would upcast to float64 when unmatched
+        # rows introduce NaN, and 64-bit fps are not float64-exact)
+        base = b[["url", "fp"]].astype({"fp": "Int64"})
+        m = n.merge(base, on="url", how="left", suffixes=("", "_base"))
+        added = m["fp_base"].isna().to_numpy()
+        changed = (
+            (m["fp_base"] != m["fp"].astype("Int64"))
+            .fillna(False)
+            .to_numpy()
         )
-        dirty = m["fp_base"].isna() | (m["fp_base"] != m["fp"])
+        dirty = added | changed
         return pd.DataFrame({"url": m.loc[dirty, "url"].to_numpy(object)})
 
     return tagged.groupby("part").map_groups(resolve, batch_format="pandas")
@@ -131,7 +142,12 @@ def incremental_triple_update(
     from prase_ray.stages.extract import extract_triples
 
     new_fp = page_fingerprints(new_pages)
-    dirty = dirty_urls(base_fp, new_fp, num_partitions=num_partitions)
+    # materialize: the dirty relation (slim, change-volume-bounded) is
+    # consumed twice (gate count + broadcast/join) — without this the
+    # whole fingerprint co-group over the new crawl would run twice
+    dirty = dirty_urls(
+        base_fp, new_fp, num_partitions=num_partitions
+    ).materialize()
     n_dirty = dirty.count()
 
     if n_dirty == 0:
@@ -153,7 +169,18 @@ def incremental_triple_update(
     else:
         # scale path: the dirty set itself is distributed — hash joins
         # on url (inner selects the pages; left-outer + null marker is
-        # the anti-join dropping stale triples)
+        # the anti-join dropping stale triples).  dirty comes out of a
+        # grouped stage whose empty partitions are zero-column blocks,
+        # which Dataset.join rejects — rebuild from non-empty blocks
+        # with a pinned schema first (dedup._drop_empty_blocks).
+        import pyarrow as pa
+
+        from prase_ray.stages.dedup import _drop_empty_blocks
+
+        dirty = _drop_empty_blocks(
+            dirty, pa.schema([("url", pa.string())])
+        )
+
         def mark(b: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame(
                 {
@@ -162,7 +189,10 @@ def incremental_triple_update(
                 }
             )
 
-        marked = dirty.map_batches(mark, batch_format="pandas")
+        marked = _drop_empty_blocks(
+            dirty.map_batches(mark, batch_format="pandas"),
+            pa.schema([("url", pa.string()), ("_dirty", pa.int8())]),
+        )
         pages_dirty = new_pages.join(
             dirty, join_type="inner", num_partitions=num_partitions,
             on=("url",),

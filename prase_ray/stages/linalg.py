@@ -294,18 +294,19 @@ def classifier_scores(
     return embs.map_batches(score, batch_format="pandas", fn_kwargs={"ref": ref})
 
 
-def _bottom_k_ids(
-    ds: ray.data.Dataset, id_col: str, k: int
-) -> np.ndarray:
-    """The k smallest ids: per-block partial bottom-k (the group_topk
-    bound — ≤ k rows per block reach the driver)."""
+def _bottom_k_rows(
+    ds: ray.data.Dataset, id_col: str, vec_col: str, k: int
+) -> pd.DataFrame:
+    """The k smallest ids' rows in ONE pass: each block keeps its own
+    bottom-k (id, vector) pairs (the group_topk bound — ≤ k rows per
+    block reach the driver), the driver takes the global bottom-k."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(b[id_col].to_numpy(np.int64))[:k]
-        return pd.DataFrame({id_col: ids})
+        s = b[[id_col, vec_col]].sort_values(id_col)
+        return s.head(k)
 
     cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    return np.sort(cand[id_col].to_numpy(np.int64))[:k]
+    return cand.sort_values(id_col).head(k).reset_index(drop=True)
 
 
 def kmeans_lloyd(
@@ -336,20 +337,10 @@ def kmeans_lloyd(
     assignment is a per-batch int64 matmul (n×k distances via the
     norm-expansion, no n×k×d intermediate); the centroid update reduces
     each batch to ≤ k×d partial rows (np.add.at grid) and one tiny
-    grouped combine — the corpus is SCANNED ``rounds`` times and
-    shuffled never; driver state is O(k×d)."""
-    seed_ids = _bottom_k_ids(embs, id_col, k)
-
-    def seed_vecs(b: pd.DataFrame) -> pd.DataFrame:
-        m = np.isin(b[id_col].to_numpy(np.int64), seed_ids)
-        return b[m]
-
-    sdf = (
-        embs.map_batches(seed_vecs, batch_format="pandas")
-        .to_pandas()
-        .sort_values(id_col)
-        .reset_index(drop=True)
-    )
+    grouped combine — the corpus is SCANNED ``rounds + 1`` times (one
+    single-pass seed selection + rounds assignment passes) and shuffled
+    never; driver state is O(k×d)."""
+    sdf = _bottom_k_rows(embs, id_col, vec_col, k)
     C = np.floor(
         np.stack(sdf[vec_col].to_numpy()).astype(np.float64) * scale
     ).astype(np.int64)

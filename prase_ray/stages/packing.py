@@ -162,8 +162,13 @@ def grouped_prefix_sum(
         mm = rel.aggregate(
             ray.data.aggregate.Min(key_col), ray.data.aggregate.Max(key_col)
         )
-        lo = int(mm[f"min({key_col})"]) if lo is None else lo
-        hi = int(mm[f"max({key_col})"]) if hi is None else hi
+        mn, mx = (mm or {}).get(f"min({key_col})"), (mm or {}).get(
+            f"max({key_col})"
+        )
+        if mn is None or mx is None:  # empty relation: any bounds do
+            mn, mx = 0, 0
+        lo = int(mn) if lo is None else lo
+        hi = int(mx) if hi is None else hi
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -179,10 +184,17 @@ def grouped_prefix_sum(
         g = b.groupby(["part", group_col], as_index=False)[val_col].sum()
         return g.rename(columns={val_col: "s"})
 
+    sums = tagged.map_batches(part_partials, batch_format="pandas").to_pandas()
+    if sums.empty:  # empty relation: to_pandas() has no columns at all
+        sums = pd.DataFrame(
+            {
+                "part": pd.Series([], dtype=np.int32),
+                group_col: pd.Series([], dtype=object),
+                "s": pd.Series([], dtype=np.int64),
+            }
+        )
     sums = (
-        tagged.map_batches(part_partials, batch_format="pandas")
-        .to_pandas()
-        .groupby(["part", group_col], as_index=False)["s"]
+        sums.groupby(["part", group_col], as_index=False)["s"]
         .sum()
         .sort_values([group_col, "part"])
     )

@@ -671,6 +671,9 @@ def encode_tokens(
     node)."""
     import re
 
+    # the vocab is consumed twice (gate count + broadcast pull or join);
+    # materialize so an unmaterialized build_vocab pipeline runs once
+    vocab = vocab.materialize()
     n_vocab = vocab.count()
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:

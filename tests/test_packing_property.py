@@ -93,6 +93,20 @@ def test_grouped_prefix_sum_matches_pandas(
     )
 
 
+def test_grouped_prefix_sum_empty_relation(ray_session):
+    """An empty slim relation (everything filtered upstream) yields an
+    empty result instead of crashing on the bounds aggregate."""
+    from prase_ray.stages.packing import grouped_prefix_sum
+
+    rel = ray.data.from_pandas(
+        pd.DataFrame({"g": pd.Series([], dtype=object),
+                      "k": pd.Series([], dtype=np.int64),
+                      "v": pd.Series([], dtype=np.int64)})
+    )
+    out = grouped_prefix_sum(rel, "g", "k", "v", num_parts=4).to_pandas()
+    assert len(out) == 0
+
+
 @settings(
     max_examples=10,
     deadline=None,
