@@ -470,6 +470,19 @@ def q_dedup_corpus(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Near-dup removal keeping each duplicate component's LONGEST
+    member (ties to smallest id) — the practical representative rule.
+    Component map broadcasts once; winners resolve via per-batch
+    partial winners; the loser set anti-filters the corpus."""
+    from prase_ray.stages.dedup import dedup_keep_best
+
+    out = dedup_keep_best(
+        _read(sf_dir, "documents"), threshold=0.6, concurrency=2
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_candidates(sf_dir: str):
     from prase_ray.stages.dedup import simhash_candidates
 
@@ -2517,6 +2530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "minhash_dedup": q_minhash_dedup,
         "dedup_corpus": q_dedup_corpus,
+        "dedup_keep_best": q_dedup_keep_best,
         "simhash_candidates": q_simhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
         "fuzzy_dedup": q_fuzzy_dedup,
@@ -3264,6 +3278,28 @@ def oracle_sql() -> dict[str, str]:
           AND q.quality >= 0.55
           AND (k.doc_id IS NULL OR k.doc_id = k.keep_id)
           AND c.doc_id IS NULL
+        ORDER BY d.doc_id
+    """
+    # keep-best representative: the same component map, winner by
+    # (token count DESC, id ASC) instead of min-id
+    d["dedup_keep_best"] = f"""
+        WITH km AS MATERIALIZED ({_sql_minhash_dedup()}),
+        t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        w AS (
+            SELECT km.doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY km.keep_id
+                       ORDER BY t.n_tokens DESC, km.doc_id
+                   ) AS rn
+            FROM km JOIN t ON km.doc_id = t.doc_id
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+        WHERE w.doc_id IS NULL OR w.rn = 1
         ORDER BY d.doc_id
     """
     # sequence packing: exclusive running token sum in doc_id order

@@ -2166,3 +2166,123 @@ def remove_boilerplate_lines(
     return _apply_removed_lines_join(
         docs, losers, id_col=id_col, text_col=text_col, delim=delim, jp=jp
     )
+
+
+_KEEPBEST_CACHE: dict = {}
+
+
+def _cached_obj(ref):
+    key = ref.hex()
+    v = _KEEPBEST_CACHE.get(key)
+    if v is None:
+        _KEEPBEST_CACHE.clear()
+        v = _KEEPBEST_CACHE[key] = ray.get(ref)
+    return v
+
+
+def dedup_keep_best(
+    docs: ray.data.Dataset,
+    *,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 17,
+    concurrency: int = 4,
+    num_partitions: int = 32,
+    keep_cols: tuple[str, ...] = ("doc_id", "source"),
+) -> ray.data.Dataset:
+    """Near-dup removal keeping each duplicate component's BEST member
+    — longest (max whitespace-token count), ties to the smallest id —
+    instead of the arbitrary min-id the plain keep-map uses.  The
+    practical curation rule: the longest crawl of a page usually
+    carries the least-truncated text.
+
+    Shape: the component map (doc_id → label) is dup-volume-bounded
+    (same documented bound as dedup_corpus) and ships ONCE via ray.put
+    into a corpus pass that emits per-batch PARTIAL winners per
+    component (one row per component per batch — the A7 idiom; hot
+    components never replicate their members through the exchange);
+    one part-hash combine resolves final winners; the loser set (dup
+    members that are not their component's winner) broadcasts back as
+    an anti-filter.  The corpus itself is scanned twice and shuffled
+    never."""
+    comp = minhash_dedup_keep_ids(
+        docs,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        seed=seed,
+        concurrency=concurrency,
+    ).to_pandas()
+    if len(comp) == 0:
+        return docs.select_columns(list(keep_cols))
+    member_to_comp = pd.Series(
+        comp["keep_id"].to_numpy(np.int64),
+        index=comp["doc_id"].to_numpy(np.int64),
+    )
+    mref = ray.put(member_to_comp)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = _cached_obj(mref)
+        ids = b["doc_id"].to_numpy(np.int64)
+        lab = m.reindex(ids)
+        hit = lab.notna().to_numpy()
+        if not hit.any():
+            return pd.DataFrame(
+                {
+                    "part": pd.Series([], dtype=np.int32),
+                    "comp": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "m": pd.Series([], dtype=np.int64),
+                }
+            )
+        sub = b[hit]
+        rows = pd.DataFrame(
+            {
+                "comp": lab[hit].to_numpy(np.int64),
+                "doc_id": sub["doc_id"].to_numpy(np.int64),
+                "m": (sub["text"].str.count(" ") + 1).to_numpy(np.int64),
+            }
+        )
+        # per-batch partial winner per component: (m desc, doc_id asc)
+        rows = rows.sort_values(["comp", "m", "doc_id"],
+                                ascending=[True, False, True])
+        w = rows.groupby("comp", as_index=False).first()
+        w.insert(
+            0,
+            "part",
+            (
+                w["comp"].to_numpy(np.int64).view(np.uint64)
+                % np.uint64(num_partitions)
+            ).astype(np.int32),
+        )
+        return w
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["comp", "m", "doc_id"],
+                          ascending=[True, False, True])
+        return g.groupby("comp", as_index=False).first()[["comp", "doc_id"]]
+
+    winners = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    win_ids = set(winners["doc_id"].to_numpy(np.int64))
+    losers = np.sort(
+        np.array(
+            [i for i in member_to_comp.index.to_numpy() if i not in win_ids],
+            dtype=np.int64,
+        )
+    )
+    lref = ray.put(losers)
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        drop = _cached_obj(lref)
+        keep = ~np.isin(b["doc_id"].to_numpy(np.int64), drop)
+        return b.loc[keep, list(keep_cols)]
+
+    return docs.map_batches(gate, batch_format="pandas")

@@ -826,6 +826,35 @@ def test_stratified_sample(ray_session):
     )
 
 
+def test_dedup_keep_best(ray_session):
+    """Keep-best keeps each dup component's longest member (ties to
+    smallest id) and every non-dup doc; planted near-dup trio."""
+    from prase_ray.stages.dedup import dedup_keep_best
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        base,                               # 0: dup, 10 tokens
+        base + " lambda mu",                # 1: dup, 12 tokens -> winner
+        base + " lambda",                   # 2: dup, 11 tokens
+        "completely different text here",   # 3: unique
+        base + " lambda mu",                # 4: dup, 12 tokens, tie -> 1 wins
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "source": "s",
+        }
+    )
+    out = dedup_keep_best(
+        ray.data.from_pandas(df).repartition(2),
+        threshold=0.5,
+        concurrency=2,
+        num_partitions=4,
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3]
+
+
 def test_profile_columns(ray_session):
     """Profile report == pandas reference incl. nulls, empty strings
     (data '' must not collide with the counter rows), multi-block."""
