@@ -470,6 +470,38 @@ def q_dedup_corpus(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_incremental_neardup(sf_dir: str):
+    """Incremental near-dup gate: new-crawl docs (doc_id % 5 == 0)
+    deduped AGAINST the existing corpus (the rest) — new signatures
+    probe the old LSH bucket table with one hash join; matched new
+    docs drop.  Returns the kept new docs."""
+    import pyarrow.compute as pc
+
+    from prase_ray.stages.incremental import incremental_neardup_drop
+
+    docs = _read(sf_dir, "documents")
+
+    def side(is_new: bool):
+        def f(t):
+            m = pc.equal(
+                pc.subtract(
+                    t["doc_id"],
+                    pc.multiply(pc.divide(t["doc_id"], 5), 5),
+                ),
+                0,
+            )
+            return t.filter(m if is_new else pc.invert(m))
+
+        return f
+
+    new = docs.map_batches(side(True), batch_format="pyarrow")
+    old = docs.map_batches(side(False), batch_format="pyarrow")
+    out = incremental_neardup_drop(
+        new, old, threshold=0.6, num_partitions=4
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Near-dup removal keeping each duplicate component's LONGEST
     member (ties to smallest id) — the practical representative rule.
@@ -2531,6 +2563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "dedup_corpus": q_dedup_corpus,
         "dedup_keep_best": q_dedup_keep_best,
+        "incremental_neardup": q_incremental_neardup,
         "simhash_candidates": q_simhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
         "fuzzy_dedup": q_fuzzy_dedup,
@@ -2715,7 +2748,74 @@ def _sql_minhash_dedup() -> str:
         f"+ {_sql_mul64('th[i+2]', f'{c2}::HUGEINT')}) % {_U64}"
     )
     return f"""
-        WITH dt AS (
+        WITH {_sql_minhash_chain()},
+        cand AS MATERIALIZED (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bh l JOIN bh r
+              ON l.band = r.band AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id
+        ),
+        {_sql_minhash_verify(0.6)},
+        und AS MATERIALIZED (SELECT a AS x, b AS y FROM ver UNION SELECT b, a FROM ver),
+        reach AS (
+            WITH RECURSIVE r(x, y) AS (
+                SELECT x, x FROM (SELECT DISTINCT x FROM und)
+                UNION
+                SELECT r.x, u.y FROM r JOIN und u ON r.y = u.x
+            )
+            SELECT * FROM r
+        )
+        SELECT CAST(x AS BIGINT) AS doc_id, CAST(MIN(y) AS BIGINT) AS keep_id
+        FROM reach GROUP BY x
+    """
+
+
+def _sql_minhash_verify(threshold: float) -> str:
+    """Shared exact-jaccard verify CTEs over `cand` (a, b) and `sh`:
+    emits sz/inter/ver, with ver = pairs at or above ``threshold``."""
+    return f"""
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS MATERIALIZED (
+            SELECT c.a, c.b, count(*) AS i
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.a
+            JOIN sh y ON y.doc_id = c.b AND y.s = x.s
+            GROUP BY c.a, c.b
+        ),
+        ver AS MATERIALIZED (
+            SELECT c.a, c.b FROM cand c
+            JOIN sz sa ON sa.doc_id = c.a
+            JOIN sz sb ON sb.doc_id = c.b
+            LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+            WHERE (sa.n + sb.n - coalesce(i.i, 0)) > 0
+              AND CAST(coalesce(i.i, 0) AS DOUBLE)
+                  / (sa.n + sb.n - coalesce(i.i, 0)) >= {threshold}
+        )"""
+
+
+def _sql_minhash_chain() -> str:
+    """The signature chain dt→…→bh shared by the self-join dedup
+    oracle and the cross-corpus incremental variant (same constants:
+    k=3, 64 hashes, 16 bands, seed 17)."""
+    from prase_ray.functions.hashing import minhash_params
+
+    a, b = minhash_params(64, 17)
+    hf_rows = ", ".join(
+        f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)" for j in range(64)
+    )
+    c2 = (0x100000001B3**2) % (1 << 64)  # C^2 mod 2^64 for the k=3 window
+    rolling = (
+        "list_reduce("
+        "list_prepend({h: 0::HUGEINT, p: 1::HUGEINT}, "
+        "list_transform(th, x -> {h: x, p: 0::HUGEINT})), "
+        f"(a, x) -> {{h: (a.h + {_sql_mul64('x.h', 'a.p')}) % {_U64}, "
+        f"p: (a.p * 1099511628211::HUGEINT) % {_U64}}}).h"
+    )
+    window = (
+        f"(th[i] + (th[i+1] * 1099511628211::HUGEINT) % {_U64} "
+        f"+ {_sql_mul64('th[i+2]', f'{c2}::HUGEINT')}) % {_U64}"
+    )
+    return f"""dt AS (
             SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
         ),
         tt AS (
@@ -2751,41 +2851,28 @@ def _sql_minhash_dedup() -> str:
                    list_reduce(list_prepend(0::HUGEINT, vs),
                                (acc, s) -> {_sql_splitmix('xor(acc, s)')}) AS band_hash
             FROM bandv
-        ),
+        )"""
+
+
+def _sql_minhash_cross(threshold: float = 0.6) -> str:
+    """Cross-corpus incremental variant: the same chain, candidates are
+    (old=doc_id%5<>0) × (new=doc_id%5=0) bucket collisions, and the
+    result is the KEPT new docs — those with no verified old
+    near-duplicate."""
+    return f"""
+        WITH {_sql_minhash_chain()},
         cand AS MATERIALIZED (
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM bh l JOIN bh r
               ON l.band = r.band AND l.band_hash = r.band_hash
-             AND l.doc_id < r.doc_id
+            WHERE l.doc_id % 5 <> 0 AND r.doc_id % 5 = 0
         ),
-        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS MATERIALIZED (
-            SELECT c.a, c.b, count(*) AS i
-            FROM cand c
-            JOIN sh x ON x.doc_id = c.a
-            JOIN sh y ON y.doc_id = c.b AND y.s = x.s
-            GROUP BY c.a, c.b
-        ),
-        ver AS MATERIALIZED (
-            SELECT c.a, c.b FROM cand c
-            JOIN sz sa ON sa.doc_id = c.a
-            JOIN sz sb ON sb.doc_id = c.b
-            LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-            WHERE (sa.n + sb.n - coalesce(i.i, 0)) > 0
-              AND CAST(coalesce(i.i, 0) AS DOUBLE)
-                  / (sa.n + sb.n - coalesce(i.i, 0)) >= 0.6
-        ),
-        und AS MATERIALIZED (SELECT a AS x, b AS y FROM ver UNION SELECT b, a FROM ver),
-        reach AS (
-            WITH RECURSIVE r(x, y) AS (
-                SELECT x, x FROM (SELECT DISTINCT x FROM und)
-                UNION
-                SELECT r.x, u.y FROM r JOIN und u ON r.y = u.x
-            )
-            SELECT * FROM r
-        )
-        SELECT CAST(x AS BIGINT) AS doc_id, CAST(MIN(y) AS BIGINT) AS keep_id
-        FROM reach GROUP BY x
+        {_sql_minhash_verify(threshold)}
+        SELECT d.doc_id, d.source
+        FROM documents d
+        WHERE d.doc_id % 5 = 0
+          AND NOT EXISTS (SELECT 1 FROM ver v WHERE v.b = d.doc_id)
+        ORDER BY d.doc_id
     """
 
 
@@ -3280,6 +3367,9 @@ def oracle_sql() -> dict[str, str]:
           AND c.doc_id IS NULL
         ORDER BY d.doc_id
     """
+    # incremental near-dup: the same chain, cross-side candidates,
+    # kept new docs
+    d["incremental_neardup"] = _sql_minhash_cross(0.6)
     # keep-best representative: the same component map, winner by
     # (token count DESC, id ASC) instead of min-id
     d["dedup_keep_best"] = f"""

@@ -254,6 +254,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("script_profile", lambda: consume(em.q_script_profile(sf_dir)))
     timed("profile_columns", lambda: consume(em.q_profile_columns(sf_dir)))
     timed("dedup_keep_best", lambda: consume(em.q_dedup_keep_best(sf_dir)))
+    timed("incremental_neardup", lambda: consume(em.q_incremental_neardup(sf_dir)))
     # at sf0.1 both graphs cross the 1M-edge gate → these time the
     # distributed join/wedge dataflows, not the driver twins
     timed("pagerank", lambda: consume(em.q_pagerank(sf_dir)))

@@ -210,3 +210,160 @@ def incremental_triple_update(
 
     new_triples = extract_triples(pages_dirty, **(extract_kwargs or {}))
     return kept.union(new_triples)
+
+
+def minhash_signature_table(
+    docs: ray.data.Dataset,
+    *,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 17,
+) -> ray.data.Dataset:
+    """The persistable LSH probe table (band, band_hash, doc_id) for a
+    corpus — write it through the X42 resumable sink next to the triple
+    store; the next crawl probes it without re-reading the corpus."""
+    from prase_ray.stages.dedup import minhash_sign_batch
+
+    return docs.map_batches(
+        minhash_sign_batch,
+        batch_format="pandas",
+        fn_kwargs=dict(k=k, num_hashes=num_hashes, bands=bands, seed=seed),
+    )
+
+
+def incremental_neardup_drop(
+    new_docs: ray.data.Dataset,
+    old_docs: ray.data.Dataset,
+    *,
+    old_sigs: ray.data.Dataset | None = None,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 17,
+    max_bucket: int = 200,
+    num_partitions: int = 8,
+    keep_cols: tuple[str, ...] = ("doc_id", "source"),
+) -> ray.data.Dataset:
+    """Incremental near-dup gate: drop every NEW doc that
+    near-duplicates (exact k-shingle Jaccard >= threshold) ANY doc of
+    the EXISTING corpus — the production shape where each crawl is
+    deduped against the accumulated corpus instead of re-running X2
+    over everything.  Pass the persisted ``minhash_signature_table`` as
+    ``old_sigs`` so the old corpus is touched only for the exact-verify
+    shingles of candidate members; doc ids must be disjoint across
+    sides.
+
+    Shape: new signatures probe the old bucket table with ONE hash join
+    on (band, band_hash) (degenerate buckets capped on the union, the
+    X2 skew guard); candidate pairs are LSH-small and verify through
+    the existing distributed-jaccard dataflow; the matched-new-id set
+    broadcasts back as an anti-filter.  The new corpus shuffles never.
+    """
+    import pyarrow as pa
+
+    from prase_ray.stages.dedup import (
+        _drop_empty_blocks,
+        drop_degenerate_buckets,
+        verify_jaccard,
+    )
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    num_partitions = ensure_join_cpu_budget(num_partitions)
+    kw = dict(k=k, num_hashes=num_hashes, bands=bands, seed=seed)
+    if old_sigs is None:
+        old_sigs = minhash_signature_table(old_docs, **kw)
+    new_sigs = minhash_signature_table(new_docs, **kw)
+
+    def tag(side: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["side"] = np.int8(side)
+            return b
+
+        return fn
+
+    union = old_sigs.map_batches(tag(0), batch_format="pandas").union(
+        new_sigs.map_batches(tag(1), batch_format="pandas")
+    )
+    union = drop_degenerate_buckets(union, ["band", "band_hash"], max_bucket)
+    sig_schema = pa.schema(
+        [
+            ("band", pa.int32()),
+            ("band_hash", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("side", pa.int8()),
+        ]
+    )
+    union = _drop_empty_blocks(
+        union.map_batches(lambda t: t, batch_format="pyarrow").materialize(),
+        sig_schema,
+    )
+
+    def split(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(t["side"], side)).select(
+                ["band", "band_hash", "doc_id"]
+            )
+
+        return fn
+
+    left = _drop_empty_blocks(
+        union.map_batches(split(0), batch_format="pyarrow").materialize(),
+        pa.schema([("band", pa.int32()), ("band_hash", pa.int64()),
+                   ("doc_id", pa.int64())]),
+    )
+    right = _drop_empty_blocks(
+        union.map_batches(split(1), batch_format="pyarrow").materialize(),
+        pa.schema([("band", pa.int32()), ("band_hash", pa.int64()),
+                   ("doc_id", pa.int64())]),
+    ).rename_columns({"doc_id": "doc_id_r"})
+
+    j = left.join(
+        right,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("band", "band_hash"),
+    )
+
+    def to_pairs(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "a": t["doc_id"].to_numpy(zero_copy_only=False),
+                "b": t["doc_id_r"].to_numpy(zero_copy_only=False),
+            }
+        )
+        key = pd.util.hash_array(
+            df["a"].to_numpy(np.int64).astype(np.uint64)
+        ) ^ pd.util.hash_array(df["b"].to_numpy(np.int64).astype(np.uint64))
+        df.insert(0, "part", (key % np.uint64(32)).astype(np.int32))
+        return df
+
+    def dedup_part(part: pd.DataFrame) -> pd.DataFrame:
+        return part[["a", "b"]].drop_duplicates()
+
+    pairs = (
+        j.map_batches(to_pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs):
+        members = old_docs.select_columns(["doc_id", "text"]).union(
+            new_docs.select_columns(["doc_id", "text"])
+        )
+        verified = verify_jaccard(pairs, members, k=k, threshold=threshold)
+        dropped = np.sort(np.unique(verified["b"].to_numpy(np.int64)))
+    else:
+        dropped = np.empty(0, np.int64)
+    dref = ray.put(dropped)
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        drop = ray.get(dref)  # zero-copy plasma numpy read
+        keep = ~np.isin(b["doc_id"].to_numpy(np.int64), drop)
+        return b.loc[keep, list(keep_cols)]
+
+    return new_docs.map_batches(gate, batch_format="pandas")

@@ -826,6 +826,51 @@ def test_stratified_sample(ray_session):
     )
 
 
+def test_incremental_neardup_drop(ray_session):
+    """New docs near-duplicating the existing corpus drop; fresh new
+    docs and old-old duplicates are untouched; empty-candidate path."""
+    from prase_ray.stages.incremental import incremental_neardup_drop
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    old = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": [base, base + " lambda", "other old content entirely"],
+            "source": "old",
+        }
+    )
+    new = pd.DataFrame(
+        {
+            "doc_id": np.array([10, 11], dtype=np.int64),
+            "text": [base + " mu", "totally fresh new document text"],
+            "source": "new",
+        }
+    )
+    out = incremental_neardup_drop(
+        ray.data.from_pandas(new).repartition(2),
+        ray.data.from_pandas(old).repartition(2),
+        threshold=0.5,
+        num_partitions=2,
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [11]
+    # nothing similar -> everything kept (no-candidate short circuit)
+    out2 = incremental_neardup_drop(
+        ray.data.from_pandas(new),
+        ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": np.array([7], dtype=np.int64),
+                    "text": ["qq ww ee rr tt yy uu ii oo pp"],
+                    "source": "old",
+                }
+            )
+        ),
+        threshold=0.5,
+        num_partitions=2,
+    ).to_pandas()
+    assert sorted(out2["doc_id"]) == [10, 11]
+
+
 def test_dedup_keep_best(ray_session):
     """Keep-best keeps each dup component's longest member (ties to
     smallest id) and every non-dup doc; planted near-dup trio."""
