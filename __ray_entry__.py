@@ -831,6 +831,18 @@ def q_kmeans(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_kmeans_distributed(sf_dir: str):
+    """Same k-means, FORCING the distributed path below the size gate
+    (driver_max_rows=0) — both paths checked against the same unrolled
+    SQL (the X9/X49 gate pattern)."""
+    from prase_ray.stages.linalg import kmeans_lloyd
+
+    out = kmeans_lloyd(
+        _read(sf_dir, "embeddings"), k=6, rounds=3, driver_max_rows=0
+    ).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_profile_columns(sf_dir: str):
     """Per-column ingestion profile of documents (rows, nulls, exact
     distinct) — the schema-drift gate.  Exact distinct via per-batch
@@ -2595,6 +2607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": q_group_quantiles,
         "quantile_gate": q_quantile_gate,
         "kmeans": q_kmeans,
+        "kmeans_distributed": q_kmeans_distributed,
         "profile_columns": q_profile_columns,
         "paris_half_iteration": q_paris_half_iteration,
         "paris_half_iteration_join": q_paris_half_iteration_join,
@@ -3207,6 +3220,7 @@ def oracle_sql() -> dict[str, str]:
     d["web_extract"] = _web_extract_oracle_sql()
     d["incremental_triples"] = _incremental_triples_oracle_sql()
     d["kmeans"] = _kmeans_oracle_sql(k=6, rounds=3, scale=1024.0)
+    d["kmeans_distributed"] = d["kmeans"]
     d["alias_candidates"] = _alias_candidates_oracle_sql()
     d["link_graph"] = _link_graph_oracle_sql()
     d["kcore"] = _kcore_oracle_sql(k=27, rounds=3)

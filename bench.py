@@ -248,6 +248,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         lambda: consume(em.q_incremental_triples(sf_dir)),
     )
     timed("kmeans", lambda: consume(em.q_kmeans(sf_dir)))
+    timed("kmeans_distributed", lambda: consume(em.q_kmeans_distributed(sf_dir)))
     timed("bigram_surprise", lambda: consume(em.q_bigram_surprise(sf_dir)))
     timed("alias_candidates", lambda: consume(em.q_alias_candidates(sf_dir)))
     timed("encode_tokens", lambda: consume(em.q_encode_tokens(sf_dir)))

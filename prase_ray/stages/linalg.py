@@ -317,6 +317,7 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: float = GRAM_SCALE,
+    driver_max_rows: int = 200_000,
 ) -> ray.data.Dataset:
     """Distributed bounded-rounds Lloyd k-means over the embedding
     column, fully fixed-point → Dataset(vec_id, cluster) after EXACTLY
@@ -340,6 +341,43 @@ def kmeans_lloyd(
     grouped combine — the corpus is SCANNED ``rounds + 1`` times (one
     single-pass seed selection + rounds assignment passes) and shuffled
     never; driver state is O(k×d)."""
+    # X9/X49-style size gate: below driver_max_rows the per-round
+    # pipeline rounds are pure fixed latency, so a bit-equal numpy twin
+    # runs in-process (same quantization, seeds, tie and death rules);
+    # the distributed path is forced in tests/oracles with
+    # driver_max_rows=0
+    n_rows = embs.count()
+    if n_rows is not None and n_rows <= driver_max_rows:
+        df = (
+            embs.select_columns([id_col, vec_col])
+            .to_pandas()
+            .sort_values(id_col)
+            .reset_index(drop=True)
+        )
+        Q = np.floor(
+            np.stack(df[vec_col].to_numpy()).astype(np.float64) * scale
+        ).astype(np.int64)
+        C = Q[:k].copy()
+        alive = np.arange(min(k, len(Q)), dtype=np.int64)
+
+        def assign(C_a: np.ndarray) -> np.ndarray:
+            cn = np.einsum("ij,ij->i", C_a, C_a)
+            return np.argmin(cn[None, :] - 2 * (Q @ C_a.T), axis=1)
+
+        for _ in range(rounds - 1):
+            a = alive[assign(C)]
+            ua = np.unique(a)
+            C = np.stack(
+                [Q[a == c].sum(0) // int((a == c).sum()) for c in ua]
+            )
+            alive = ua
+        out = pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(np.int64),
+                "cluster": alive[assign(C)],
+            }
+        )
+        return ray.data.from_pandas(out)
     sdf = _bottom_k_rows(embs, id_col, vec_col, k)
     C = np.floor(
         np.stack(sdf[vec_col].to_numpy()).astype(np.float64) * scale

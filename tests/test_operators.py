@@ -1099,17 +1099,21 @@ def test_kmeans_lloyd(ray_session):
         return alive[assign(C)]
 
     want = ref_kmeans()
+    # driver-gated AND forced-distributed paths, multiple layouts —
+    # all bit-equal to the reference
     for blocks in (1, 7):
-        got = (
-            kmeans_lloyd(
-                ray.data.from_pandas(df).repartition(blocks),
-                k=k,
-                rounds=rounds,
+        for gate in (0, 10**9):
+            got = (
+                kmeans_lloyd(
+                    ray.data.from_pandas(df).repartition(blocks),
+                    k=k,
+                    rounds=rounds,
+                    driver_max_rows=gate,
+                )
+                .to_pandas()
+                .sort_values("vec_id")
             )
-            .to_pandas()
-            .sort_values("vec_id")
-        )
-        np.testing.assert_array_equal(got["cluster"].to_numpy(), want)
+            np.testing.assert_array_equal(got["cluster"].to_numpy(), want)
 
 
 def test_incremental_triple_update(ray_session):
