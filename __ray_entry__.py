@@ -439,34 +439,18 @@ def q_minhash_dedup(sf_dir: str):
 
 def q_dedup_corpus(sf_dir: str):
     """COMPOSITION: the canonical 'dedup a corpus' pipeline — the
-    minhash near-dup keep-map applied back to the documents table as a
-    broadcast anti-filter.  The keep table is dup-component-sized
-    (small by construction) and ships once via ray.put; the corpus
-    itself streams through one vectorized map_batches — no shuffle, no
+    minhash near-dup keep-map applied back to the documents table,
+    keeping the min-id member of every duplicate component
+    (stages/dedup.dedup_corpus).  Below the loser-count gate the loser
+    ids ship once via ray.put and the corpus streams through one
+    vectorized anti-filter; above it the corpus drops losers through
+    the Bloom-prefiltered anti-join — either way no shuffle and no
     driver hop for the big side."""
-    import ray
+    from prase_ray.stages.dedup import dedup_corpus
 
-    from prase_ray.stages.dedup import minhash_dedup_keep_ids
-
-    keep = minhash_dedup_keep_ids(
+    out = dedup_corpus(
         _read(sf_dir, "documents"), threshold=0.6, concurrency=2
     ).to_pandas()
-    drop = np.sort(
-        keep[keep["doc_id"] != keep["keep_id"]]["doc_id"].to_numpy(np.int64)
-    )
-    ref = ray.put(drop)
-
-    def f(t: "pa.Table", *, ref) -> "pa.Table":
-        ids = ray.get(ref)  # zero-copy plasma read, cached per worker
-        m = ~np.isin(t["doc_id"].to_numpy(), ids)
-        return t.filter(pa.array(m))
-
-    out = (
-        _read(sf_dir, "documents")
-        .select_columns(["doc_id", "source"])
-        .map_batches(f, batch_format="pyarrow", fn_kwargs={"ref": ref})
-        .to_pandas()
-    )
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -724,7 +708,7 @@ def q_allpairs_jaccard(sf_dir: str):
     out = allpairs_jaccard(
         _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
         k=3, threshold=0.4,
-    )
+    ).to_pandas()
     out["jaccard"] = out["jaccard"].round(6)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 

@@ -21,7 +21,9 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Min, Sum
 
-from prase_ray.stages.dedup import connected_components_df
+from prase_ray.stages.dedup import _drop_empty_blocks, connected_components_df
+
+_NODE_LABEL = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
 
 def _as_arrow(ds):
@@ -42,6 +44,11 @@ def connected_components(
 
     num_partitions = ensure_join_cpu_budget(num_partitions)
     n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.schema([("node", pa.int64()), ("label", pa.int64())])
+            .empty_table()
+        )
     if not force_distributed and n_edges <= min_distributed_edges:
         pdf = edges.to_pandas()
         if pdf.empty:
@@ -77,11 +84,17 @@ def connected_components(
         ).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    labels = _as_arrow(
-        und.map_batches(init_labels, batch_format="pandas")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-    ).materialize()
+    # _drop_empty_blocks: grouped-aggregate outputs can surface empty
+    # ZERO-COLUMN blocks at small scale, which the downstream joins
+    # reject — pin the (node, label) schema
+    labels = _drop_empty_blocks(
+        _as_arrow(
+            und.map_batches(init_labels, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        ),
+        _NODE_LABEL,
+    )
 
     def label_sum(ds) -> int:
         out = ds.aggregate(Sum("label", alias_name="s"))
@@ -98,12 +111,15 @@ def connected_components(
             on=("src",),
             right_on=("node",),
         ).select_columns(["dst", "label"])
-        prop = _as_arrow(
-            _as_arrow(msgs.rename_columns({"dst": "node"}))
-            .union(labels)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-        ).materialize()
+        prop = _drop_empty_blocks(
+            _as_arrow(
+                _as_arrow(msgs.rename_columns({"dst": "node"}))
+                .union(labels)
+                .groupby("node")
+                .aggregate(Min("label", alias_name="label"))
+            ),
+            _NODE_LABEL,
+        )
 
         # pointer jumping: label ← min(label, label[label])
         as_target = prop.rename_columns({"node": "lnode", "label": "llabel"})
@@ -114,12 +130,15 @@ def connected_components(
             on=("label",),
             right_on=("lnode",),
         ).select_columns(["node", "llabel"])
-        labels = _as_arrow(
-            _as_arrow(jumped.rename_columns({"llabel": "label"}))
-            .union(prop)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-        ).materialize()
+        labels = _drop_empty_blocks(
+            _as_arrow(
+                _as_arrow(jumped.rename_columns({"llabel": "label"}))
+                .union(prop)
+                .groupby("node")
+                .aggregate(Min("label", alias_name="label"))
+            ),
+            _NODE_LABEL,
+        )
 
         s = label_sum(labels)
         if s == prev_sum:

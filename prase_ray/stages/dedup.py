@@ -218,6 +218,11 @@ def minhash_lsh_candidates(
     return pairs.groupby("part").map_groups(dedup_part, batch_format="pandas")
 
 
+_VERIFIED_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+)
+
+
 def verify_jaccard(
     pairs: ray.data.Dataset | pd.DataFrame,
     docs: ray.data.Dataset,
@@ -225,22 +230,60 @@ def verify_jaccard(
     k: int = 3,
     threshold: float = 0.7,
     num_parts: int = 32,
-) -> pd.DataFrame:
-    """Exact k-shingle Jaccard for candidate pairs, as DATAFLOW: doc
-    shingles never reach the driver.  The pair LIST is small (LSH's
-    whole point) and is broadcast; shingle rows are computed per doc
-    batch, routed to the pair's hash partition, and each partition
-    computes |Sa ∩ Sb| with two vectorized merges + a grouped count
-    (no per-pair Python loop anywhere).
+    max_driver_pairs: int = 2_000_000,
+    force_distributed: bool = False,
+) -> ray.data.Dataset:
+    """Exact k-shingle Jaccard for candidate pairs → Dataset(a, b,
+    jaccard), as DATAFLOW: doc shingles never reach the driver, and
+    above a size gate the candidate-pair list never does either.
 
-    Scale shape: Σ|S_doc| rows shuffled once, ≤ corpus shingle volume;
-    a doc in P partitions ships its shingles P times (bounded by its
-    pair fan-out)."""
+    Two bit-equal formulations share one per-partition kernel
+    (``_verify_part_kernel``: two vectorized merges + a grouped count —
+    no per-pair Python loop anywhere):
+
+    - **broadcast** (pairs ≤ ``max_driver_pairs``, LSH's common case):
+      the pair list ships once via ``ray.put``; shingle rows are
+      computed per doc batch, routed to the pair's hash partition, and
+      verified per partition.
+    - **distributed** (above the gate or ``force_distributed``): pairs
+      stay a Dataset end-to-end.  Pair rows are hash-tagged with their
+      partition; the (doc_id, part) membership relation inner-joins the
+      corpus so only candidate docs shingle; pair rows and shingle rows
+      union into ONE (part, kind, x, y) relation and a single grouped
+      pass verifies each partition.  Driver memory is O(1) regardless
+      of dup volume — the 100-TB shape.
+
+    Scale shape (both): Σ|S_doc| rows shuffled once, ≤ corpus shingle
+    volume; a doc in P partitions ships its shingles P times (bounded
+    by its pair fan-out)."""
     import ray
 
-    pdf = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
+    if isinstance(pairs, ray.data.Dataset):
+        pairs = pairs.materialize()
+        n_pairs = pairs.count()
+        if n_pairs == 0:
+            return ray.data.from_arrow(_VERIFIED_SCHEMA.empty_table())
+        if force_distributed or n_pairs > max_driver_pairs:
+            return _verify_jaccard_distributed(
+                pairs, docs, k=k, threshold=threshold, num_parts=num_parts
+            )
+        pdf = _ensure_cols(
+            pairs.to_pandas(), {"a": np.int64, "b": np.int64}
+        )
+    else:
+        pdf = pairs
+        if force_distributed:
+            if pdf.empty:
+                return ray.data.from_arrow(_VERIFIED_SCHEMA.empty_table())
+            return _verify_jaccard_distributed(
+                ray.data.from_pandas(pdf[["a", "b"]].astype(np.int64)),
+                docs,
+                k=k,
+                threshold=threshold,
+                num_parts=num_parts,
+            )
     if pdf.empty:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        return ray.data.from_arrow(_VERIFIED_SCHEMA.empty_table())
     pdf = pdf[["a", "b"]].astype(np.int64).copy()
     key = pd.util.hash_array(pdf["a"].to_numpy(np.uint64)) ^ pd.util.hash_array(
         pdf["b"].to_numpy(np.uint64)
@@ -284,37 +327,156 @@ def verify_jaccard(
     def verify_part(g: pd.DataFrame) -> pd.DataFrame:
         allp = ray.get(pairs_ref)
         p = allp[allp["part"] == int(g["part"].iloc[0])][["a", "b"]]
-        sizes = g.groupby("doc_id")["shingle"].size()  # rows are distinct
-        t = p.merge(g[["doc_id", "shingle"]], left_on="a", right_on="doc_id")[
-            ["a", "b", "shingle"]
-        ]
-        t = t.merge(
-            g[["doc_id", "shingle"]],
-            left_on=["b", "shingle"],
-            right_on=["doc_id", "shingle"],
+        return _verify_part_kernel(
+            p, g[["doc_id", "shingle"]], threshold
         )
-        inter = t.groupby(["a", "b"], as_index=False).size()
-        out = p.merge(inter, on=["a", "b"], how="left")
-        out["size"] = out["size"].fillna(0).astype(np.int64)
-        sa = sizes.reindex(out["a"]).fillna(0).to_numpy()
-        sb = sizes.reindex(out["b"]).fillna(0).to_numpy()
-        union = sa + sb - out["size"].to_numpy()
-        out["jaccard"] = np.where(
-            union > 0, out["size"].to_numpy() / np.where(union > 0, union, 1), 0.0
-        )
-        out = out[out["jaccard"] >= threshold]
-        return out[["a", "b", "jaccard"]]
 
-    verified = (
+    out = (
         docs.map_batches(shingle_rows, batch_format="pandas")
         .groupby("part")
         .map_groups(verify_part, batch_format="pandas")
-        .to_pandas()
     )
-    verified = _ensure_cols(
-        verified, {"a": np.int64, "b": np.int64, "jaccard": np.float64}
+    return _drop_empty_blocks(out, _VERIFIED_SCHEMA)
+
+
+def _verify_part_kernel(
+    p: pd.DataFrame, sh: pd.DataFrame, threshold: float
+) -> pd.DataFrame:
+    """Shared per-partition exact-Jaccard kernel: ``p`` = candidate
+    pairs (a, b), ``sh`` = DISTINCT (doc_id, shingle) rows for every
+    doc of those pairs present in the corpus.  Bit-identical between
+    the broadcast and distributed formulations (same merges, same
+    float arithmetic)."""
+    sizes = sh.groupby("doc_id")["shingle"].size()  # rows are distinct
+    t = p.merge(sh, left_on="a", right_on="doc_id")[["a", "b", "shingle"]]
+    t = t.merge(
+        sh,
+        left_on=["b", "shingle"],
+        right_on=["doc_id", "shingle"],
     )
-    return verified.sort_values(["a", "b"]).reset_index(drop=True)
+    inter = t.groupby(["a", "b"], as_index=False).size()
+    out = p.merge(inter, on=["a", "b"], how="left")
+    out["size"] = out["size"].fillna(0).astype(np.int64)
+    sa = sizes.reindex(out["a"]).fillna(0).to_numpy()
+    sb = sizes.reindex(out["b"]).fillna(0).to_numpy()
+    union = sa + sb - out["size"].to_numpy()
+    out["jaccard"] = np.where(
+        union > 0, out["size"].to_numpy() / np.where(union > 0, union, 1), 0.0
+    )
+    out = out[out["jaccard"] >= threshold]
+    out = out[["a", "b", "jaccard"]]
+    return out.astype({"a": np.int64, "b": np.int64, "jaccard": np.float64})
+
+
+def _verify_jaccard_distributed(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    *,
+    k: int,
+    threshold: float,
+    num_parts: int,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Pairs-as-Dataset verify (see verify_jaccard): ONE union relation
+    (part, kind, x, y) — kind 0 rows are pairs (x=a, y=b), kind 1 rows
+    are shingles (x=doc_id, y=shingle) — grouped by part and verified
+    with the shared kernel.  No driver materialization anywhere."""
+    import ray
+
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    num_partitions = ensure_join_cpu_budget(num_partitions)
+
+    def tag_pairs(t: pa.Table) -> pd.DataFrame:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = pd.util.hash_array(a.astype(np.uint64)) ^ pd.util.hash_array(
+            b.astype(np.uint64)
+        )
+        return pd.DataFrame(
+            {
+                "part": (key % np.uint64(num_parts)).astype(np.int32),
+                "kind": np.zeros(len(a), np.int8),
+                "x": a,
+                "y": b,
+            }
+        )
+
+    union_schema = pa.schema(
+        [("part", pa.int32()), ("kind", pa.int8()),
+         ("x", pa.int64()), ("y", pa.int64())]
+    )
+    # consumed twice (union + doc_parts) — materialize once
+    tagged = _drop_empty_blocks(
+        pairs.map_batches(tag_pairs, batch_format="pyarrow"), union_schema
+    )
+
+    def to_doc_parts(b: pd.DataFrame) -> pd.DataFrame:
+        part = b["part"].to_numpy(np.int32)
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(
+                    [b["x"].to_numpy(np.int64), b["y"].to_numpy(np.int64)]
+                ),
+                "part": np.tile(part, 2),
+            }
+        ).drop_duplicates()  # per-batch prefilter; kernel dedups globally
+
+    doc_parts = _drop_empty_blocks(
+        tagged.map_batches(to_doc_parts, batch_format="pandas"),
+        pa.schema([("doc_id", pa.int64()), ("part", pa.int32())]),
+    )
+    corpus = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+    # inner join: only candidate docs shingle, replicated per partition
+    # they participate in (bounded by pair fan-out)
+    cand_docs = corpus.join(
+        doc_parts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+
+    def shingle_tag(b: pd.DataFrame) -> pd.DataFrame:
+        tok, off = tokenize_offsets(b["text"])
+        sh, sh_off = shingle_hashes(tok, off, k)
+        counts = sh_off[1:] - sh_off[:-1]
+        n = int(counts.sum())
+        return pd.DataFrame(
+            {
+                "part": np.repeat(b["part"].to_numpy(np.int32), counts),
+                "kind": np.ones(n, np.int8),
+                "x": np.repeat(b["doc_id"].to_numpy(np.int64), counts),
+                "y": sh.astype(np.int64),
+            }
+        )
+
+    shingles = cand_docs.map_batches(shingle_tag, batch_format="pandas")
+
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        kind = g["kind"].to_numpy()
+        p = (
+            g.loc[kind == 0, ["x", "y"]]
+            .drop_duplicates()
+            .rename(columns={"x": "a", "y": "b"})
+        )
+        sh = (
+            g.loc[kind == 1, ["x", "y"]]
+            .drop_duplicates()
+            .rename(columns={"x": "doc_id", "y": "shingle"})
+        )
+        return _verify_part_kernel(p, sh, threshold)
+
+    out = (
+        tagged.union(
+            _drop_empty_blocks(shingles, union_schema)
+        )
+        .groupby("part")
+        .map_groups(verify_part, batch_format="pandas")
+    )
+    return _drop_empty_blocks(out, _VERIFIED_SCHEMA)
 
 
 def minhash_dedup_keep_ids(
@@ -326,11 +488,16 @@ def minhash_dedup_keep_ids(
     threshold: float = 0.7,
     seed: int = 17,
     concurrency: int = 4,
+    force_distributed: bool = False,
 ) -> ray.data.Dataset:
     """Full near-dup pipeline → Dataset(doc_id, keep_id): every doc
     mapped to the min id of its duplicate component (docs with no dup
     map to themselves only if present in a component; callers treat
-    missing ids as kept)."""
+    missing ids as kept).  Dataset-resident end-to-end: verified pairs
+    flow into connected components WITHOUT a driver hop, and
+    ``force_distributed`` forces the pairs-as-Dataset verify + label
+    propagation paths (the 100-TB shape; size gates pick it
+    automatically above their thresholds)."""
     cands = minhash_lsh_candidates(
         docs,
         k=k,
@@ -339,22 +506,101 @@ def minhash_dedup_keep_ids(
         seed=seed,
         concurrency=concurrency,
     )
-    verified = verify_jaccard(cands, docs, k=k, threshold=threshold)
+    verified = verify_jaccard(
+        cands, docs, k=k, threshold=threshold,
+        force_distributed=force_distributed,
+    )
     # size-gated components: driver union-find for small verified sets,
     # distributed label propagation beyond (stages/components.py)
     from prase_ray.stages.components import connected_components
 
     comp = connected_components(
-        ray.data.from_pandas(verified[["a", "b"]])
-        if len(verified)
-        else ray.data.from_pandas(pd.DataFrame({"a": [], "b": []}, dtype=np.int64))
+        verified.select_columns(["a", "b"]),
+        force_distributed=force_distributed,
     )
     def rename(t: pa.Table) -> pa.Table:
         # pyarrow 16 rename_columns(dict) is a silent no-op; rename by
         # position off the known (node, label) schema
         return t.select(["node", "label"]).rename_columns(["doc_id", "keep_id"])
 
-    return comp.map_batches(rename, batch_format="pyarrow")
+    # empty blocks skip map UDFs and would keep the (node, label) names —
+    # pin the renamed schema explicitly
+    return _drop_empty_blocks(
+        comp.map_batches(rename, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("keep_id", pa.int64())]),
+    )
+
+
+def dedup_corpus(
+    docs: ray.data.Dataset,
+    *,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 17,
+    concurrency: int = 4,
+    keep_cols: tuple[str, ...] = ("doc_id", "source"),
+    num_partitions: int = 32,
+    max_driver_losers: int = 5_000_000,
+    force_distributed: bool = False,
+) -> ray.data.Dataset:
+    """The canonical 'dedup a corpus' composition: the minhash near-dup
+    keep-map applied back to the documents table, keeping the min-id
+    member of every duplicate component.
+
+    Two bit-equal apply paths, size-gated on the LOSER count (docs
+    whose doc_id != keep_id — the dup volume):
+
+    - **broadcast** (≤ ``max_driver_losers``): the loser id array ships
+      once via ray.put; the corpus streams through one vectorized
+      np.isin anti-filter — no shuffle, no driver hop for the big side.
+    - **distributed** (above the gate or ``force_distributed``): losers
+      stay a Dataset and the corpus drops them through the X37
+      Bloom-prefiltered anti-join (relational.bloom_anti_join): corpus
+      rows never shuffle — only Bloom positives (true losers + the
+      FP-bounded sliver) enter the exact hash anti-join.  Driver memory
+      O(1) at any dup rate — the 100-TB shape."""
+    import ray
+
+    keep = minhash_dedup_keep_ids(
+        docs,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        seed=seed,
+        concurrency=concurrency,
+        force_distributed=force_distributed,
+    )
+    losers = keep.map_batches(
+        lambda t: t.filter(
+            pa.compute.not_equal(t["doc_id"], t["keep_id"])
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    ).materialize()
+    corpus = docs.select_columns(list(keep_cols))
+    n_losers = losers.count()
+    if force_distributed or n_losers > max_driver_losers:
+        from prase_ray.stages.relational import bloom_anti_join
+
+        return bloom_anti_join(
+            corpus.map_batches(lambda t: t, batch_format="pyarrow"),
+            losers,
+            "doc_id",
+            num_partitions=num_partitions,
+        )
+    drop = np.sort(losers.to_pandas()["doc_id"].to_numpy(np.int64)) if (
+        n_losers
+    ) else np.empty(0, np.int64)
+    ref = ray.put(drop)
+
+    def gate(t: pa.Table) -> pa.Table:
+        ids = ray.get(ref)  # zero-copy plasma read, cached per worker
+        m = ~np.isin(t["doc_id"].to_numpy(zero_copy_only=False), ids)
+        return t.filter(pa.array(m))
+
+    return corpus.map_batches(gate, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -1291,7 +1537,7 @@ def allpairs_jaccard(
     threshold: float = 0.5,
     num_parts: int = 32,
     max_bucket: int | None = None,
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """EXACT k-shingle Jaccard ≥ threshold over ALL doc pairs — no
     blocking column, no recall loss (closes ngram_jaccard_pairs'
     documented blocking requirement).  Prefix filtering: order every
@@ -2191,6 +2437,8 @@ def dedup_keep_best(
     concurrency: int = 4,
     num_partitions: int = 32,
     keep_cols: tuple[str, ...] = ("doc_id", "source"),
+    max_driver_members: int = 5_000_000,
+    force_distributed: bool = False,
 ) -> ray.data.Dataset:
     """Near-dup removal keeping each duplicate component's BEST member
     — longest (max whitespace-token count), ties to the smallest id —
@@ -2198,16 +2446,27 @@ def dedup_keep_best(
     practical curation rule: the longest crawl of a page usually
     carries the least-truncated text.
 
-    Shape: the component map (doc_id → label) is dup-volume-bounded
-    (same documented bound as dedup_corpus) and ships ONCE via ray.put
-    into a corpus pass that emits per-batch PARTIAL winners per
-    component (one row per component per batch — the A7 idiom; hot
-    components never replicate their members through the exchange);
-    one part-hash combine resolves final winners; the loser set (dup
-    members that are not their component's winner) broadcasts back as
-    an anti-filter.  The corpus itself is scanned twice and shuffled
-    never."""
-    comp = minhash_dedup_keep_ids(
+    Two bit-equal formulations, size-gated on the component map's row
+    count (the dup volume):
+
+    - **broadcast** (≤ ``max_driver_members``): the component map
+      ships ONCE via ray.put into a corpus pass that emits per-batch
+      PARTIAL winners per component (one row per component per batch —
+      the A7 idiom; hot components never replicate their members
+      through the exchange); one part-hash combine resolves final
+      winners; the loser set broadcasts back as an anti-filter.
+    - **distributed** (above the gate or ``force_distributed``): the
+      component map stays a Dataset — member metrics attach via ONE
+      hash join (dup-volume-sized, not corpus-sized), the same
+      partial→combine winner resolution runs as dataflow, losers =
+      members ∖ winners via a hash anti-join, and the corpus drops
+      losers through the X37 Bloom-prefiltered anti-join (corpus never
+      shuffles; driver memory O(1) at any dup rate).
+
+    The corpus itself is scanned twice and shuffled never (Bloom
+    positives — true losers + the FP sliver — are the only rows that
+    enter the exact anti-join)."""
+    comp_ds = minhash_dedup_keep_ids(
         docs,
         k=k,
         num_hashes=num_hashes,
@@ -2215,11 +2474,21 @@ def dedup_keep_best(
         threshold=threshold,
         seed=seed,
         concurrency=concurrency,
-    ).to_pandas()
-    if len(comp) == 0:
+        force_distributed=force_distributed,
+    ).materialize()
+    n_members = comp_ds.count()
+    if n_members == 0:
         return docs.select_columns(list(keep_cols))
+    if force_distributed or n_members > max_driver_members:
+        return _dedup_keep_best_distributed(
+            docs, comp_ds, num_partitions=num_partitions,
+            keep_cols=keep_cols,
+        )
+    comp = comp_ds.to_pandas()
+    # nullable Int64 so 64-bit labels never round-trip through float64
+    # (reindex-introduced NaN would force float and corrupt ids > 2^53)
     member_to_comp = pd.Series(
-        comp["keep_id"].to_numpy(np.int64),
+        pd.array(comp["keep_id"].to_numpy(np.int64), dtype="Int64"),
         index=comp["doc_id"].to_numpy(np.int64),
     )
     mref = ray.put(member_to_comp)
@@ -2271,12 +2540,9 @@ def dedup_keep_best(
         .map_groups(final, batch_format="pandas")
         .to_pandas()
     )
-    win_ids = set(winners["doc_id"].to_numpy(np.int64))
+    members = member_to_comp.index.to_numpy()
     losers = np.sort(
-        np.array(
-            [i for i in member_to_comp.index.to_numpy() if i not in win_ids],
-            dtype=np.int64,
-        )
+        members[~np.isin(members, winners["doc_id"].to_numpy(np.int64))]
     )
     lref = ray.put(losers)
 
@@ -2286,3 +2552,84 @@ def dedup_keep_best(
         return b.loc[keep, list(keep_cols)]
 
     return docs.map_batches(gate, batch_format="pandas")
+
+
+def _dedup_keep_best_distributed(
+    docs: ray.data.Dataset,
+    comp_ds: ray.data.Dataset,
+    *,
+    num_partitions: int,
+    keep_cols: tuple[str, ...],
+) -> ray.data.Dataset:
+    """Dataset-resident keep-best (see dedup_keep_best): component map
+    never leaves the object store."""
+    from prase_ray.rayctx import ensure_join_cpu_budget
+    from prase_ray.stages.relational import bloom_anti_join
+
+    join_parts = ensure_join_cpu_budget(num_partitions)
+
+    def metrics(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "m": (b["text"].str.count(" ") + 1).to_numpy(np.int64),
+            }
+        )
+
+    docs_m = docs.select_columns(["doc_id", "text"]).map_batches(
+        metrics, batch_format="pandas"
+    ).map_batches(lambda t: t, batch_format="pyarrow")
+    comp_arrow = comp_ds.map_batches(
+        lambda t: t.select(["doc_id", "keep_id"]).rename_columns(
+            ["doc_id", "comp"]
+        ),
+        batch_format="pyarrow",
+    )
+    # dup-volume-sized join: only component MEMBERS carry metric rows on
+    members_m = docs_m.join(
+        comp_arrow,
+        join_type="inner",
+        num_partitions=join_parts,
+        on=("doc_id",),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = b.sort_values(["comp", "m", "doc_id"],
+                             ascending=[True, False, True])
+        w = rows.groupby("comp", as_index=False).first()[
+            ["comp", "doc_id", "m"]
+        ]
+        w.insert(
+            0,
+            "part",
+            (
+                w["comp"].to_numpy(np.int64).view(np.uint64)
+                % np.uint64(num_partitions)
+            ).astype(np.int32),
+        )
+        return w
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["comp", "m", "doc_id"],
+                          ascending=[True, False, True])
+        return g.groupby("comp", as_index=False).first()[["comp", "doc_id"]]
+
+    winners = _drop_empty_blocks(
+        members_m.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(final, batch_format="pandas"),
+        pa.schema([("comp", pa.int64()), ("doc_id", pa.int64())]),
+    )
+    losers = comp_arrow.select_columns(["doc_id"]).join(
+        winners.select_columns(["doc_id"]),
+        join_type="left_anti",
+        num_partitions=join_parts,
+        on=("doc_id",),
+    )
+    return bloom_anti_join(
+        docs.select_columns(list(keep_cols))
+        .map_batches(lambda t: t, batch_format="pyarrow"),
+        losers,
+        "doc_id",
+        num_partitions=join_parts,
+    )

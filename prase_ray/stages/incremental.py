@@ -245,6 +245,8 @@ def incremental_neardup_drop(
     max_bucket: int = 200,
     num_partitions: int = 8,
     keep_cols: tuple[str, ...] = ("doc_id", "source"),
+    max_driver_drops: int = 5_000_000,
+    force_distributed: bool = False,
 ) -> ray.data.Dataset:
     """Incremental near-dup gate: drop every NEW doc that
     near-duplicates (exact k-shingle Jaccard >= threshold) ANY doc of
@@ -257,9 +259,14 @@ def incremental_neardup_drop(
 
     Shape: new signatures probe the old bucket table with ONE hash join
     on (band, band_hash) (degenerate buckets capped on the union, the
-    X2 skew guard); candidate pairs are LSH-small and verify through
-    the existing distributed-jaccard dataflow; the matched-new-id set
-    broadcasts back as an anti-filter.  The new corpus shuffles never.
+    X2 skew guard); candidate pairs stay a DATASET end-to-end and
+    verify through the pairs-as-Dataset jaccard dataflow; the
+    matched-new-id set broadcasts back as an anti-filter below
+    ``max_driver_drops`` matches, and above it (or with
+    ``force_distributed``) drops via the X37 Bloom-prefiltered
+    anti-join instead — driver memory O(1) at any dup rate.  The new
+    corpus shuffles never (Bloom positives are the only rows entering
+    the exact anti-join).
     """
     import pyarrow as pa
 
@@ -345,18 +352,38 @@ def incremental_neardup_drop(
     def dedup_part(part: pd.DataFrame) -> pd.DataFrame:
         return part[["a", "b"]].drop_duplicates()
 
-    pairs = (
+    from prase_ray.stages.dedup import _drop_empty_blocks as _deb
+
+    pairs = _deb(
         j.map_batches(to_pairs, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(dedup_part, batch_format="pandas")
-        .to_pandas()
+        .map_groups(dedup_part, batch_format="pandas"),
+        pa.schema([("a", pa.int64()), ("b", pa.int64())]),
     )
-    if len(pairs):
-        members = old_docs.select_columns(["doc_id", "text"]).union(
-            new_docs.select_columns(["doc_id", "text"])
+    members = old_docs.select_columns(["doc_id", "text"]).union(
+        new_docs.select_columns(["doc_id", "text"])
+    )
+    verified = verify_jaccard(
+        pairs, members, k=k, threshold=threshold,
+        force_distributed=force_distributed,
+    ).materialize()
+    n_matches = verified.count()
+    if force_distributed or n_matches > max_driver_drops:
+        from prase_ray.stages.relational import bloom_anti_join
+
+        losers = verified.select_columns(["b"]).map_batches(
+            lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow"
         )
-        verified = verify_jaccard(pairs, members, k=k, threshold=threshold)
-        dropped = np.sort(np.unique(verified["b"].to_numpy(np.int64)))
+        return bloom_anti_join(
+            new_docs.select_columns(list(keep_cols))
+            .map_batches(lambda t: t, batch_format="pyarrow"),
+            losers,
+            "doc_id",
+            num_partitions=num_partitions,
+        )
+    if n_matches:
+        vdf = verified.to_pandas()
+        dropped = np.sort(np.unique(vdf["b"].to_numpy(np.int64)))
     else:
         dropped = np.empty(0, np.int64)
     dref = ray.put(dropped)

@@ -662,8 +662,26 @@ def bloom_anti_join(
     read+probe once each — two cheap scans instead of one corpus-wide
     shuffle.
     """
+    import pyarrow as pa
+
+    from prase_ray.rayctx import ensure_join_cpu_budget
+    from prase_ray.stages.dedup import _drop_empty_blocks
+
+    # cap the exact-join's aggregator-pool reservation to the live
+    # cluster (an uncapped 32-partition pool reserves every CPU of a
+    # small cluster and deadlocks the shuffle map tasks)
+    num_partitions = ensure_join_cpu_budget(num_partitions)
     right_on = right_on or on
-    rkeys = right.select_columns([right_on])
+    # empty leading blocks on a join's RIGHT side break Ray's hash
+    # shuffle schema inference — drop them up front, and short-circuit
+    # an empty blocklist entirely (anti-join vs nothing = identity)
+    rkeys = _drop_empty_blocks(
+        right.select_columns([right_on])
+        .map_batches(lambda t: t, batch_format="pyarrow"),
+        pa.schema([(right_on, pa.int64())]),
+    )
+    if rkeys.count() == 0:
+        return left
     n_bytes = m_bits // 8
 
     def bitmap_partial(b: pd.DataFrame) -> pd.DataFrame:

@@ -170,6 +170,70 @@ def test_minhash_dedup_finds_planted_dups(ray_session):
     assert not merged_bases
 
 
+def test_dedup_distributed_paths_bit_equal(ray_session):
+    """Round-5 scale twin: every dedup-family verify/apply path forced
+    fully Dataset-resident (force_distributed=True — pairs, component
+    map, winners and losers never touch the driver) must be BIT-EQUAL
+    to the broadcast formulation on the same corpus."""
+    from prase_ray.stages.dedup import (
+        dedup_corpus,
+        dedup_keep_best,
+        minhash_dedup_keep_ids,
+        minhash_lsh_candidates,
+        verify_jaccard,
+    )
+    from prase_ray.stages.incremental import incremental_neardup_drop
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    texts, srcs = [], []
+    for i in range(90):
+        texts.append(" ".join(rng.choice(vocab, 15)))
+        srcs.append(f"s{i % 4}")
+    # planted near-dups crossing the old/new split (new = doc_id%5==0)
+    for a, b in [(3, 75), (11, 70), (22, 90 % 90), (13, 77)]:
+        texts[b] = texts[a] + " tail"
+    df = pd.DataFrame({"doc_id": np.arange(90, dtype=np.int64),
+                       "text": texts, "source": srcs})
+    docs = ray.data.from_pandas(df)
+
+    def norm(ds, cols):
+        return ds.to_pandas().sort_values(cols).reset_index(drop=True)
+
+    cands = minhash_lsh_candidates(docs, concurrency=2).materialize()
+    pd.testing.assert_frame_equal(
+        norm(verify_jaccard(cands, docs, threshold=0.6), ["a", "b"]),
+        norm(verify_jaccard(cands, docs, threshold=0.6,
+                            force_distributed=True), ["a", "b"]),
+    )
+    pd.testing.assert_frame_equal(
+        norm(minhash_dedup_keep_ids(docs, threshold=0.6, concurrency=2),
+             ["doc_id"]),
+        norm(minhash_dedup_keep_ids(docs, threshold=0.6, concurrency=2,
+                                    force_distributed=True), ["doc_id"]),
+    )
+    pd.testing.assert_frame_equal(
+        norm(dedup_corpus(docs, threshold=0.6, concurrency=2), ["doc_id"]),
+        norm(dedup_corpus(docs, threshold=0.6, concurrency=2,
+                          force_distributed=True), ["doc_id"]),
+    )
+    pd.testing.assert_frame_equal(
+        norm(dedup_keep_best(docs, threshold=0.6, concurrency=2),
+             ["doc_id"]),
+        norm(dedup_keep_best(docs, threshold=0.6, concurrency=2,
+                             force_distributed=True), ["doc_id"]),
+    )
+    new = docs.filter(lambda r: r["doc_id"] % 5 == 0)
+    old = docs.filter(lambda r: r["doc_id"] % 5 != 0)
+    ib = norm(incremental_neardup_drop(new, old, threshold=0.6,
+                                       num_partitions=4), ["doc_id"])
+    idd = norm(incremental_neardup_drop(new, old, threshold=0.6,
+                                        num_partitions=4,
+                                        force_distributed=True), ["doc_id"])
+    pd.testing.assert_frame_equal(ib, idd)
+    assert len(ib) < 18  # cross-side dups actually dropped
+
+
 def test_simhash_and_ngram_jaccard(ray_session):
     from prase_ray.stages.dedup import ngram_jaccard_pairs, simhash_candidates
 
@@ -2436,7 +2500,7 @@ def test_allpairs_jaccard_complete(ray_session):
     assert any(p[:2] == (10, 70) for p in want)  # the cross-source pair
 
     ds = ray.data.from_pandas(df)
-    out = allpairs_jaccard(ds, k=3, threshold=tau)
+    out = allpairs_jaccard(ds, k=3, threshold=tau).to_pandas()
     got = [(int(r.a), int(r.b), round(float(r.jaccard), 9))
            for r in out.itertuples()]
     assert sorted(got) == sorted(want)
