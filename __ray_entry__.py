@@ -2746,11 +2746,18 @@ def _sql_minhash_dedup() -> str:
     )
     return f"""
         WITH {_sql_minhash_chain()},
+        -- drop_degenerate_buckets twin: the engine removes LSH buckets
+        -- with more than max_bucket=200 members before the self-join
+        bhk AS MATERIALIZED (
+            SELECT band, band_hash FROM bh
+            GROUP BY band, band_hash HAVING count(*) <= 200
+        ),
         cand AS MATERIALIZED (
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM bh l JOIN bh r
               ON l.band = r.band AND l.band_hash = r.band_hash
              AND l.doc_id < r.doc_id
+            JOIN bhk k ON l.band = k.band AND l.band_hash = k.band_hash
         ),
         {_sql_minhash_verify(0.6)},
         und AS MATERIALIZED (SELECT a AS x, b AS y FROM ver UNION SELECT b, a FROM ver),
@@ -2858,10 +2865,18 @@ def _sql_minhash_cross(threshold: float = 0.6) -> str:
     near-duplicate."""
     return f"""
         WITH {_sql_minhash_chain()},
+        -- drop_degenerate_buckets twin: incremental_neardup_drop caps
+        -- buckets at max_bucket=200 on the OLD+NEW signature union
+        -- (= all docs here) before the probe join
+        bhk AS MATERIALIZED (
+            SELECT band, band_hash FROM bh
+            GROUP BY band, band_hash HAVING count(*) <= 200
+        ),
         cand AS MATERIALIZED (
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM bh l JOIN bh r
               ON l.band = r.band AND l.band_hash = r.band_hash
+            JOIN bhk k ON l.band = k.band AND l.band_hash = k.band_hash
             WHERE l.doc_id % 5 <> 0 AND r.doc_id % 5 = 0
         ),
         {_sql_minhash_verify(threshold)}

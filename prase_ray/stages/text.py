@@ -677,8 +677,10 @@ def encode_tokens(
     n_vocab = vocab.count()
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
-        s = b[text_col].str.findall(r"\S+", flags=re.ASCII)
-        counts = s.str.len().fillna(0).to_numpy(np.int64)
+        # fillna first: findall propagates NaN and len(NaN) raises in
+        # the flatten below (null docs must encode to zero rows)
+        s = b[text_col].fillna("").str.findall(r"\S+", flags=re.ASCII)
+        counts = s.str.len().to_numpy(np.int64)
         ids = np.repeat(b[id_col].to_numpy(np.int64), counts)
         flat = (
             np.concatenate([np.asarray(t, dtype=object) for t in s if len(t)])

@@ -1024,7 +1024,8 @@ def test_encode_tokens(ray_session):
     from prase_ray.stages.text import build_vocab, encode_tokens
 
     texts = ["a b rare a", "b b c", "", "a unique_tok b"]
-    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = pd.DataFrame({"doc_id": range(len(texts) + 1),
+                       "text": texts + [None]})  # null doc → zero rows
     ds = ray.data.from_pandas(df).repartition(2)
     vocab = build_vocab(ds, min_count=2, num_parts=4).materialize()
     vmap = dict(
