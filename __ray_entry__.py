@@ -12,6 +12,7 @@ here calls ray.init()/ray.shutdown().
 from __future__ import annotations
 
 import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
@@ -456,12 +457,20 @@ def q_dedup_corpus(sf_dir: str):
 
 def q_incremental_neardup(sf_dir: str):
     """Incremental near-dup gate: new-crawl docs (doc_id % 5 == 0)
-    deduped AGAINST the existing corpus (the rest) — new signatures
-    probe the old LSH bucket table with one hash join; matched new
-    docs drop.  Returns the kept new docs."""
+    deduped AGAINST the existing corpus (the rest).  The old corpus's
+    LSH signature table is PERSISTED through the resumable partitioned
+    sink (write → tmp-dir rename commit → read back) and the probe runs
+    against the re-read table — the production shape where each crawl
+    probes the accumulated on-disk signature store instead of
+    re-signing the whole corpus.  Matched new docs drop; returns the
+    kept new docs."""
     import pyarrow.compute as pc
 
-    from prase_ray.stages.incremental import incremental_neardup_drop
+    from prase_ray.io.sink import read_partitioned, write_partitioned
+    from prase_ray.stages.incremental import (
+        incremental_neardup_drop,
+        minhash_signature_table,
+    )
 
     docs = _read(sf_dir, "documents")
 
@@ -480,8 +489,21 @@ def q_incremental_neardup(sf_dir: str):
 
     new = docs.map_batches(side(True), batch_format="pyarrow")
     old = docs.map_batches(side(False), batch_format="pyarrow")
+    sig_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"prase_sigs_{abs(hash(os.path.abspath(sf_dir))) % (1 << 32):08x}",
+    )
+    write_partitioned(
+        minhash_signature_table(old),
+        sig_dir,
+        "band_hash",
+        num_partitions=8,
+        skip_finished=False,  # self-contained: never trust stale parts
+        lineage={"stage": "minhash_signature_table", "sf_dir": sf_dir},
+    )
     out = incremental_neardup_drop(
-        new, old, threshold=0.6, num_partitions=4
+        new, old, old_sigs=read_partitioned(sig_dir),
+        threshold=0.6, num_partitions=4,
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -758,6 +780,22 @@ def q_media_pixel_stats(sf_dir: str):
     docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
     media = text_to_rawi(docs, height=8, width=16)
     out = image_pixel_stats(media, concurrency=2).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def q_media_png_stats(sf_dir: str):
+    """COMPRESSED-codec multimodal path, fully real and PIL-free:
+    documents → deterministic 8x16x1 images PNG-encoded with the
+    pure-stdlib codec (functions/png.py: zlib deflate + scanline
+    framing) → actor-pool PNG decode (zlib inflate + filter undo) →
+    EXACT integer pixel stats.  Same oracle shape as media_pixel_stats:
+    DuckDB recomputes the stats straight from the text codepoints, so a
+    single wrong byte anywhere in encode→decode breaks the hash."""
+    from prase_ray.stages.multimodal import image_pixel_stats, text_to_png
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    media = text_to_png(docs, height=8, width=16)
+    out = image_pixel_stats(media, codec="png", concurrency=2).to_pandas()
     return out.sort_values("media_id").reset_index(drop=True)
 
 
@@ -2574,6 +2612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "cosine_pairs_exact": q_cosine_pairs_exact,
         "media_pixel_stats": q_media_pixel_stats,
+        "media_png_stats": q_media_png_stats,
         "asof_join": q_asof_join,
         "group_topk": q_group_topk,
         "hash_sample": q_hash_sample,
@@ -4570,6 +4609,26 @@ def _oracle_sql_base() -> dict[str, str]:
         # codepoints (pixel = codepoint % 256, zero-padded to 8*16,
         # so padding never shifts the integer sums)
         "media_pixel_stats": """
+            SELECT doc_id AS media_id,
+                   8::INTEGER AS height,
+                   16::INTEGER AS width,
+                   1::INTEGER AS channels,
+                   CAST(COALESCE(list_sum(list_transform(
+                       list_filter(string_split(left(COALESCE(text, ''), 128), ''),
+                                   x -> x <> ''),
+                       x -> unicode(x) % 256)), 0) AS BIGINT) AS px_sum,
+                   CAST(COALESCE(list_sum(list_transform(
+                       list_filter(string_split(left(COALESCE(text, ''), 128), ''),
+                                   x -> x <> ''),
+                       x -> (unicode(x) % 256) * (unicode(x) % 256))), 0) AS BIGINT)
+                       AS px_sqsum
+            FROM documents
+            ORDER BY media_id
+        """,
+        # same stats, but the engine side round-trips through the REAL
+        # pure-stdlib PNG encode→decode (functions/png.py) — the oracle
+        # recomputes from codepoints, so any codec byte error breaks it
+        "media_png_stats": """
             SELECT doc_id AS media_id,
                    8::INTEGER AS height,
                    16::INTEGER AS width,

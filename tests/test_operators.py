@@ -563,6 +563,72 @@ def test_multimodal_rawi_real_path(ray_session):
     assert (af["rms"] > 0).all()
 
 
+def test_multimodal_png_real_path(ray_session):
+    """REAL compressed-codec path without PIL: pure-stdlib PNG
+    encode→decode round-trips exactly (all colour types, all five
+    scanline filters), ImageDecoder consumes PNG blobs in strict mode,
+    and PNG pixel stats equal the RAWI stats for the same pixels."""
+    from prase_ray.functions.png import (
+        _filter_scanlines,
+        decode_png,
+        encode_png,
+        is_png,
+    )
+    from prase_ray.stages.multimodal import (
+        decode_images,
+        image_features,
+        image_pixel_stats,
+        text_to_png,
+        text_to_rawi,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in [(8, 16, 1), (5, 7, 3), (9, 4, 4), (6, 6, 2), (1, 1, 1)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        blob = encode_png(img)
+        assert is_png(blob)
+        np.testing.assert_array_equal(decode_png(blob), img)
+    # decode must invert every filter type a conformant encoder may emit
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(10, 9, c), dtype=np.uint8)
+        for filters in ([0, 1, 2, 3, 4], [4, 3, 2, 1, 0], [4], [3]):
+            np.testing.assert_array_equal(
+                decode_png(_filter_scanlines(img, filters)), img
+            )
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+    # actor-pool decode of PNG blobs in STRICT mode, no PIL present
+    imgs = [rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+            for _ in range(6)]
+    media = ray.data.from_items(
+        [{"media_id": i, "data": encode_png(im)}
+         for i, im in enumerate(imgs)]
+    )
+    out = decode_images(
+        media, codec="compressed", mode="strict", concurrency=1
+    ).to_pandas().set_index("media_id")
+    assert (out["height"] == 12).all() and (out["channels"] == 3).all()
+    np.testing.assert_allclose(
+        out.loc[2, "feature"], image_features(imgs[2]), rtol=1e-6
+    )
+
+    # PNG pixel stats == RAWI pixel stats for the same source pixels
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": ["héllo wörld " * 3, "", None, "abc", "x" * 500,
+                 "päge", "zz", "ÿǿ"],
+    }))
+    a = image_pixel_stats(text_to_rawi(docs), concurrency=1).to_pandas()
+    b = image_pixel_stats(
+        text_to_png(docs), codec="png", concurrency=1
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("media_id").reset_index(drop=True),
+        b.sort_values("media_id").reset_index(drop=True),
+    )
+
+
 def test_text_to_rawi_pixel_stats(ray_session):
     """text→RAWI encoder + ImagePixelStats: exact integer stats match a
     local recompute from codepoints, padding and empty text handled."""
