@@ -521,6 +521,83 @@ def q_dedup_keep_best(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_containment(sf_dir: str):
+    """COMPLETE directed k-shingle containment ≥ 0.5 — the asymmetric
+    dup measure (|Sa∩Sb|/|Sa|) that catches wholesale quotation the
+    Jaccard family misses.  No blocking, no recall loss; oracle is the
+    plain quadratic containment over the same rolling-hash shingles."""
+    from prase_ray.stages.dedup import containment_pairs
+
+    out = containment_pairs(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        k=3, threshold=0.5, num_partitions=4,
+    ).to_pandas()
+    out["containment"] = out["containment"].round(6)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval: 5 probe queries (the first 3 whitespace
+    tokens of the 5 smallest-id docs) against the whole corpus; top-10
+    per query, deterministic ties.  Scores are fixed-point int64 under
+    the hood (1e-9 grid) so the grouped sum is order-free and the
+    DuckDB twin — same idf/tf/length normalization, same grid — is
+    hash-exact."""
+    from prase_ray.stages.retrieval import bm25_topk
+
+    probe = (
+        pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .to_pandas()
+        .nsmallest(5, "doc_id")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    queries = pd.DataFrame(
+        {
+            "query_id": np.arange(5, dtype=np.int64),
+            "terms": [
+                " ".join(str(t or "").split()[:3]) for t in probe["text"]
+            ],
+        }
+    )
+    out = bm25_topk(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        queries, topk=10, num_parts=8,
+    ).to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_stratified_split(sf_dir: str):
+    """Exact-quota hash-stratified holdout: per source the 10 docs
+    with the smallest splitmix64(doc_id ^ 7) key — the reproducible
+    train/dev split primitive (selection is a pure function of id and
+    seed, stable under repartitioning and corpus growth)."""
+    from prase_ray.stages.sampling import stratified_split
+
+    out = stratified_split(
+        _read(sf_dir, "documents"), group_col="source",
+        n_per_group=10, seed=7, num_parts=8,
+    ).to_pandas()
+    return out.sort_values(["group", "doc_id"]).reset_index(drop=True)
+
+
+def q_corpus_mixture(sf_dir: str):
+    """Per-group quota dict variant of the stratified selector — the
+    corpus-MIXTURE shape (hit a target source distribution); quotas
+    above a group's population keep the whole group, absent groups
+    contribute nothing."""
+    from prase_ray.stages.sampling import stratified_split
+
+    out = stratified_split(
+        _read(sf_dir, "documents"), group_col="source",
+        n_per_group={"src0": 15, "src1": 5, "src2": 25, "src3": 99},
+        seed=7, num_parts=8,
+    ).to_pandas()
+    return out.sort_values(["group", "doc_id"]).reset_index(drop=True)
+
+
 def q_simhash_candidates(sf_dir: str):
     from prase_ray.stages.dedup import simhash_candidates
 
@@ -2597,6 +2674,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "dedup_corpus": q_dedup_corpus,
         "dedup_keep_best": q_dedup_keep_best,
+        "containment": q_containment,
+        "bm25_topk": q_bm25_topk,
+        "stratified_split": q_stratified_split,
+        "corpus_mixture": q_corpus_mixture,
         "incremental_neardup": q_incremental_neardup,
         "simhash_candidates": q_simhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
@@ -4509,6 +4590,140 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.4
             ORDER BY a, b
+        """,
+        # complete directed containment: same shingle universe as the
+        # allpairs oracle, normalized by |S_a| per direction
+        "containment": """
+            WITH d AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE
+                         WHEN len(toks) = 0 THEN []
+                         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                         ELSE list_transform(
+                             generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         )
+                       END AS shingles
+                FROM d
+            ), rows_ AS (
+                SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS sz FROM rows_ GROUP BY doc_id
+            ), inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+                FROM rows_ x JOIN rows_ y
+                  ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ), bothdir AS (
+                SELECT a, b, CAST(i AS DOUBLE) / sa.sz AS containment
+                FROM inter JOIN sizes sa ON sa.doc_id = inter.a
+                UNION ALL
+                SELECT b AS a, a AS b, CAST(i AS DOUBLE) / sb.sz
+                FROM inter JOIN sizes sb ON sb.doc_id = inter.b
+            )
+            SELECT a, b, ROUND(containment, 6) AS containment
+            FROM bothdir WHERE containment >= 0.5
+            ORDER BY a, b
+        """,
+        # BM25 with fixed-point int64 scores (1e-9 grid): identical
+        # idf/tf/length math, FLOOR(x+0.5) grid rounding, order-free
+        # integer sums — hash-exact vs the engine
+        "bm25_topk": f"""
+            WITH dt AS (
+                SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+            ),
+            q AS (
+                SELECT row_number() OVER (ORDER BY doc_id) - 1 AS query_id,
+                       list_slice(toks, 1, 3) AS qt
+                FROM dt ORDER BY doc_id LIMIT 5
+            ),
+            qterms AS (
+                SELECT DISTINCT query_id, unnest(qt) AS term FROM q
+            ),
+            stats AS (
+                SELECT COUNT(*) AS n,
+                       CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+                FROM dt
+            ),
+            tok AS (
+                SELECT doc_id, unnest(toks) AS term, len(toks) AS dl
+                FROM dt
+            ),
+            tf AS MATERIALIZED (
+                SELECT doc_id, term, dl, COUNT(*) AS tf FROM tok
+                WHERE term IN (SELECT DISTINCT term FROM qterms)
+                GROUP BY 1, 2, 3
+            ),
+            dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            contrib AS (
+                SELECT qt.query_id, tf.doc_id,
+                       CAST(FLOOR(
+                           (tf.tf * (1.2 + 1.0)
+                            / (tf.tf + 1.2 * (1.0 - 0.75
+                               + 0.75 * tf.dl / s.avgdl)))
+                           * ln((s.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                           * 1000000000.0 + 0.5) AS BIGINT) AS c
+                FROM tf
+                JOIN qterms qt ON qt.term = tf.term
+                JOIN dfq ON dfq.term = tf.term
+                CROSS JOIN stats s
+            ),
+            scores AS (
+                SELECT query_id, doc_id, SUM(c) AS c
+                FROM contrib GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT query_id,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY c DESC, doc_id
+                       ) AS rank,
+                       doc_id,
+                       CAST(c AS DOUBLE) / 1000000000.0 AS score
+                FROM scores
+            )
+            SELECT query_id, rank, doc_id, score FROM ranked
+            WHERE rank <= 10
+            ORDER BY query_id, rank
+        """,
+        # exact-quota hash-stratified holdout: same splitmix64 key
+        "stratified_split": f"""
+            WITH keyed AS (
+                SELECT source, doc_id,
+                       {_sql_splitmix("xor(doc_id::HUGEINT, 7::HUGEINT)")} AS k
+                FROM documents
+            ),
+            ranked AS (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY k, doc_id
+                       ) AS rn
+                FROM keyed
+            )
+            SELECT source AS "group", doc_id FROM ranked WHERE rn <= 10
+            ORDER BY "group", doc_id
+        """,
+        # per-group quota dict (mixture): same key, per-source quotas
+        "corpus_mixture": f"""
+            WITH quotas(source, q) AS (
+                VALUES ('src0', 15), ('src1', 5), ('src2', 25), ('src3', 99)
+            ),
+            keyed AS (
+                SELECT d.source, d.doc_id, quotas.q,
+                       {_sql_splitmix("xor(doc_id::HUGEINT, 7::HUGEINT)")} AS k
+                FROM documents d JOIN quotas ON d.source = quotas.source
+            ),
+            ranked AS (
+                SELECT source, doc_id, q,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY k, doc_id
+                       ) AS rn
+                FROM keyed
+            )
+            SELECT source AS "group", doc_id FROM ranked WHERE rn <= q
+            ORDER BY "group", doc_id
         """,
         # hash-exact end-to-end MinHash+LSH near-dup: see _sql_minhash_dedup
         "minhash_dedup": _sql_minhash_dedup(),

@@ -607,6 +607,181 @@ def dedup_corpus(
 # SimHash near-dup
 # --------------------------------------------------------------------------
 
+def containment_pairs(
+    docs: ray.data.Dataset,
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+    num_parts: int = 32,
+    max_df: int | None = None,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """EXACT k-shingle CONTAINMENT ≥ threshold over all doc pairs →
+    Dataset(a, b, containment) with containment = |S_a ∩ S_b| / |S_a|
+    (directed; both directions emitted, a ≠ b).  Containment catches
+    the asymmetric duplication Jaccard misses — a short doc quoted
+    wholesale inside a long one scores near 1.0 on containment but
+    near |S_short|/|S_long| on Jaccard.
+
+    Dataflow (complete; no blocking column, no recall loss):
+    per-batch distinct shingle rows + in-batch doc sizes → shingle-hash
+    partitions generate per-partition pair partials (a gram's rows land
+    in ONE partition, so per-partition intersection counts are partial
+    sums) → pair-hash combine → two slim hash joins attach |S_a| and
+    |S_b| → threshold filter per direction.  Candidate volume is
+    Σ df(g)² over shingles — the inherent cost of exact containment
+    (prefix filtering does not apply to the asymmetric measure);
+    ``max_df`` optionally drops degenerate shingles (df > cap, exact
+    per-partition counts) at a documented recall trade, OFF by default
+    because it would break completeness."""
+    from prase_ray.rayctx import ensure_join_cpu_budget
+
+    num_partitions = ensure_join_cpu_budget(num_partitions)
+
+    def shingle_and_size(batch: pd.DataFrame) -> pd.DataFrame:
+        tok, off = tokenize_offsets(batch["text"])
+        sh, sh_off = shingle_hashes(tok, off, k)
+        counts = sh_off[1:] - sh_off[:-1]
+        rows = pd.DataFrame(
+            {
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(np.int64), counts),
+                "shingle": sh.astype(np.int64),
+            }
+        ).drop_duplicates()
+        # kind 0 = shingle row, kind 1 = per-doc size row (emitted once
+        # per doc from the same batch — docs never split across batches)
+        szs = rows.groupby("doc_id", as_index=False).size()
+        out = pd.concat(
+            [
+                rows.assign(kind=np.int8(0)),
+                pd.DataFrame(
+                    {
+                        "doc_id": szs["doc_id"].to_numpy(np.int64),
+                        "shingle": szs["size"].to_numpy(np.int64),
+                        "kind": np.int8(1),
+                    }
+                ),
+            ]
+        )
+        return out
+
+    tagged = docs.select_columns(["doc_id", "text"]).map_batches(
+        shingle_and_size, batch_format="pandas"
+    ).materialize()
+
+    sizes = _drop_empty_blocks(
+        tagged.map_batches(
+            lambda t: t.filter(pa.compute.equal(t["kind"], 1)).select(
+                ["doc_id", "shingle"]
+            ).rename_columns(["doc_id", "sz"]),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("doc_id", pa.int64()), ("sz", pa.int64())]),
+    )
+
+    def with_part(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.equal(t["kind"], 0))
+        d = pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "shingle": t["shingle"].to_numpy(zero_copy_only=False),
+            }
+        )
+        d.insert(
+            0,
+            "part",
+            (
+                pd.util.hash_array(d["shingle"].to_numpy(np.uint64))
+                % np.uint64(num_parts)
+            ).astype(np.int32),
+        )
+        return d
+
+    empty_pairs = pd.DataFrame(
+        {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+         "i": pd.Series(dtype=np.int64)}
+    )
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        if max_df is not None:
+            g = g[
+                g.groupby("shingle")["shingle"].transform("size") <= max_df
+            ]
+        if len(g) < 2:
+            return empty_pairs.copy()
+        m = g.merge(g, on="shingle")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if m.empty:
+            return empty_pairs.copy()
+        out = (
+            m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
+            .size()
+            .rename(columns={"doc_id_x": "a", "doc_id_y": "b", "size": "i"})
+        )
+        return out
+
+    def tag_pair_part(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return b.assign(part=pd.Series([], dtype=np.int32))
+        key = pd.util.hash_array(b["a"].to_numpy(np.uint64)) ^ pd.util.hash_array(
+            b["b"].to_numpy(np.uint64)
+        )
+        b = b.copy()
+        b["part"] = (key % np.uint64(num_parts)).astype(np.int32)
+        return b
+
+    def sum_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["a", "b"], as_index=False)["i"].sum()
+
+    inter = _drop_empty_blocks(
+        tagged.map_batches(with_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_partials, batch_format="pandas")
+        .map_batches(tag_pair_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(sum_part, batch_format="pandas"),
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("i", pa.int64())]),
+    )
+
+    with_sa = inter.join(
+        sizes.rename_columns({"doc_id": "a", "sz": "sz_a"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("a",),
+    )
+    with_both = with_sa.join(
+        sizes.rename_columns({"doc_id": "b", "sz": "sz_b"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("b",),
+    )
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["i"].to_numpy(np.float64)
+        a = b["a"].to_numpy(np.int64)
+        bb = b["b"].to_numpy(np.int64)
+        c_ab = i / b["sz_a"].to_numpy(np.float64)
+        c_ba = i / b["sz_b"].to_numpy(np.float64)
+        out = pd.DataFrame(
+            {
+                "a": np.concatenate([a, bb]),
+                "b": np.concatenate([bb, a]),
+                "containment": np.concatenate([c_ab, c_ba]),
+            }
+        )
+        return out[out["containment"] >= threshold]
+
+    return _drop_empty_blocks(
+        with_both.map_batches(emit, batch_format="pandas"),
+        pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()),
+             ("containment", pa.float64())]
+        ),
+    )
+
+
 def simhash_sign_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Stateless signer task (see minhash_sign_batch note on pools)."""
     tok, off = tokenize_offsets(batch["text"])

@@ -1122,6 +1122,132 @@ def test_encode_tokens(ray_session):
     pd.testing.assert_frame_equal(got_j, want, check_dtype=False)
 
 
+def test_stratified_split(ray_session):
+    """Exact-quota hash-stratified selection: equals the python
+    reference, invariant to partitioning, stable under corpus growth
+    (previously selected rows stay unless displaced by smaller keys),
+    small groups kept whole."""
+    from prase_ray.functions.hashing import splitmix64
+    from prase_ray.stages.sampling import stratified_split
+
+    rng = np.random.default_rng(5)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": [f"s{i % 3}" if i < 390 else "tiny" for i in range(n)],
+        }
+    )
+    seed = 99
+
+    def ref(frame, quota):
+        key = splitmix64(
+            frame["doc_id"].to_numpy(np.int64).view(np.uint64)
+            ^ np.uint64(seed)
+        )
+        d = frame.assign(k=key).sort_values(["source", "k", "doc_id"])
+        d = d.groupby("source", as_index=False).head(quota)
+        return set(zip(d["source"], d["doc_id"]))
+
+    for parts in (1, 5):
+        got = stratified_split(
+            ray.data.from_pandas(df).repartition(parts),
+            n_per_group=50, seed=seed, num_parts=4,
+        ).to_pandas()
+        assert set(zip(got["group"], got["doc_id"])) == ref(df, 50)
+    # the 10-row "tiny" group is kept whole
+    assert (got["group"] == "tiny").sum() == 10
+    # growth stability: adding rows never evicts a still-smallest key
+    grown = pd.concat(
+        [df, pd.DataFrame({"doc_id": np.arange(n, n + 200, dtype=np.int64),
+                           "source": ["s0"] * 200})]
+    )
+    got2 = stratified_split(
+        ray.data.from_pandas(grown), n_per_group=50, seed=seed, num_parts=4
+    ).to_pandas()
+    assert set(zip(got2["group"], got2["doc_id"])) == ref(grown, 50)
+    # per-group quota dict (corpus mixture); absent groups contribute 0
+    mix = stratified_split(
+        ray.data.from_pandas(df).repartition(4),
+        n_per_group={"s0": 30, "s1": 5, "tiny": 99},
+        seed=seed, num_parts=4,
+    ).to_pandas()
+    assert mix["group"].value_counts().to_dict() == {
+        "s0": 30, "s1": 5, "tiny": 10
+    }
+    key = splitmix64(
+        df["doc_id"].to_numpy(np.int64).view(np.uint64) ^ np.uint64(seed)
+    )
+    want_s1 = set(
+        df.assign(k=key)[df["source"] == "s1"].nsmallest(5, "k")["doc_id"]
+    )
+    assert set(mix[mix["group"] == "s1"]["doc_id"]) == want_s1
+
+
+def test_bm25_topk(ray_session):
+    """BM25 ranking equals a plain python reference (same fixed-point
+    grid): scores, ranks, deterministic ties, multi-query terms, docs
+    without matches absent, topk cut."""
+    import math
+
+    from prase_ray.stages.retrieval import SCORE_SCALE, bm25_topk
+
+    texts = [
+        "the cat sat on the mat",
+        "a dog and a cat",
+        "dogs chase cats not mats",
+        "completely unrelated words here",
+        "cat cat cat dog",
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    queries = pd.DataFrame(
+        {"query_id": [0, 1], "terms": ["cat mat", "dog"]}
+    )
+    k1, b = 1.2, 0.75
+    n = len(texts)
+    dls = [len(t.split()) for t in texts]
+    avgdl = sum(dls) / n
+
+    def ref_scores(qterms):
+        out = {}
+        for t in dict.fromkeys(qterms.split()):
+            dfq = sum(1 for x in texts if t in x.split())
+            if dfq == 0:
+                continue
+            idf = math.log((n - dfq + 0.5) / (dfq + 0.5) + 1.0)
+            for i, x in enumerate(texts):
+                tf = x.split().count(t)
+                if tf:
+                    base = tf * (k1 + 1.0) / (
+                        tf + k1 * (1.0 - b + b * dls[i] / avgdl)
+                    )
+                    out[i] = out.get(i, 0) + int(
+                        math.floor(base * idf * SCORE_SCALE + 0.5)
+                    )
+        return out
+
+    got = (
+        bm25_topk(ray.data.from_pandas(df).repartition(3), queries,
+                  topk=3, num_parts=4)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    for qid, terms in zip(queries["query_id"], queries["terms"]):
+        want = sorted(
+            ref_scores(terms).items(), key=lambda kv: (-kv[1], kv[0])
+        )[:3]
+        sub = got[got["query_id"] == qid]
+        assert list(sub["doc_id"]) == [d for d, _ in want]
+        assert list(sub["rank"]) == list(range(1, len(want) + 1))
+        np.testing.assert_allclose(
+            sub["score"].to_numpy(),
+            np.array([c for _, c in want]) / SCORE_SCALE,
+        )
+
+
 def test_alias_candidates(ray_session):
     """Co-citation pairing == hand computation: dominance ties break to
     the smallest anchor, one-sided pages emit nothing, support is the
@@ -2571,6 +2697,50 @@ def test_allpairs_jaccard_complete(ray_session):
     got = [(int(r.a), int(r.b), round(float(r.jaccard), 9))
            for r in out.itertuples()]
     assert sorted(got) == sorted(want)
+
+
+def test_containment_pairs(ray_session):
+    """Exact directed containment equals the quadratic reference —
+    including the asymmetric quote case (short doc embedded in a long
+    one: containment ~1 one way, low Jaccard) that the Jaccard family
+    misses."""
+    from prase_ray.stages.dedup import containment_pairs
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [" ".join(rng.choice(vocab, 12)) for _ in range(50)]
+    # doc 40 quotes doc 7 wholesale inside unrelated padding
+    texts[40] = (
+        " ".join(rng.choice(vocab, 20)) + " " + texts[7] + " "
+        + " ".join(rng.choice(vocab, 20))
+    )
+    df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64),
+                       "text": texts})
+
+    def shingles(t):
+        w = t.split()
+        if not w:
+            return set()
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    S = [shingles(t) for t in texts]
+    tau = 0.5
+    want = set()
+    for a in range(50):
+        for b in range(50):
+            if a != b and S[a] and len(S[a] & S[b]) / len(S[a]) >= tau:
+                want.add((a, b, round(len(S[a] & S[b]) / len(S[a]), 9)))
+    assert any(p[0] == 7 and p[1] == 40 and p[2] > 0.9 for p in want)
+
+    out = containment_pairs(
+        ray.data.from_pandas(df).repartition(3), k=3, threshold=tau,
+        num_parts=8, num_partitions=4,
+    ).to_pandas()
+    got = {(int(r.a), int(r.b), round(float(r.containment), 9))
+           for r in out.itertuples()}
+    assert got == want
 
 
 def test_group_centroids(ray_session):
