@@ -598,6 +598,37 @@ def q_corpus_mixture(sf_dir: str):
     return out.sort_values(["group", "doc_id"]).reset_index(drop=True)
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (A-ES /
+    Efraimidis-Spirakis with a hash-derived uniform): per source the 8
+    docs with smallest -ln(u)/w for w = whitespace token count — the
+    quality-weighted corpus subsampler, bit-reproducible."""
+    import re
+
+    from prase_ray.stages.sampling import weighted_sample_k
+
+    def add_weight(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "source": b["source"].to_numpy(),
+                "weight": b["text"]
+                .fillna("")
+                .str.count(r"\S+", flags=re.ASCII)
+                .to_numpy(np.float64),
+            }
+        )
+
+    docs = _read(sf_dir, "documents").map_batches(
+        add_weight, batch_format="pandas"
+    )
+    out = weighted_sample_k(
+        docs, group_col="source", k=8, seed=11, num_parts=8
+    ).to_pandas()
+    out["key"] = out["key"].round(6)
+    return out.sort_values(["group", "doc_id"]).reset_index(drop=True)
+
+
 def q_simhash_candidates(sf_dir: str):
     from prase_ray.stages.dedup import simhash_candidates
 
@@ -2678,6 +2709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "stratified_split": q_stratified_split,
         "corpus_mixture": q_corpus_mixture,
+        "weighted_sample": q_weighted_sample,
         "incremental_neardup": q_incremental_neardup,
         "simhash_candidates": q_simhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
@@ -4703,6 +4735,34 @@ def _oracle_sql_base() -> dict[str, str]:
                 FROM keyed
             )
             SELECT source AS "group", doc_id FROM ranked WHERE rn <= 10
+            ORDER BY "group", doc_id
+        """,
+        # A-ES weighted sampling: -ln((h+1)/2^64)/w keys, HUGEINT h+1
+        # BEFORE the double cast (ulp-exact vs the engine), w = token
+        # count, k smallest per source
+        "weighted_sample": f"""
+            WITH dt AS (
+                SELECT doc_id, source,
+                       CAST(len({_SQL_TOKS}) AS DOUBLE) AS w
+                FROM documents
+            ),
+            keyed AS (
+                SELECT source, doc_id,
+                       -ln(CAST(
+                           ({_sql_splitmix("xor(doc_id::HUGEINT, 11::HUGEINT)")})
+                           + 1 AS DOUBLE) / 18446744073709551616.0) / w
+                           AS key
+                FROM dt WHERE w > 0
+            ),
+            ranked AS (
+                SELECT source, doc_id, key,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY key, doc_id
+                       ) AS rn
+                FROM keyed
+            )
+            SELECT source AS "group", doc_id, ROUND(key, 6) AS key
+            FROM ranked WHERE rn <= 8
             ORDER BY "group", doc_id
         """,
         # per-group quota dict (mixture): same key, per-source quotas

@@ -1184,6 +1184,56 @@ def test_stratified_split(ray_session):
     assert set(mix[mix["group"] == "s1"]["doc_id"]) == want_s1
 
 
+def test_weighted_sample_k(ray_session):
+    """A-ES weighted sampling: equals the python reference, excludes
+    weight<=0 rows, partition-invariant, and heavier rows dominate the
+    sample in aggregate."""
+    from prase_ray.functions.hashing import splitmix64
+    from prase_ray.stages.sampling import weighted_sample_k
+
+    n = 300
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": [f"s{i % 2}" for i in range(n)],
+            # heavy docs: ids < 30 get weight 50, rest weight 1; a few 0
+            "weight": np.where(
+                np.arange(n) < 30, 50.0, np.where(np.arange(n) % 97 == 0, 0.0, 1.0)
+            ),
+        }
+    )
+    seed = 13
+
+    def ref(frame, k):
+        h = splitmix64(
+            frame["doc_id"].to_numpy(np.int64).view(np.uint64)
+            ^ np.uint64(seed)
+        )
+        u = (h + np.uint64(1)).astype(np.float64) / 2.0 ** 64
+        key = -np.log(u) / frame["weight"].to_numpy(np.float64)
+        d = frame.assign(k=key)[frame["weight"].to_numpy() > 0]
+        d = d.sort_values(["source", "k", "doc_id"])
+        return set(
+            zip(*(d.groupby("source").head(k)[["source", "doc_id"]]
+                  .to_numpy().T))
+        )
+
+    for parts in (1, 6):
+        got = weighted_sample_k(
+            ray.data.from_pandas(df).repartition(parts),
+            group_col="source", k=20, seed=seed, num_parts=4,
+        ).to_pandas()
+        assert set(zip(got["group"], got["doc_id"])) == ref(df, 20)
+    # weight-0 rows never selected; heavy rows dominate
+    assert not (got["doc_id"] % 97 == 0).any() or (
+        df.set_index("doc_id").loc[
+            got[got["doc_id"] % 97 == 0]["doc_id"], "weight"
+        ] > 0
+    ).all()
+    heavy = (got["doc_id"] < 30).sum()
+    assert heavy >= 20  # 30 heavy rows w=50 vs 270 light w=1, k=40 total
+
+
 def test_bm25_topk(ray_session):
     """BM25 ranking equals a plain python reference (same fixed-point
     grid): scores, ranks, deterministic ties, multi-query terms, docs
