@@ -598,6 +598,76 @@ def q_corpus_mixture(sf_dir: str):
     return out.sort_values(["group", "doc_id"]).reset_index(drop=True)
 
 
+def _doc_link_edges(sf_dir: str):
+    """Deterministic directed doc-link graph: every doc links to
+    splitmix64(doc_id) % N, and every third doc also to its successor
+    — a functional graph with cycles plus partial chain links, the
+    spider-trap shape of a crawl graph."""
+    from prase_ray.functions.hashing import splitmix64
+
+    n_docs = int(
+        pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    )
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["doc_id"].to_numpy(np.int64)
+        f = (splitmix64(i.view(np.uint64)) % np.uint64(n_docs)).astype(
+            np.int64
+        )
+        chain = i[i % 3 == 0]
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([i, chain]),
+                "dst": np.concatenate([f, (chain + 1) % n_docs]),
+            }
+        )
+
+    return _read(sf_dir, "documents").select_columns(["doc_id"]).map_batches(
+        to_edges, batch_format="pandas"
+    )
+
+
+def q_scc(sf_dir: str):
+    """Strongly connected components of the directed doc-link graph
+    (min-id labels) — cycle/spider-trap detection for crawl graphs;
+    the graph-family closer next to undirected CC.  Below the 1M-edge
+    gate this times the iterative-Kosaraju driver twin."""
+    from prase_ray.stages.graph import scc
+
+    out = scc(_doc_link_edges(sf_dir)).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_scc_distributed(sf_dir: str):
+    """Same SCC FORCED through the FW-BW coloring dataflow (forward
+    max-color fixpoint with pointer jumping, per-root backward reach,
+    wave peeling) on a bounded-depth graph: a 16-node strongly
+    connected blob (+1 ring with *2 chords — log-diameter) plus a
+    descending link that forces a second peel wave — oracle-checks
+    the web-scale code path itself.  Deliberately tiny: every inner
+    round costs whole Dataset-join latencies at sandbox scale (the
+    same documented overhead as pagerank/kcore), amortized at real
+    edge volumes."""
+    from prase_ray.stages.graph import scc
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["doc_id"].to_numpy(np.int64)
+        blob = i[i < 16]
+        rows = [
+            pd.DataFrame({"src": blob, "dst": (blob + 1) % 16}),
+            pd.DataFrame({"src": blob, "dst": (blob * 2) % 16}),
+        ]
+        chain = i[i == 17]
+        rows.append(pd.DataFrame({"src": chain, "dst": chain - 1}))
+        return pd.concat(rows, ignore_index=True)
+
+    edges = _read(sf_dir, "documents").select_columns(["doc_id"]).map_batches(
+        to_edges, batch_format="pandas"
+    )
+    out = scc(edges, force_distributed=True, num_partitions=4).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement (A-ES /
     Efraimidis-Spirakis with a hash-derived uniform): per source the 8
@@ -2710,6 +2780,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_split": q_stratified_split,
         "corpus_mixture": q_corpus_mixture,
         "weighted_sample": q_weighted_sample,
+        "scc": q_scc,
+        "scc_distributed": q_scc_distributed,
         "incremental_neardup": q_incremental_neardup,
         "simhash_candidates": q_simhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
@@ -4736,6 +4808,65 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             SELECT source AS "group", doc_id FROM ranked WHERE rn <= 10
             ORDER BY "group", doc_id
+        """,
+        # SCC as a recursive transitive closure: label = min over the
+        # mutual-reachability set (reflexive pairs included)
+        "scc": f"""
+            WITH RECURSIVE
+            nn AS (SELECT count(*) AS cnt FROM documents),
+            edges AS MATERIALIZED (
+                SELECT doc_id AS src,
+                       CAST(({_sql_splitmix("doc_id::HUGEINT")}) % cnt
+                            AS BIGINT) AS dst
+                FROM documents, nn
+                UNION
+                SELECT doc_id, (doc_id + 1) % cnt FROM documents, nn
+                WHERE doc_id % 3 = 0
+            ),
+            nodes AS (
+                SELECT DISTINCT x AS node FROM (
+                    SELECT src AS x FROM edges
+                    UNION SELECT dst FROM edges
+                )
+            ),
+            reach(a, b) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+            )
+            SELECT r1.a AS node, CAST(MIN(r1.b) AS BIGINT) AS label
+            FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+            GROUP BY r1.a
+            ORDER BY node
+        """,
+        # same closure on the bounded-depth forced-distributed graph
+        "scc_distributed": """
+            WITH RECURSIVE
+            edges AS MATERIALIZED (
+                SELECT doc_id AS src, (doc_id + 1) % 16 AS dst
+                FROM documents WHERE doc_id < 16
+                UNION
+                SELECT doc_id, (doc_id * 2) % 16
+                FROM documents WHERE doc_id < 16
+                UNION
+                SELECT doc_id, doc_id - 1
+                FROM documents WHERE doc_id = 17
+            ),
+            nodes AS (
+                SELECT DISTINCT x AS node FROM (
+                    SELECT src AS x FROM edges
+                    UNION SELECT dst FROM edges
+                )
+            ),
+            reach(a, b) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+            )
+            SELECT r1.a AS node, CAST(MIN(r1.b) AS BIGINT) AS label
+            FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+            GROUP BY r1.a
+            ORDER BY node
         """,
         # A-ES weighted sampling: -ln((h+1)/2^64)/w keys, HUGEINT h+1
         # BEFORE the double cast (ulp-exact vs the engine), w = token

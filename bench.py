@@ -264,6 +264,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # at sf0.1 both graphs cross the 1M-edge gate → these time the
     # distributed join/wedge dataflows, not the driver twins
     timed("pagerank", lambda: consume(em.q_pagerank(sf_dir)))
+    timed("scc", lambda: consume(em.q_scc(sf_dir)))
     timed("kcore", lambda: consume(em.q_kcore(sf_dir)))
     timed("triangle_counts", lambda: consume(em.q_triangle_counts(sf_dir)))
 

@@ -2793,6 +2793,53 @@ def test_containment_pairs(ray_session):
     assert got == want
 
 
+def test_scc(ray_session):
+    """Strongly connected components: driver Kosaraju equals a boolean
+    transitive-closure reference on a mixed graph (cycles, DAG tails,
+    self-loop, big doubling-edge SCC), and the forced FW-BW coloring
+    dataflow is bit-equal to the driver twin."""
+    from prase_ray.stages.graph import _scc_driver, scc
+
+    edges = []
+    # 3-cycle, 2-cycle with tails, self-loop, DAG chain
+    edges += [(0, 1), (1, 2), (2, 0)]
+    edges += [(5, 6), (6, 5), (4, 5), (6, 7)]
+    edges += [(8, 8), (9, 10)]
+    # strongly connected doubling blob over 20..51: +1 ring and *2 chords
+    base = list(range(20, 52))
+    for i in base:
+        edges.append((i, 20 + ((i - 20 + 1) % 32)))
+        edges.append((i, 20 + ((i - 20) * 2 % 32)))
+    ef = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+
+    nodes = np.unique(ef[["src", "dst"]].to_numpy())
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    R = np.eye(n, dtype=bool)
+    for s, d in edges:
+        R[idx[s], idx[d]] = True
+    for kk in range(n):  # boolean Floyd-Warshall closure
+        R |= np.outer(R[:, kk], R[kk, :])
+    mutual = R & R.T
+    want = {
+        int(v): int(nodes[mutual[idx[v]]].min()) for v in nodes
+    }
+
+    got_d = _scc_driver(ef).set_index("node")["label"].to_dict()
+    assert got_d == want
+
+    ds = ray.data.from_pandas(ef).repartition(3)
+    got = (
+        scc(ds).to_pandas().set_index("node")["label"].to_dict()
+    )
+    assert got == want
+    got_f = (
+        scc(ds, force_distributed=True, num_partitions=4)
+        .to_pandas().set_index("node")["label"].to_dict()
+    )
+    assert got_f == want
+
+
 def test_group_centroids(ray_session):
     """Fixed-point grouped centroid: equals numpy, floor-division on
     negative sums, partition-order invariant."""
