@@ -668,6 +668,49 @@ def q_scc_distributed(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_pivot_events(sf_dir: str):
+    """Long→wide pivot with a fixed category list: per user one row
+    with one int64 count column per event type.  Fixed categories keep
+    the output schema static, so partials are dense per-batch grids and
+    the only exchange is one part-hash grouped sum."""
+    import pyarrow as pa_
+
+    from prase_ray.stages.relational import pivot_counts
+
+    out = pivot_counts(
+        _read(sf_dir, "events"),
+        group_col="user_id",
+        cat_col="event_type",
+        categories=["click", "error", "purchase", "signup", "view"],
+        group_dtype=pa_.int64(),
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_melt_events(sf_dir: str):
+    """Wide→long unpivot of the per-user pivot (round-trip shape):
+    (user_id, variable, value) rows — pure per-batch flat-map, zero
+    exchange beyond the upstream pivot."""
+    import pyarrow as pa_
+
+    from prase_ray.stages.relational import melt, pivot_counts
+
+    wide = pivot_counts(
+        _read(sf_dir, "events"),
+        group_col="user_id",
+        cat_col="event_type",
+        categories=["click", "error", "purchase", "signup", "view"],
+        group_dtype=pa_.int64(),
+    )
+    out = melt(
+        wide,
+        id_cols=["user_id"],
+        value_cols=["n_click", "n_error", "n_purchase", "n_signup",
+                    "n_view"],
+    ).to_pandas()
+    return out.sort_values(["user_id", "variable"]).reset_index(drop=True)
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement (A-ES /
     Efraimidis-Spirakis with a hash-derived uniform): per source the 8
@@ -2782,6 +2825,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "scc": q_scc,
         "scc_distributed": q_scc_distributed,
+        "pivot_events": q_pivot_events,
+        "melt_events": q_melt_events,
         "incremental_neardup": q_incremental_neardup,
         "simhash_candidates": q_simhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
@@ -4808,6 +4853,33 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             SELECT source AS "group", doc_id FROM ranked WHERE rn <= 10
             ORDER BY "group", doc_id
+        """,
+        # fixed-category pivot: COUNT(*) FILTER per event type
+        "pivot_events": """
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (event_type = 'error') AS n_error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+                   COUNT(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        # unpivot of the same: one row per (user, category)
+        "melt_events": """
+            WITH wide AS (
+                SELECT user_id,
+                       COUNT(*) FILTER (event_type = 'click') AS n_click,
+                       COUNT(*) FILTER (event_type = 'error') AS n_error,
+                       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                       COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+                       COUNT(*) FILTER (event_type = 'view') AS n_view
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, variable, CAST(value AS DOUBLE) AS value
+            FROM wide
+            UNPIVOT (value FOR variable IN
+                     (n_click, n_error, n_purchase, n_signup, n_view))
+            ORDER BY user_id, variable
         """,
         # SCC as a recursive transitive closure: label = min over the
         # mutual-reachability set (reflexive pairs included)

@@ -1122,3 +1122,111 @@ def apply_changelog(
         changes.map_batches(tag(1, False), batch_format="pandas")
     )
     return tagged.groupby("part").map_groups(resolve, batch_format="pandas")
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    cat_col: str,
+    categories: list[str],
+    value_col: str | None = None,
+    num_partitions: int = 32,
+    group_dtype=None,
+) -> ray.data.Dataset:
+    """Long→wide pivot with a FIXED category list → one row per group,
+    one int64 column per category (count of rows, or Σ ``value_col``
+    when given; values for categories outside the list are dropped).
+    The fixed list is what makes the operator scale-safe: the output
+    schema is known up front, so per-batch partials are dense little
+    (group × |categories|) grids and the exchange is ONE part-hash
+    grouped sum — never a dynamic-schema all-to-all.
+
+    Reference: qizhyuan/PRASE-Python has no reshape ops; this is the
+    engine's ETL-surface pivot (SURVEY §2.12)."""
+    import pyarrow as pa
+
+    cats = list(categories)
+    cat_cols = [f"n_{c}" for c in cats]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        val = (
+            b[value_col].to_numpy(np.int64)
+            if value_col is not None
+            else np.ones(len(b), np.int64)
+        )
+        d = pd.DataFrame(
+            {"grp": b[group_col].to_numpy(), "cat": b[cat_col].to_numpy(),
+             "v": val}
+        )
+        all_groups = pd.unique(d["grp"])
+        d = d[d["cat"].isin(cats)]
+        g = d.groupby(["grp", "cat"], as_index=False)["v"].sum()
+        wide = (
+            g.pivot(index="grp", columns="cat", values="v")
+            # reindex on EVERY group seen in the batch: a group whose
+            # rows all fall outside the category list still emits a
+            # zero row (GROUP BY semantics of the SQL twin)
+            .reindex(index=all_groups, columns=cats)
+            .fillna(0)
+            .astype(np.int64)
+            .reset_index(names="grp")
+        )
+        wide.columns = ["grp"] + [f"n_{c}" for c in wide.columns[1:]]
+        part = (
+            pd.util.hash_array(wide["grp"].to_numpy())
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        wide.insert(0, "part", part)
+        return wide
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("grp", as_index=False)[cat_cols].sum()
+        for c in cat_cols:
+            out[c] = out[c].astype(np.int64)
+        return out.rename(columns={"grp": group_col})
+
+    from prase_ray.stages.dedup import _drop_empty_blocks
+
+    out = (
+        ds.select_columns(
+            [group_col, cat_col]
+            + ([value_col] if value_col is not None else [])
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return _drop_empty_blocks(
+        out,
+        pa.schema(
+            [(group_col, group_dtype or pa.string())]
+            + [(c, pa.int64()) for c in cat_cols]
+        ),
+    )
+
+
+def melt(
+    ds: ray.data.Dataset,
+    *,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> ray.data.Dataset:
+    """Wide→long unpivot: each input row emits one output row per
+    entry of ``value_cols`` (the pandas ``melt`` / SQL UNPIVOT
+    semantics, numeric values cast to float64).  Embarrassingly
+    parallel — a pure per-batch flat-map, no exchange at all."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[id_cols + value_cols].melt(
+            id_vars=id_cols, value_vars=value_cols,
+            var_name=var_name, value_name=value_name,
+        )
+        out[value_name] = out[value_name].astype(np.float64)
+        return out
+
+    return ds.select_columns(id_cols + value_cols).map_batches(
+        f, batch_format="pandas"
+    )

@@ -1184,6 +1184,76 @@ def test_stratified_split(ray_session):
     assert set(mix[mix["group"] == "s1"]["doc_id"]) == want_s1
 
 
+def test_pivot_melt(ray_session):
+    """Fixed-category pivot equals a pandas crosstab (absent categories
+    zero-filled, out-of-list categories dropped, int groups), and the
+    melt round trip restores the long form."""
+    import pyarrow as pa_
+
+    from prase_ray.stages.relational import melt, pivot_counts
+
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 40, n).astype(np.int64),
+            "kind": rng.choice(["a", "b", "c", "junk"], n),
+            "amt": rng.integers(1, 5, n).astype(np.int64),
+        }
+    )
+    cats = ["a", "b", "c", "d"]  # d never occurs → all-zero column
+    want = (
+        df[df["kind"].isin(cats)]
+        .pivot_table(index="uid", columns="kind", values="amt",
+                     aggfunc="sum", fill_value=0)
+        .reindex(columns=cats, fill_value=0)
+        .astype(np.int64)
+        .reset_index()
+    )
+    want.columns = ["uid"] + [f"n_{c}" for c in cats]
+    # groups with ONLY junk rows still appear (zero row)
+    missing = sorted(set(df["uid"]) - set(want["uid"]))
+    if missing:
+        pad = pd.DataFrame({"uid": np.array(missing, np.int64)})
+        for c in cats:
+            pad[f"n_{c}"] = np.int64(0)
+        want = pd.concat([want, pad], ignore_index=True)
+    want = want.sort_values("uid").reset_index(drop=True)
+
+    got = (
+        pivot_counts(
+            ray.data.from_pandas(df).repartition(4),
+            group_col="uid", cat_col="kind", categories=cats,
+            value_col="amt", group_dtype=pa_.int64(),
+        )
+        .to_pandas()
+        .sort_values("uid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    long = (
+        melt(
+            ray.data.from_pandas(got),
+            id_cols=["uid"],
+            value_cols=[f"n_{c}" for c in cats],
+        )
+        .to_pandas()
+        .sort_values(["uid", "variable"])
+        .reset_index(drop=True)
+    )
+    assert len(long) == len(got) * len(cats)
+    back = (
+        long.pivot(index="uid", columns="variable", values="value")
+        .astype(np.int64)
+        .reset_index()
+    )
+    back.columns.name = None
+    pd.testing.assert_frame_equal(
+        back[got.columns], got, check_dtype=False
+    )
+
+
 def test_weighted_sample_k(ray_session):
     """A-ES weighted sampling: equals the python reference, excludes
     weight<=0 rows, partition-invariant, and heavier rows dominate the
