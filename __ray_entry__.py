@@ -668,6 +668,50 @@ def q_scc_distributed(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_phrase_search(sf_dir: str):
+    """Exact token-phrase search: 4 probe phrases (the first 2 tokens
+    of docs 10/20/30 and the first 3 of doc 40) against the whole
+    corpus — (phrase_id, doc_id, n_matches) hits.  The probe set
+    broadcasts; the corpus streams through one vectorized positional
+    conjunction; zero shuffle."""
+    from prase_ray.stages.retrieval import phrase_search
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().set_index("doc_id")["text"]
+    probes = pd.DataFrame(
+        {
+            "phrase_id": np.arange(4, dtype=np.int64),
+            "phrase": [
+                " ".join(str(t.get(10, "") or "").split()[:2]),
+                " ".join(str(t.get(20, "") or "").split()[:2]),
+                " ".join(str(t.get(30, "") or "").split()[:2]),
+                " ".join(str(t.get(40, "") or "").split()[:3]),
+            ],
+        }
+    )
+    out = phrase_search(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        probes,
+    ).to_pandas()
+    return out.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)
+
+
+def q_percent_rank(sf_dir: str):
+    """Per-user percentile-rank normalization of event values (SQL
+    PERCENT_RANK semantics, min-rank ties, singleton 0.0) — score
+    calibration before a global threshold.  One part-hash shuffle;
+    every partition ranks all its groups in one vectorized pass."""
+    from prase_ray.stages.relational import group_percent_rank
+
+    out = group_percent_rank(
+        _read(sf_dir, "events"),
+        group_col="user_id", value_col="value", id_col="event_id",
+    ).to_pandas()
+    out["pct"] = out["pct"].round(9)
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
 def q_pivot_events(sf_dir: str):
     """Long→wide pivot with a fixed category list: per user one row
     with one int64 count column per event type.  Fixed categories keep
@@ -2827,6 +2871,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_distributed": q_scc_distributed,
         "pivot_events": q_pivot_events,
         "melt_events": q_melt_events,
+        "phrase_search": q_phrase_search,
+        "percent_rank": q_percent_rank,
         "incremental_neardup": q_incremental_neardup,
         "simhash_candidates": q_simhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
@@ -4853,6 +4899,57 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             SELECT source AS "group", doc_id FROM ranked WHERE rn <= 10
             ORDER BY "group", doc_id
+        """,
+        # positional phrase conjunction: n-way self-join of the
+        # (doc, token, position) relation on consecutive positions
+        "phrase_search": f"""
+            WITH dt AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+            tok AS MATERIALIZED (
+                SELECT doc_id, unnest(toks) AS t,
+                       unnest(generate_series(1, len(toks))) AS p
+                FROM dt
+            ),
+            pr2 AS (
+                SELECT 0 AS phrase_id, toks[1] AS t0, toks[2] AS t1
+                FROM dt WHERE doc_id = 10
+                UNION ALL
+                SELECT 1, toks[1], toks[2] FROM dt WHERE doc_id = 20
+                UNION ALL
+                SELECT 2, toks[1], toks[2] FROM dt WHERE doc_id = 30
+            ),
+            m2 AS (
+                SELECT pr2.phrase_id, a.doc_id, count(*) AS n_matches
+                FROM tok a
+                JOIN tok b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+                JOIN pr2 ON a.t = pr2.t0 AND b.t = pr2.t1
+                GROUP BY 1, 2
+            ),
+            pr3 AS (
+                SELECT 3 AS phrase_id, toks[1] AS t0, toks[2] AS t1,
+                       toks[3] AS t2
+                FROM dt WHERE doc_id = 40
+            ),
+            m3 AS (
+                SELECT pr3.phrase_id, a.doc_id, count(*) AS n_matches
+                FROM tok a
+                JOIN tok b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+                JOIN tok c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+                JOIN pr3 ON a.t = pr3.t0 AND b.t = pr3.t1 AND c.t = pr3.t2
+                GROUP BY 1, 2
+            )
+            SELECT phrase_id, doc_id, n_matches FROM m2
+            UNION ALL
+            SELECT phrase_id, doc_id, n_matches FROM m3
+            ORDER BY phrase_id, doc_id
+        """,
+        # SQL PERCENT_RANK window, min-rank ties, singleton 0.0
+        "percent_rank": """
+            SELECT user_id, event_id, value,
+                   ROUND(percent_rank() OVER (
+                       PARTITION BY user_id ORDER BY value
+                   ), 9) AS pct
+            FROM events
+            ORDER BY user_id, event_id
         """,
         # fixed-category pivot: COUNT(*) FILTER per event type
         "pivot_events": """

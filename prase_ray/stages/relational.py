@@ -1230,3 +1230,66 @@ def melt(
     return ds.select_columns(id_cols + value_cols).map_batches(
         f, batch_format="pandas"
     )
+
+
+def group_percent_rank(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-group percentile-rank normalization → every input row with
+    ``pct = (rank_min − 1) / (n_group − 1)`` (SQL PERCENT_RANK
+    semantics: ties share the min rank, singleton groups get 0.0) —
+    the score-calibration step that makes per-source quality scores
+    comparable before a global threshold.
+
+    Shape: ONE part-hash shuffle on the group key; each partition
+    ranks ALL its groups in one vectorized pandas pass (grouped rank +
+    transform, never a per-group Python call — the map_groups-per-key
+    trap).  A single hot group concentrates in one partition — at web
+    scale pre-aggregate duplicate values per group first (documented,
+    not needed at current scales)."""
+    import pyarrow as pa
+
+    from prase_ray.stages.dedup import _drop_empty_blocks
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[[group_col, id_col, value_col]].copy()
+        key = d[group_col].to_numpy()
+        d.insert(
+            0,
+            "part",
+            (pd.util.hash_array(key) % np.uint64(num_partitions)).astype(
+                np.int32
+            ),
+        )
+        return d
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby(group_col)[value_col].rank(method="min").to_numpy(
+            np.float64
+        )
+        n = g.groupby(group_col)[group_col].transform("size").to_numpy(
+            np.float64
+        )
+        pct = np.where(n > 1, (r - 1.0) / np.where(n > 1, n - 1.0, 1.0), 0.0)
+        out = g[[group_col, id_col, value_col]].copy()
+        out["pct"] = pct
+        return out
+
+    out = (
+        ds.select_columns([group_col, id_col, value_col])
+        .map_batches(tag, batch_format="pandas")
+        .groupby("part")
+        .map_groups(rank_part, batch_format="pandas")
+    )
+    return _drop_empty_blocks(
+        out,
+        pa.schema(
+            [(group_col, pa.int64()), (id_col, pa.int64()),
+             (value_col, pa.float64()), ("pct", pa.float64())]
+        ),
+    )

@@ -221,3 +221,88 @@ def bm25_topk(
              ("doc_id", pa.int64()), ("score", pa.float64())]
         ),
     )
+
+
+def phrase_search(
+    docs: ray.data.Dataset,
+    phrases: pd.DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Exact token-phrase search → Dataset(phrase_id, doc_id,
+    n_matches): for each probe phrase the docs containing it as
+    CONSECUTIVE whitespace tokens, with the occurrence count.
+    ``phrases`` is a small driver frame (phrase_id int64, phrase str)
+    broadcast into the scan — the corpus streams through one
+    vectorized map_batches (per-doc position check via numpy
+    intersection of shifted posting arrays) and only (phrase, doc)
+    HITS enter the tiny output; no shuffle at all.
+
+    The positional check is the classic inverted-index phrase
+    conjunction: positions(t0) ∩ (positions(t1) − 1) ∩ … — vectorized
+    per doc with np.intersect1d over int64 position arrays."""
+    import ray
+
+    pdf = phrases.copy()
+    pdf["phrase_id"] = pdf["phrase_id"].astype(np.int64)
+    plist = [
+        (int(i), str(p).split())
+        for i, p in zip(pdf["phrase_id"], pdf["phrase"])
+        if str(p).split()
+    ]
+    pref = ray.put(plist)
+
+    def scan(b: pd.DataFrame) -> pd.DataFrame:
+        probes = ray.get(pref)
+        ids, flat, counts = _token_rows(b, id_col, text_col)
+        doc_ids = b[id_col].to_numpy(np.int64)
+        # batch-local doc index (small) + in-doc position, both packed
+        # into one sortable int64 key — the whole conjunction is numpy
+        didx = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offs[:-1], counts
+        )
+        out_p, out_d, out_n = [], [], []
+        for pid, terms in probes:  # probe list is small by contract
+            cur = None
+            for step, t in enumerate(terms):
+                m = flat == t  # vectorized elementwise compare
+                if step:
+                    m &= pos >= step
+                k = (didx[m] << np.int64(32)) | (pos[m] - step)
+                cur = k if cur is None else cur[np.isin(cur, k)]
+                if cur is None or not len(cur):
+                    cur = np.empty(0, np.int64)
+                    break
+            if cur is not None and len(cur):
+                hit, n = np.unique(cur >> np.int64(32), return_counts=True)
+                out_p.append(np.full(len(hit), pid, np.int64))
+                out_d.append(doc_ids[hit])
+                out_n.append(n.astype(np.int64))
+        if not out_p:
+            return pd.DataFrame(
+                {"phrase_id": pd.Series([], dtype=np.int64),
+                 "doc_id": pd.Series([], dtype=np.int64),
+                 "n_matches": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {
+                "phrase_id": np.concatenate(out_p),
+                "doc_id": np.concatenate(out_d),
+                "n_matches": np.concatenate(out_n),
+            }
+        )
+
+    from prase_ray.stages.dedup import _drop_empty_blocks
+
+    return _drop_empty_blocks(
+        docs.select_columns([id_col, text_col]).map_batches(
+            scan, batch_format="pandas"
+        ),
+        pa.schema(
+            [("phrase_id", pa.int64()), ("doc_id", pa.int64()),
+             ("n_matches", pa.int64())]
+        ),
+    )

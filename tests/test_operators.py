@@ -1184,6 +1184,73 @@ def test_stratified_split(ray_session):
     assert set(mix[mix["group"] == "s1"]["doc_id"]) == want_s1
 
 
+def test_phrase_search(ray_session):
+    """Positional phrase conjunction: overlapping matches counted,
+    token boundaries respected (no substring hits), multi-term and
+    missing-term probes, null text."""
+    from prase_ray.stages.retrieval import phrase_search
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "a a a b",             # "a a" overlaps: 2 matches
+                "xa a ax",             # substring lookalikes: 0
+                "b c d b c d b c",     # "b c d" twice, "b c" thrice
+                "a a",                 # 1 match of "a a"
+                None,
+                "c d",
+            ],
+        }
+    )
+    probes = pd.DataFrame(
+        {"phrase_id": [0, 1, 2], "phrase": ["a a", "b c d", "zz qq"]}
+    )
+    out = (
+        phrase_search(ray.data.from_pandas(docs).repartition(3), probes)
+        .to_pandas()
+        .sort_values(["phrase_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    got = {(int(r.phrase_id), int(r.doc_id)): int(r.n_matches)
+           for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 3): 1, (1, 2): 2}
+
+
+def test_group_percent_rank(ray_session):
+    """Percent-rank normalization equals pandas rank(method='min')
+    arithmetic: ties share min rank, singleton groups 0.0, partition
+    invariant."""
+    from prase_ray.stages.relational import group_percent_rank
+
+    rng = np.random.default_rng(9)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "g": np.concatenate(
+                [rng.integers(0, 10, n - 1).astype(np.int64), [99]]
+            ),
+            "rid": np.arange(n, dtype=np.int64),
+            "v": np.round(rng.normal(size=n), 2),  # rounded → real ties
+        }
+    )
+    r = df.groupby("g")["v"].rank(method="min").to_numpy()
+    sz = df.groupby("g")["g"].transform("size").to_numpy()
+    want = {
+        int(i): (0.0 if s == 1 else (rr - 1) / (s - 1))
+        for i, rr, s in zip(df["rid"], r, sz)
+    }
+    for parts in (1, 4):
+        out = group_percent_rank(
+            ray.data.from_pandas(df).repartition(parts),
+            group_col="g", value_col="v", id_col="rid", num_partitions=4,
+        ).to_pandas()
+        got = {int(i): p for i, p in zip(out["rid"], out["pct"])}
+        assert len(got) == n
+        assert all(abs(got[i] - want[i]) < 1e-12 for i in want)
+    assert got[399] == 0.0  # singleton group
+
+
 def test_pivot_melt(ray_session):
     """Fixed-category pivot equals a pandas crosstab (absent categories
     zero-filled, out-of-list categories dropped, int groups), and the
