@@ -668,6 +668,18 @@ def q_scc_distributed(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_json_props(sf_dir: str):
+    """Semi-structured sidecar extraction: the integer `k` field of the
+    events JSON props column via the vectorized Arrow-RE2 fast path
+    (zero Python per row; strict json.loads mode is pytest-equal)."""
+    from prase_ray.stages.extract import parse_json_int_field
+
+    out = parse_json_int_field(
+        _read(sf_dir, "events"), col="props", field="k",
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_phrase_search(sf_dir: str):
     """Exact token-phrase search: 4 probe phrases (the first 2 tokens
     of docs 10/20/30 and the first 3 of doc 40) against the whole
@@ -2873,6 +2885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "melt_events": q_melt_events,
         "phrase_search": q_phrase_search,
         "percent_rank": q_percent_rank,
+        "json_props": q_json_props,
         "incremental_neardup": q_incremental_neardup,
         "simhash_candidates": q_simhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
@@ -4899,6 +4912,12 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             SELECT source AS "group", doc_id FROM ranked WHERE rn <= 10
             ORDER BY "group", doc_id
+        """,
+        # JSON scalar-field extraction
+        "json_props": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events ORDER BY event_id
         """,
         # positional phrase conjunction: n-way self-join of the
         # (doc, token, position) relation on consecutive positions

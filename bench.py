@@ -263,6 +263,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("pivot_events", lambda: consume(em.q_pivot_events(sf_dir)))
     timed("phrase_search", lambda: consume(em.q_phrase_search(sf_dir)))
     timed("percent_rank", lambda: consume(em.q_percent_rank(sf_dir)))
+    timed("json_props", lambda: consume(em.q_json_props(sf_dir)))
     timed("media_png_stats", lambda: consume(em.q_media_png_stats(sf_dir)))
     # at sf0.1 both graphs cross the 1M-edge gate → these time the
     # distributed join/wedge dataflows, not the driver twins

@@ -22,6 +22,8 @@ per segment, since a segment holds no '.'.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -257,4 +259,70 @@ def extract_links(pages: ray.data.Dataset, *, batch_size: int = 1024) -> ray.dat
     in-link authority stats (stages/urls.py link_graph_stats)."""
     return pages.map_batches(
         _links_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON property-column extraction
+# --------------------------------------------------------------------------
+
+def parse_json_int_field(
+    ds: "ray.data.Dataset",
+    *,
+    col: str = "props",
+    field: str = "k",
+    out_col: str | None = None,
+    id_col: str = "event_id",
+    mode: str = "fast",
+) -> "ray.data.Dataset":
+    """Extract an integer scalar field from a JSON-string column →
+    Dataset(id_col, out_col) with null when the field is absent — the
+    semi-structured sidecar every event stream carries.
+
+    ``mode='fast'`` (default): a vectorized Arrow-RE2 extraction
+    (`pyarrow.compute.extract_regex`), zero Python per row — exact for
+    flat objects whose field value is a JSON integer (the documented
+    contract; keys containing escapes or nested duplicates of the
+    field name need strict mode).  ``mode='strict'``: per-row
+    ``json.loads`` — the inherently row-wise general parser (same
+    per-blob-loop caveat as multimodal decode), kept for arbitrary
+    nesting.  Both modes are bit-equal on conforming data
+    (pytest-enforced)."""
+    import json
+
+    import pyarrow.compute as pc
+
+    assert mode in ("fast", "strict")
+    out_col = out_col or field
+    pat = (
+        '"' + re.escape(field) + '"\\s*:\\s*(?P<v>-?[0-9]+)'
+    )
+
+    def fast(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[col], pa.string())
+        m = pc.extract_regex(s, pat)
+        v = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return pa.table({id_col: t[id_col], out_col: v})
+
+    def strict(b: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        vals = []
+        for raw in b[col]:
+            try:
+                x = json.loads(raw) if raw is not None else None
+            except (TypeError, ValueError):
+                x = None
+            v = x.get(field) if isinstance(x, dict) else None
+            vals.append(int(v) if isinstance(v, int) else None)
+        return pd.DataFrame(
+            {id_col: b[id_col].to_numpy(), out_col: pd.array(vals, dtype="Int64")}
+        )
+
+    if mode == "fast":
+        return ds.select_columns([id_col, col]).map_batches(
+            fast, batch_format="pyarrow"
+        )
+    return ds.select_columns([id_col, col]).map_batches(
+        strict, batch_format="pandas"
     )

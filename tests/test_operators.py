@@ -1184,6 +1184,32 @@ def test_stratified_split(ray_session):
     assert set(mix[mix["group"] == "s1"]["doc_id"]) == want_s1
 
 
+def test_parse_json_int_field(ray_session):
+    """Fast (RE2) and strict (json.loads) JSON field extraction are
+    equal on conforming data; absent field / malformed JSON / null →
+    null."""
+    from prase_ray.stages.extract import parse_json_int_field
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "props": ['{"k": 7}', '{"k": -3, "z": 1}', '{"z": 5}',
+                      "not json", None, '{ "k" :  42 }'],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+    fast = parse_json_int_field(ds, mode="fast").to_pandas().sort_values(
+        "event_id"
+    )
+    strict = parse_json_int_field(ds, mode="strict").to_pandas().sort_values(
+        "event_id"
+    )
+    want = [7, -3, None, None, None, 42]
+    for out in (fast, strict):
+        got = [None if pd.isna(v) else int(v) for v in out["k"]]
+        assert got == want
+
+
 def test_phrase_search(ray_session):
     """Positional phrase conjunction: overlapping matches counted,
     token boundaries respected (no substring hits), multi-term and
