@@ -294,8 +294,11 @@ def parse_json_int_field(
 
     assert mode in ("fast", "strict")
     out_col = out_col or field
+    # the value must run straight into , or } (RE2 has no lookahead):
+    # a float like 7.5 must NOT yield its integer prefix — strict mode
+    # and the SQL twin both return null for non-integer values
     pat = (
-        '"' + re.escape(field) + '"\\s*:\\s*(?P<v>-?[0-9]+)'
+        '"' + re.escape(field) + '"\\s*:\\s*(?P<v>-?[0-9]+)\\s*[,}]'
     )
 
     def fast(t: pa.Table) -> pa.Table:

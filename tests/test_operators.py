@@ -1192,9 +1192,11 @@ def test_parse_json_int_field(ray_session):
 
     df = pd.DataFrame(
         {
-            "event_id": np.arange(6, dtype=np.int64),
+            "event_id": np.arange(8, dtype=np.int64),
             "props": ['{"k": 7}', '{"k": -3, "z": 1}', '{"z": 5}',
-                      "not json", None, '{ "k" :  42 }'],
+                      "not json", None, '{ "k" :  42 }',
+                      '{"k": 7.5}',   # float → null, NOT its int prefix
+                      '{"k": 2e3}'],  # scientific → null
         }
     )
     ds = ray.data.from_pandas(df).repartition(2)
@@ -1204,7 +1206,7 @@ def test_parse_json_int_field(ray_session):
     strict = parse_json_int_field(ds, mode="strict").to_pandas().sort_values(
         "event_id"
     )
-    want = [7, -3, None, None, None, 42]
+    want = [7, -3, None, None, None, 42, None, None]
     for out in (fast, strict):
         got = [None if pd.isna(v) else int(v) for v in out["k"]]
         assert got == want
