@@ -67,8 +67,10 @@ def tokenize_offsets(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     doc_offsets has len(texts)+1 entries; tokens of doc i live in
     token_hash_flat[offsets[i]:offsets[i+1]].  Token hash = FNV-1a 64
     (SQL-reproducible, see fnv1a_str_array)."""
-    tok_lists = texts.str.split()
-    counts = tok_lists.str.len().fillna(0).to_numpy(dtype=np.int64)
+    # fillna first: split propagates NaN and len(NaN) raises in the
+    # flatten below (null docs must tokenize to zero tokens)
+    tok_lists = texts.fillna("").str.split()
+    counts = tok_lists.str.len().to_numpy(dtype=np.int64)
     flat = (
         np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if len(t)])
         if counts.sum()

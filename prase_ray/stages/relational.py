@@ -1150,15 +1150,22 @@ def pivot_counts(
     cat_cols = [f"n_{c}" for c in cats]
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        val = (
-            b[value_col].to_numpy(np.int64)
-            if value_col is not None
-            else np.ones(len(b), np.int64)
-        )
-        d = pd.DataFrame(
-            {"grp": b[group_col].to_numpy(), "cat": b[cat_col].to_numpy(),
-             "v": val}
-        )
+        if value_col is not None:
+            # SUM semantics: null values contribute nothing (read as
+            # float first — a direct int64 cast raises on NaN)
+            raw = b[value_col].to_numpy(np.float64)
+            ok = ~np.isnan(raw)
+            d = pd.DataFrame(
+                {"grp": b[group_col].to_numpy(),
+                 "cat": b[cat_col].to_numpy(),
+                 "v": np.where(ok, raw, 0.0).astype(np.int64)}
+            )
+        else:
+            d = pd.DataFrame(
+                {"grp": b[group_col].to_numpy(),
+                 "cat": b[cat_col].to_numpy(),
+                 "v": np.ones(len(b), np.int64)}
+            )
         all_groups = pd.unique(d["grp"])
         d = d[d["cat"].isin(cats)]
         g = d.groupby(["grp", "cat"], as_index=False)["v"].sum()
@@ -1244,7 +1251,9 @@ def group_percent_rank(
     ``pct = (rank_min − 1) / (n_group − 1)`` (SQL PERCENT_RANK
     semantics: ties share the min rank, singleton groups get 0.0) —
     the score-calibration step that makes per-source quality scores
-    comparable before a global threshold.
+    comparable before a global threshold.  Contract: ``value_col`` is
+    non-null (null values rank as NaN here but as positioned rows in
+    SQL PERCENT_RANK — filter them first if the column is nullable).
 
     Shape: ONE part-hash shuffle on the group key; each partition
     ranks ALL its groups in one vectorized pandas pass (grouped rank +
