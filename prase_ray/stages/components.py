@@ -70,7 +70,11 @@ def connected_components(
             }
         )
 
-    und = edges.map_batches(undirect, batch_format="pandas").materialize()
+    # joins reject leading empty blocks on EITHER side — pin (src, dst)
+    und = _drop_empty_blocks(
+        edges.map_batches(undirect, batch_format="pandas"),
+        pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+    )
 
     def init_labels(batch: pd.DataFrame):
         df = pd.DataFrame(
@@ -234,7 +238,12 @@ def bfs_hops(
             }
         )
 
-    und = edges.map_batches(undirect, batch_format="pandas").materialize()
+    _ND = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+    # joins reject leading empty blocks on either side — pin schemas
+    und = _drop_empty_blocks(
+        edges.map_batches(undirect, batch_format="pandas"),
+        pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+    )
 
     def init_seeds(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -244,21 +253,31 @@ def bfs_hops(
             }
         )
 
-    frontier = _as_arrow(
-        seeds.map_batches(init_seeds, batch_format="pandas")
-        .groupby("node")
-        .aggregate(Min("dist", alias_name="dist"))
-    ).materialize()
+    frontier = _drop_empty_blocks(
+        _as_arrow(
+            seeds.map_batches(init_seeds, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("dist", alias_name="dist"))
+        ),
+        _ND,
+    )
     dist = frontier
 
     for r in range(1, max_rounds + 1):
-        reached = und.join(
-            frontier,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("src",),
-            right_on=("node",),
-        ).select_columns(["dst"])
+        reached = _drop_empty_blocks(
+            _as_arrow(
+                und.join(
+                    frontier,
+                    join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("src",),
+                    right_on=("node",),
+                ).select_columns(["dst"])
+            ),
+            pa.schema([("dst", pa.int64())]),
+        )
+        if reached.count() == 0:
+            break
         fresh = _as_arrow(reached.rename_columns({"dst": "node"})).join(
             dist,
             join_type="left_anti",
@@ -274,12 +293,15 @@ def bfs_hops(
                 }
             )
 
-        frontier = _as_arrow(
-            fresh.map_batches(stamp, batch_format="pandas")
-            .groupby("node")
-            .aggregate(Min("dist", alias_name="dist"))
-        ).materialize()
+        frontier = _drop_empty_blocks(
+            _as_arrow(
+                fresh.map_batches(stamp, batch_format="pandas")
+                .groupby("node")
+                .aggregate(Min("dist", alias_name="dist"))
+            ),
+            _ND,
+        )
         if frontier.count() == 0:
             break
-        dist = dist.union(frontier).materialize()
+        dist = _drop_empty_blocks(_as_arrow(dist.union(frontier)), _ND)
     return dist

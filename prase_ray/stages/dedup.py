@@ -426,9 +426,13 @@ def _verify_jaccard_distributed(
         tagged.map_batches(to_doc_parts, batch_format="pandas"),
         pa.schema([("doc_id", pa.int64()), ("part", pa.int32())]),
     )
-    corpus = (
+    # _drop_empty_blocks on the JOIN LEFT side too: a filtered/derived
+    # corpus can carry leading empty blocks, which break the join's
+    # left-side schema inference exactly like empty right blocks do
+    corpus = _drop_empty_blocks(
         docs.select_columns(["doc_id", "text"])
-        .map_batches(lambda t: t, batch_format="pyarrow")
+        .map_batches(lambda t: t, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
     )
     # inner join: only candidate docs shingle, replicated per partition
     # they participate in (bounded by pair fan-out)
@@ -2751,14 +2755,20 @@ def _dedup_keep_best_distributed(
             }
         )
 
-    docs_m = docs.select_columns(["doc_id", "text"]).map_batches(
-        metrics, batch_format="pandas"
-    ).map_batches(lambda t: t, batch_format="pyarrow")
-    comp_arrow = comp_ds.map_batches(
-        lambda t: t.select(["doc_id", "keep_id"]).rename_columns(
-            ["doc_id", "comp"]
+    docs_m = _drop_empty_blocks(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            metrics, batch_format="pandas"
+        ).map_batches(lambda t: t, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("m", pa.int64())]),
+    )
+    comp_arrow = _drop_empty_blocks(
+        comp_ds.map_batches(
+            lambda t: t.select(["doc_id", "keep_id"]).rename_columns(
+                ["doc_id", "comp"]
+            ),
+            batch_format="pyarrow",
         ),
-        batch_format="pyarrow",
+        pa.schema([("doc_id", pa.int64()), ("comp", pa.int64())]),
     )
     # dup-volume-sized join: only component MEMBERS carry metric rows on
     members_m = docs_m.join(

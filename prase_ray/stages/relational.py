@@ -728,8 +728,17 @@ def bloom_anti_join(
     definite = left.map_batches(
         functools.partial(probe, keep_positive=False), batch_format="pandas"
     )
+    # the candidate branch is MOSTLY-empty by design (only Bloom
+    # positives survive) — a leading empty block would break the
+    # join's left-side schema inference, so drop empties and skip the
+    # join entirely when no candidate remains
     candidates = left.map_batches(
         functools.partial(probe, keep_positive=True), batch_format="pandas"
+    ).materialize()
+    if candidates.count() == 0:
+        return definite
+    candidates = _drop_empty_blocks(
+        candidates, pa.schema([(on, pa.int64())])  # schema unused: count>0
     )
     survived = candidates.join(
         rkeys,

@@ -170,6 +170,48 @@ def test_minhash_dedup_finds_planted_dups(ray_session):
     assert not merged_bases
 
 
+def test_empty_leading_blocks_in_joins(ray_session):
+    """Ray's hash-shuffle join rejects datasets whose LEADING blocks
+    are empty (schema inference) on either side.  Pin the fix: bloom
+    anti-join, connected components and BFS must survive inputs whose
+    first blocks are empty — the natural shape of filtered corpora and
+    sparse probe branches."""
+    import pyarrow as pa_
+
+    from prase_ray.stages.components import bfs_hops, connected_components
+    from prase_ray.stages.relational import bloom_anti_join
+
+    empty = pa_.table({"doc_id": pa_.array([], pa_.int64())})
+    data = pa_.table({"doc_id": pa_.array(list(range(100)), pa_.int64())})
+    left = ray.data.from_arrow([empty, empty, data])
+    right = ray.data.from_arrow(
+        [empty, pa_.table({"doc_id": pa_.array([3, 5, 97], pa_.int64())})]
+    )
+    out = bloom_anti_join(left, right, "doc_id", num_partitions=4).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(set(range(100)) - {3, 5, 97})
+    # empty blocklist → identity
+    out2 = bloom_anti_join(
+        left, ray.data.from_arrow([empty]), "doc_id", num_partitions=4
+    ).to_pandas()
+    assert len(out2) == 100
+
+    eedge = pa_.table({"a": pa_.array([], pa_.int64()),
+                       "b": pa_.array([], pa_.int64())})
+    edges = ray.data.from_arrow(
+        [eedge, pa_.table({"a": pa_.array([1, 2, 10], pa_.int64()),
+                           "b": pa_.array([2, 3, 11], pa_.int64())})]
+    )
+    cc = connected_components(edges, force_distributed=True,
+                              num_partitions=4).to_pandas()
+    got = cc.set_index("node")["label"].to_dict()
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    seeds = ray.data.from_pandas(pd.DataFrame({"node": [1]}))
+    hops = bfs_hops(edges, seeds, force_distributed=True,
+                    num_partitions=4).to_pandas()
+    assert hops.set_index("node")["dist"].to_dict() == {1: 0, 2: 1, 3: 2}
+
+
 def test_dedup_distributed_paths_bit_equal(ray_session):
     """Round-5 scale twin: every dedup-family verify/apply path forced
     fully Dataset-resident (force_distributed=True — pairs, component
